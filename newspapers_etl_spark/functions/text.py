@@ -1,0 +1,78 @@
+"""Text-analysis expressions for the LLM-data-pipeline surface.
+
+No reference counterpart (the reference's only text processing is the
+regex extraction family, src/01-scrape-images.py:270-317) — these are the
+north-star additions: token counting, quality scoring, language-ID
+features, document fingerprinting.  All built-in column expressions, so
+they vectorize in codegen and scale linearly with scanned bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deterministic and SQL-expressible so the DuckDB oracle can replicate.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "small"),
+    "es": ("data", "vector", "agg", "column"),
+    "de": ("stream", "batch", "merge", "sort"),
+    "fr": ("table", "row", "join", "query"),
+    "zh": ("spark", "hash", "key", "scan"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization to array<string>."""
+    return F.split(col, r"\s+")
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def token_count_regex(col: Column | str) -> Column:
+    """BPE-ish token count: alternating word / non-space-non-word runs,
+    approximating a subword tokenizer's piece count."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"(\w+|[^\w\s])"), 0))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    ws = words(col)
+    stop = F.filter(ws, lambda w: w.isin(*STOPWORDS))
+    return F.size(stop) / F.size(ws)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    punct = F.length(F.regexp_replace(col, r"[\w\s]", ""))
+    return punct / F.length(col)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: length band + low punctuation +
+    sane stopword ratio.  Mirrors the Gopher/C4-style filters used for LLM
+    corpus cleaning, expressed as pure column arithmetic."""
+    n_tokens = token_count_ws(col).cast("double")
+    len_ok = F.when((n_tokens >= 10) & (n_tokens <= 1000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(col) < 0.2, 1.0).otherwise(0.0)
+    stop = stopword_ratio(col)
+    stop_ok = F.when((stop > 0.0) & (stop < 0.6), 1.0).otherwise(0.0)
+    return F.round((len_ok + punct_ok + stop_ok) / F.lit(3.0), 6)
+
+
+def lang_score(col: Column | str, lang: str) -> Column:
+    """Marker-hit count for one language (the n-gram-heuristic feature)."""
+    ws = words(col)
+    return F.size(F.filter(ws, lambda w: w.isin(*LANG_MARKERS[lang])))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 over the sorted distinct token set.
+    Word-order-insensitive, so near-identical shuffled documents collide —
+    the cheap exact-ish dedup key."""
+    canon = F.array_join(F.array_sort(F.array_distinct(words(col))), " ")
+    return F.md5(canon)

@@ -1,0 +1,76 @@
+"""Query registry backing the driver contract (__spark_entry__.py).
+
+Each operator family registers named queries here via the ``@query``
+decorator: a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus,
+where SQL-expressible, the equivalent DuckDB oracle SQL.  Column names
+and types are aligned on both sides (the driver sorts columns by name
+and value-hashes, so every computed column is aliased identically and
+integer sums are CAST to BIGINT in the oracle — DuckDB's sum(int) is
+HUGEINT).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+_OPERATOR_MODULES = (
+    "newspapers_etl_spark.operators.relational",
+    "newspapers_etl_spark.operators.extraction_queries",
+    "newspapers_etl_spark.operators.incremental",
+    "newspapers_etl_spark.operators.dedup",
+    "newspapers_etl_spark.operators.similarity",
+    "newspapers_etl_spark.operators.text_analysis",
+    "newspapers_etl_spark.operators.multimodal",
+    "newspapers_etl_spark.operators.events_windows",
+)
+
+_loaded = False
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query; ``oracle`` is DuckDB-runnable ANSI SQL over
+    the pre-registered fixture views, or None for non-SQL-expressible ops
+    (driver then records a weaker rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _ensure_loaded() -> None:
+    global _loaded
+    if _loaded:
+        return
+    for mod in _OPERATOR_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # Tolerate not-yet-written modules during incremental build,
+            # but never mask a typo inside an existing module.
+            if e.name != mod:
+                raise
+    _loaded = True
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return dict(ORACLE)

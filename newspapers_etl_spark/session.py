@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Defaults are sized for the local[32] test harness but every setting is the
+one you'd also want on a 1000-executor cluster reading 100 TB:
+
+- AQE on (runtime partition coalescing, skew-join splitting, dynamic join
+  strategy switch) — replaces hand-tuned shuffle partition counts at scale.
+- Shuffle partitions ~= cores locally; on a real cluster AQE coalesces from
+  a deliberately-high initial number, so we set the initial high and let
+  AQE shrink.
+- UTC session timezone: parquet timestamps compare cleanly against the
+  DuckDB oracle and avoid DST-dependent results.
+- Arrow enabled: every Pandas-UDF / toPandas boundary is vectorized.
+
+The reference engine is single-threaded (reference
+src/01-scrape-images.py:502-515 iterates rows in a Python for loop); the
+Spark rebuild's unit of parallelism is the partition, so nothing here
+mirrors the reference's pacing constants.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "newspapers_etl_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``cpus`` controls local-mode parallelism and the shuffle-partition
+    floor; on a cluster, pass ``master`` via extra_conf/spark-submit and
+    these settings still apply.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
