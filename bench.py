@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Bench harness: time every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": "total_query_wall", "value": <sum sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+All logging goes to stderr so the driver's JSON parse never breaks.
+
+Each query is executed to completion with the `noop` write format — the
+full physical plan runs (scan → shuffle → agg) without driver-side
+collect or disk-write overhead, so the number is pipeline wall-clock,
+not serialization time. A single trivial warmup action first amortizes
+JVM/codegen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from newspapers_etl_spark import registry  # noqa: E402
+from newspapers_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = Path(sf_dir).name  # e.g. "sf0.1"
+    try:
+        return float(name.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def run_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> int:
+    spark = get_spark("newspapers_etl_spark_bench")
+    queries = registry.all_queries()
+
+    # Warmup: force session + codegen paths once so query #1 isn't taxed.
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        try:
+            sec = run_query(spark, queries[name], SF_DIR)
+            timings[name] = round(sec, 3)
+            print(f"[bench] {name}: {sec:.3f}s", file=sys.stderr)
+        except Exception as e:  # one broken query must not zero the bench
+            timings[name] = -1.0
+            print(f"[bench] {name}: FAILED {e}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
