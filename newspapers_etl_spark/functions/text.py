@@ -42,14 +42,18 @@ def token_count_regex(col: Column | str) -> Column:
 
 
 def stopword_ratio(col: Column | str) -> Column:
+    """Guarded against empty docs: 0.0 (not NULL/NaN) when no tokens."""
     ws = words(col)
     stop = F.filter(ws, lambda w: w.isin(*STOPWORDS))
-    return F.size(stop) / F.size(ws)
+    n = F.size(ws)
+    return F.when(n > 0, F.size(stop) / n).otherwise(F.lit(0.0))
 
 
 def punct_ratio(col: Column | str) -> Column:
+    """Guarded against empty strings: 0.0 (not NULL) when length is 0."""
     punct = F.length(F.regexp_replace(col, r"[\w\s]", ""))
-    return punct / F.length(col)
+    n = F.length(col)
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
 
 
 def quality_score(col: Column | str) -> Column:

@@ -91,7 +91,10 @@ def flagship_issue_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # J1 incremental skip: anti-join against the already-processed set.
-    processed = li.where(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    # No distinct on the right side — anti-join semantics don't need a
+    # deduplicated build side, and the extra exchange+aggregate stage on
+    # lineitem-derived data is pure waste at scale.
+    processed = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
     return (
         agg.join(processed, agg.o_orderkey == processed.l_orderkey, "left_anti")
         .withColumn("complete", F.col("n_shipped") == F.col("n_files"))
@@ -209,17 +212,20 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 
 @query("agg_grouping_sets", oracle=GROUPING_SETS_ORACLE)
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS via the SQL entry point (same Catalyst plan as the
-    DataFrame API — SURVEY §3.4 entry point 2)."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
-        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-               coalesce(l_linestatus, 'ALL') AS linestatus,
-               count(*)                      AS n_rows
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        """
+    """GROUPING SETS via DataFrame.groupingSets (Spark 4.x) — no temp-view
+    side effect on the shared session (a createOrReplaceTempView here would
+    silently shadow catalog.register_views state for concurrent callers)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+        )
     )
 
 
@@ -374,17 +380,23 @@ GROUP BY 1
 
 @query("join_left_outer_order_counts", oracle=OUTER_ORACLE)
 def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-before-join: orders is reduced to one row per o_custkey
+    BEFORE the join, so the shuffle carries the 1-row-per-key aggregate,
+    not the whole fact table — at 100× scale this halves shuffled volume
+    vs joining raw orders onto customer and grouping after."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
         .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
-                "total_spent"
-            ),
+            F.count("o_orderkey").alias("cnt"),
+            F.sum("o_totalprice").alias("spent"),
         )
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("n_orders"),
+        F.round(F.coalesce(F.col("spent"), F.lit(0.0)), 2).alias("total_spent"),
     )
 
 
@@ -406,8 +418,10 @@ def join_range_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays a hash/sort-merge join, never a cartesian."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # Timestamp arithmetic (not date_add, which truncates to DATE) so
+    # non-midnight order timestamps match the oracle's INTERVAL semantics.
     cond = (li.l_orderkey == o.o_orderkey) & (
-        li.l_shipdate > F.date_add(F.col("o_orderdate"), 90)
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     )
     return o.join(li, cond).groupBy("o_orderkey").agg(F.count("*").alias("n_late_lines"))
 
@@ -542,7 +556,9 @@ def setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         building.intersect(rich).agg(
             F.lit("intersect").alias("op"), F.count("*").alias("n")
         ),
-        building.exceptAll(rich).distinct().agg(
+        # subtract() IS SQL EXCEPT (distinct semantics); exceptAll().distinct()
+        # diverges on inputs where the left side has duplicates.
+        building.subtract(rich).agg(
             F.lit("except").alias("op"), F.count("*").alias("n")
         ),
     ]
@@ -569,6 +585,82 @@ def distinct_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Explode fan-out (J3)
 # ---------------------------------------------------------------------------
+
+COLLECT_ORACLE = """
+SELECT l_orderkey,
+       string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS linenumbers,
+       CAST(count(*) AS BIGINT)                            AS n_lines
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
+@query("agg_collect_per_group", oracle=COLLECT_ORACLE)
+def agg_collect_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group collection (A4; reference accumulates per-issue filename
+    lists, src/01-scrape-images.py:330-343).  collect_list is arrival-order
+    nondeterministic, so the array is sorted before join — deterministic
+    output without a window sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.col("l_linenumber"))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("linenumbers"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ASOF_ORACLE = """
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id, c.ts AS last_click_ts
+FROM errors e
+ASOF LEFT JOIN clicks c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
+@query("join_asof_last_click", oracle=ASOF_ORACLE)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (most recent prior click per error event), implemented as
+    union + single window pass instead of the naive join+re-aggregate:
+    tag both streams, partition by user, order by ts, carry the last seen
+    click ts forward with last_value(ignoreNulls).  ONE shuffle on user_id
+    total — the join+groupBy+rejoin formulation needs three.  DuckDB's
+    native ASOF JOIN is the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts"
+    )
+    tagged = errors.withColumn("click_ts", F.lit(None).cast("timestamp")).unionByName(
+        clicks.withColumn("click_ts", F.col("ts"))
+    )
+    # At equal ts the click must sort BEFORE the error so >= semantics hold
+    # (clicks have non-null click_ts → asc_nulls_last puts them first).
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("click_ts").asc_nulls_last())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn(
+            "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+        )
+        .where(F.col("event_id").isNotNull())
+        .select("event_id", "user_id", "last_click_ts")
+    )
+
 
 EXPLODE_ORACLE = """
 SELECT word, count(*) AS n

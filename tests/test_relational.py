@@ -28,7 +28,9 @@ def _rows_only_cases():
 @pytest.mark.parametrize("name", _rows_only_cases())
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = all_queries()[name](spark, sf_dir)
-    assert df.count() >= 0
+    # Rows-only queries must still produce output on the fixtures — a
+    # 0-row result here means a broken filter, not a weaker check.
+    assert df.count() > 0
     assert len(df.schema.fields) > 0
 
 
