@@ -1,0 +1,177 @@
+"""Text-analysis queries for the LLM-data-pipeline surface
+(token counting, quality scoring, language-ID, fingerprinting).
+
+No reference counterpart — the reference's only text processing is its
+regex extraction family (reference src/01-scrape-images.py:270-317);
+these are the north-star corpus-cleaning operators (Gopher/C4-style
+filters) the 100 TB pipeline needs.
+
+Everything is built-in column expressions over array higher-order
+functions (filter/transform/aggregate) — JVM-side, vectorized in
+codegen, zero Python UDFs, zero shuffles except the final small
+aggregations.  At 100 TB the cost is one linear scan of the text bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    doc_fingerprint,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count_regex,
+    token_count_ws,
+    words,
+)
+from newspapers_etl_spark.registry import query
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split_regex(text, '\\s+')) AS INT)            AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '(\\w+|[^\\w\\s])')) AS INT) AS n_tokens_re
+FROM documents
+"""
+
+
+@query("text_token_counts", oracle=TOKEN_COUNT_ORACLE)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws("text").alias("n_tokens_ws"),
+        token_count_regex("text").alias("n_tokens_re"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length band + punctuation + stopword ratio)
+# ---------------------------------------------------------------------------
+
+QUALITY_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n_tokens,
+         CASE WHEN len(text) > 0
+              THEN CAST(len(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+                   / len(text)
+              ELSE 0.0 END AS p_ratio,
+         CASE WHEN len(string_split_regex(text, '\\s+')) > 0
+              THEN CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                   / len(string_split_regex(text, '\\s+'))
+              ELSE 0.0 END AS s_ratio
+  FROM documents
+)
+SELECT doc_id,
+       round(s_ratio, 6) AS stop_ratio,
+       round(p_ratio, 6) AS pnct_ratio,
+       round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END
+             + CASE WHEN p_ratio < 0.2 THEN 1.0 ELSE 0.0 END
+             + CASE WHEN s_ratio > 0.0 AND s_ratio < 0.6 THEN 1.0 ELSE 0.0 END)
+             / 3.0, 6) AS quality
+FROM feats
+"""
+
+
+@query("text_quality_scores", oracle=QUALITY_ORACLE)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(punct_ratio("text"), 6).alias("pnct_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID (marker-lexicon n-gram heuristic, deterministic argmax)
+# ---------------------------------------------------------------------------
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), "
+        f"x -> x IN ({markers}))) AS INT)"
+    )
+
+
+_LANGS = sorted(LANG_MARKERS)  # alphabetical → deterministic tiebreak
+
+LANG_ID_ORACLE = f"""
+WITH scores AS (
+  SELECT doc_id, lang AS lang_true,
+         {", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in _LANGS)}
+  FROM documents
+)
+SELECT doc_id, lang_true,
+       {", ".join(f"s_{lg}" for lg in _LANGS)},
+       CASE {" ".join(f"WHEN s_{lg} = greatest({', '.join('s_' + x for x in _LANGS)}) THEN '{lg}'" for lg in _LANGS)}
+       END AS lang_pred
+FROM scores
+"""
+
+
+@query("text_lang_id", oracle=LANG_ID_ORACLE)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID: per-language hit counts + argmax with
+    alphabetical tiebreak (identical CASE ordering in the oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = words("text")
+
+    def marker_hits(lg: str):
+        markers = LANG_MARKERS[lg]
+        return F.size(F.filter(ws, lambda w: w.isin(*markers))).alias(f"s_{lg}")
+
+    scored = d.select(
+        "doc_id", F.col("lang").alias("lang_true"), *[marker_hits(lg) for lg in _LANGS]
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in _LANGS])
+    expr = None
+    for lg in _LANGS:
+        cond = F.col(f"s_{lg}") == best
+        expr = F.when(cond, F.lit(lg)) if expr is None else expr.when(cond, F.lit(lg))
+    return scored.withColumn("lang_pred", expr)
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (set-canonical md5 + min-hash-of-1)
+# ---------------------------------------------------------------------------
+
+FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\\s+'))), ' '))
+         AS fingerprint,
+       list_min(list_transform(list_distinct(string_split_regex(text, '\\s+')),
+                               t -> md5(t))) AS min_token_hash
+FROM documents
+"""
+
+
+@query("text_fingerprints", oracle=FINGERPRINT_ORACLE)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (dedup key) + the k=1 minhash
+    (min over per-token hashes) — the primitive the MinHash-LSH dedup
+    operator band-aggregates at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    distinct_tokens = F.array_distinct(words("text"))
+    return d.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fingerprint"),
+        F.array_min(F.transform(distinct_tokens, lambda t: F.md5(t))).alias(
+            "min_token_hash"
+        ),
+    )
