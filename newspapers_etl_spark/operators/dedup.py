@@ -1,0 +1,272 @@
+"""Deduplication operators: exact (hash-groupBy), n-gram Jaccard,
+MinHash+LSH banding, SimHash.
+
+The reference's only dedup is ``list(set(matches))`` over filenames
+(reference src/01-scrape-images.py:296-299) plus idempotent skip-if-
+exists delivery (:357-359,462-465); these queries are the north-star
+corpus-dedup operators a 100 TB training-data pipeline needs.
+
+Scale design:
+- Exact dedup groups on a 128-bit content fingerprint, never on the
+  text itself — the shuffle carries 16-byte keys, not document bodies.
+- Near-dup candidate generation is ALWAYS banded/blocked (LSH band
+  buckets, or a blocking key like `source`) — O(n·k) with bounded
+  bucket fan-out, never the O(n²) all-pairs cross join.
+- MinHash signatures/bands are array higher-order expressions over
+  xxhash64 — JVM-side, no Python, one linear scan + one shuffle on the
+  16-byte band key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.functions.text import doc_fingerprint, words
+from newspapers_etl_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Exact dedup: fingerprint → groupBy → keeper + copy count
+# ---------------------------------------------------------------------------
+
+EXACT_DEDUP_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\\s+'))), ' '))
+           AS fingerprint
+  FROM documents
+)
+SELECT fingerprint,
+       min(doc_id)              AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM fp
+GROUP BY fingerprint
+"""
+
+
+@query("dedup_exact_fingerprint", oracle=EXACT_DEDUP_ORACLE)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as hash-groupBy on the order-insensitive content
+    fingerprint: keeper = lowest doc_id per group.  The 16-byte key is
+    computed map-side, so the shuffle never carries document text."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram (token-set) Jaccard within a blocking key
+# ---------------------------------------------------------------------------
+
+JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, list_distinct(string_split_regex(text, '\\s+')) AS ts
+  FROM documents
+),
+pairs AS (
+  SELECT a.source,
+         CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.ts, b.ts))) AS j
+  FROM toks a JOIN toks b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(max(j), 4)         AS max_jaccard,
+       round(avg(j), 4)         AS avg_jaccard
+FROM pairs
+GROUP BY source
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over pairs WITHIN a blocking key (source)
+    — the verify step that runs after LSH candidate generation.  The join
+    is blocked on source so pair count is sum of per-block C(n,2), never
+    the global cross product; at 100 TB the block key is the LSH bucket."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.array_distinct(words("text")).alias("ts")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.source").alias("source"),
+        (
+            F.size(F.array_intersect("a.ts", "b.ts")).cast("double")
+            / F.size(F.array_union("a.ts", "b.ts"))
+        ).alias("j"),
+    )
+    return pairs.groupBy("source").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.max("j"), 4).alias("max_jaccard"),
+        F.round(F.avg("j"), 4).alias("avg_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (library functions + rows-only query)
+# ---------------------------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_SIZE = 3
+
+
+def shingles(text_col: Column | str, n: int = SHINGLE_SIZE) -> Column:
+    """Word n-gram shingles as array<string>; docs shorter than n words
+    collapse to a single whole-text shingle."""
+    toks = words(text_col)
+    k = F.size(toks) - (n - 1)
+    windows = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(k >= 1, windows).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_signature(text_col: Column | str, k: int = N_HASHES) -> Column:
+    """k-permutation MinHash: hash_i(shingle) = xxhash64(i || shingle);
+    signature[i] = min over shingles.  One array expression, JVM-side."""
+    sh = shingles(text_col)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}#"), s))
+                )
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_bands(df: DataFrame, id_col: str, sig_col: str = "sig") -> DataFrame:
+    """Split the signature into bands and hash each band to a bucket key.
+    Output: (id, band_id, band_hash) — one row per band, ready for a
+    groupBy/join on (band_id, band_hash)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.lit(b),
+                    *[
+                        F.element_at(F.col(sig_col), b * ROWS_PER_BAND + r + 1)
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_hash"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return df.select(id_col, F.explode(bands).alias("band")).select(
+        id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+    )
+
+
+def candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+    """Distinct id pairs sharing any band bucket (the LSH candidate set)."""
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+@query("dedup_minhash_lsh_stats")  # rows-only: hash values are engine-specific
+def dedup_minhash_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH bucket statistics: per band, how many buckets,
+    the largest bucket, and the implied candidate-pair count
+    (sum of C(n,2) per bucket).  This is the full 100 TB dedup plan —
+    signature scan, band explode, ONE shuffle on the band key — minus
+    the final Jaccard verify (dedup_ngram_jaccard) over candidates."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", minhash_signature("text").alias("sig"))
+    banded = lsh_bands(sigs, "doc_id")
+    return (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("bucket_size").alias("max_bucket"),
+            F.sum(
+                (F.col("bucket_size") * (F.col("bucket_size") - 1)) / 2
+            ).cast("long").alias("n_candidate_pairs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, weighted by token occurrence)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """Classic SimHash: per bit position, sum +1/-1 over token-hash bits,
+    take the sign.  Near-identical documents land within a small Hamming
+    distance.  Pure aggregate expressions — one pass over the tokens."""
+    hashes = F.transform(words(text_col), lambda t: F.xxhash64(t))
+
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    out = F.lit(0)
+    for b in range(bits):
+        out = out + F.when(bit_sum(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out
+
+
+def hamming16(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 16-bit simhashes (popcount of XOR)."""
+    x = F.col(a) if isinstance(a, str) else a
+    y = F.col(b) if isinstance(b, str) else b
+    xor = x.bitwiseXOR(y)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        F.lit(0),
+        lambda acc, i: acc + F.shiftright(xor, i).bitwiseAND(F.lit(1)),
+    )
+
+
+@query("dedup_simhash_buckets")  # rows-only: hash values are engine-specific
+def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash plus its 4-bit prefix bucket — the blocking
+    key under which near-dup candidates are compared by Hamming distance
+    at scale (prefix blocks ≈ LSH for Hamming space)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        simhash("text").alias("simhash"),
+        F.shiftright(simhash("text"), SIMHASH_BITS - 4).alias("prefix_bucket"),
+    )
