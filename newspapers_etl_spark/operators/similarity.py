@@ -1,0 +1,193 @@
+"""Similarity search over ArrayType(FloatType) embedding columns.
+
+North-star operators (no reference counterpart — the reference's closest
+notion of identity is the md5 content check, reference
+src/01-scrape-images.py:78-83): brute-force cosine top-k as the exact
+baseline, and random-hyperplane LSH bucketing as the 100 TB ANN path.
+
+Scale design:
+- The probe set is always the SMALL side and is broadcast — the corpus
+  never shuffles for the similarity join.
+- All vector math is JVM-side higher-order expressions
+  (``functions/vectors.py``): zip_with/aggregate stay inside codegen,
+  no Python round trip, accumulation in double for cross-engine
+  reproducibility.
+- Top-k per probe is a bounded window (row_number <= k) — with a probe
+  count P and corpus N the shuffle carries P*N skinny rows, and AQE
+  splits skewed probes; for one global top-k Catalyst would plan
+  TakeOrderedAndProject instead.
+- The ANN variant buckets by sign-pattern of dot(v, h_p) over a fixed
+  set of pseudo-random hyperplanes (derived from xxhash64 — no state,
+  no fitted model to ship) and only scores candidates whose bucket
+  matches the probe's, turning O(P*N) scoring into O(P*N/2^bits)
+  expected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.functions.vectors import cosine_similarity, dot
+from newspapers_etl_spark.registry import query
+
+N_PROBES = 5  # probes = vec_id < N_PROBES: deterministic, tiny, broadcastable
+TOP_K = 10
+EMBEDDING_DIM = 64  # fixtures: fixed-dim unit-scale vectors (FIXTURES.md)
+LSH_BITS = 8
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (exact baseline; oracle-checked)
+# ---------------------------------------------------------------------------
+
+# DuckDB's list_cosine_similarity/list_dot_product accumulate in float32
+# (~1e-7 off Spark's double path), so the oracle spells out the same
+# double-precision fold Spark's F.aggregate performs.
+_SQL_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), z -> CAST(z[1] AS DOUBLE)*z[2]))"
+)
+_SQL_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*x)))"
+
+TOPK_ORACLE = f"""
+WITH sims AS (
+  SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+         round(
+           {_SQL_DOT.format(a="p.embedding", b="e.embedding")}
+           / ({_SQL_NORM.format(a="p.embedding")} * {_SQL_NORM.format(a="e.embedding")}),
+           6) AS sim
+  FROM embeddings p JOIN embeddings e ON p.vec_id < {N_PROBES}
+)
+SELECT probe_id, vec_id, sim,
+       CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id)
+            AS INTEGER) AS rnk
+FROM sims
+QUALIFY rnk <= {TOP_K}
+"""
+
+
+@query("sim_topk_bruteforce", oracle=TOPK_ORACLE)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per probe: broadcast the probe set, score the
+    whole corpus once, keep k per probe via a bounded window.  Ranking is
+    on the ROUNDED similarity with vec_id tie-break so the ordering is
+    identical across engines despite float last-ulp drift."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    sims = e.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        F.round(cosine_similarity("probe_vec", "embedding"), 6).alias("sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "vec_id", "sim", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid components (element-wise vector aggregation; oracle)
+# ---------------------------------------------------------------------------
+
+CENTROID_ORACLE = """
+SELECT label, i - 1 AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+GROUP BY label, i
+"""
+
+
+@query("sim_centroid_components", oracle=CENTROID_ORACLE)
+def sim_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, component): posexplode the
+    vector and average per position.  This is the scale-correct way to
+    aggregate embeddings — the shuffle key is (label, pos) so partial
+    aggregation combines map-side and no executor ever holds a whole
+    group's vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN (the 100 TB path; rows-only)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane(p: int) -> Column:
+    """Deterministic pseudo-random hyperplane p as array<double> in
+    [-1, 1): component j = xxhash64("hp", p, j) scaled.  Stateless — any
+    executor regenerates the same planes, nothing is shipped or fitted."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(EMBEDDING_DIM - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.lit("hp"), F.lit(p), j), F.lit(2_000_001))
+            - F.lit(1_000_000)
+        )
+        / F.lit(1_000_000.0),
+    )
+
+
+def lsh_bucket(vec: Column | str, bits: int = LSH_BITS) -> Column:
+    """Sign-pattern bucket id: bit p = [dot(vec, h_p) > 0]."""
+    out = F.lit(0)
+    for p in range(bits):
+        out = out + F.when(dot(vec, _hyperplane(p)) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+@query("sim_ann_lsh_topk")  # rows-only: bucket ids are hash-derived
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: score only corpus vectors in the probe's LSH bucket.
+    One linear scan computes buckets, the candidate join is an equi-join
+    on (bucket) with the probe side broadcast — expected candidate set is
+    N/2^bits per probe, never the full corpus.  Exactness is traded for
+    the 2^bits scan reduction; recall is tested against the brute-force
+    baseline in tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "embedding", lsh_bucket("embedding").alias("bucket"))
+    probes = corpus.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("bucket").alias("probe_bucket"),
+    )
+    cands = corpus.join(
+        F.broadcast(probes), F.col("bucket") == F.col("probe_bucket")
+    ).select(
+        "probe_id",
+        "vec_id",
+        F.round(cosine_similarity("probe_vec", "embedding"), 6).alias("sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "vec_id", "sim", "rnk")
+    )
+
+
+@query("sim_lsh_bucket_stats")  # rows-only: bucket ids are hash-derived
+def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy histogram — the skew diagnostic for the ANN
+    path: bucket count, mean/max occupancy.  At 100 TB this is the query
+    you run before choosing bits (too few → giant buckets → scoring cost
+    creeps back toward brute force)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(lsh_bucket("embedding").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("n_vecs").alias("max_occupancy"),
+            F.round(F.avg("n_vecs"), 4).alias("avg_occupancy"),
+        )
+    )
