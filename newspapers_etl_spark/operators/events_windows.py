@@ -1,0 +1,199 @@
+"""Event-time windowing over the ``events`` stream table (SURVEY.md §2.7
+St5, F16).
+
+The reference's temporal unit is the day partition its workflow loop
+iterates (reference .github/workflows/main.yml:77-95); these queries
+generalize that to proper event-time windows — tumbling, sliding
+(hopping), and session — plus the nested-JSON ``props`` traversal (F16,
+mirroring the manifest JSON access at reference
+src/01-scrape-images.py:332-343).
+
+Batch and streaming share these shapes: the same ``F.window`` /
+``F.session_window`` aggregations run under Structured Streaming with a
+watermark (see ``newspapers_etl_spark/streaming/``); here they execute
+as batch group-bys so the DuckDB oracle can check values exactly.
+
+Scale design:
+- Window grouping shuffles on (window, key) — fully partial-aggregable,
+  so the map side collapses each partition to one row per bucket before
+  the exchange.
+- Sliding windows multiply rows by length/slide (here 2×) BEFORE the
+  partial agg; the expansion never hits the shuffle at full width.
+- Session windows shuffle on the session key (user) once; Spark merges
+  per-key sorted runs, so skew is bounded by the hottest user's event
+  count, and AQE splits oversized partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.registry import query
+
+SESSION_GAP = "3 hours"
+
+# ---------------------------------------------------------------------------
+# Tumbling window (St5): 1-hour buckets per event type
+# ---------------------------------------------------------------------------
+
+TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2)     AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_tumbling_hourly", oracle=TUMBLING_ORACLE)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour count/sum per event type.  `window()` is
+    epoch-aligned, matching DuckDB's time_bucket origin for sub-day
+    intervals."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding / hopping window (St5): 1-hour length, 30-minute slide
+# ---------------------------------------------------------------------------
+
+# Every event falls in exactly 2 windows: starts floor30(ts) and
+# floor30(ts)-30min — both trivially satisfy start <= ts < start+1h,
+# so the oracle needs no range filter.  max(value) is order-independent
+# (exact double compare); sum is rounded to 2 so cross-engine
+# accumulation-order drift (~1e-10) can't straddle a rounding boundary.
+SLIDING_ORACLE = """
+SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2)     AS total_value,
+       max(value)               AS max_value
+FROM events, unnest([0, 1]) AS t(k)
+GROUP BY 1
+"""
+
+
+@query("events_sliding_hourly_30m", oracle=SLIDING_ORACLE)
+def events_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping window: 1-hour windows every 30 minutes.  Spark expands
+    each row into length/slide = 2 window assignments map-side, then
+    partial-aggregates before the shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+            "max_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session window (St5): per-user activity sessions, 3-hour inactivity gap
+# ---------------------------------------------------------------------------
+
+# Gaps-and-islands reformulation: a session break is a >gap jump from the
+# previous event (or the first event); session id = running break count;
+# session end = last event + gap (Spark's session_window end semantics).
+SESSION_ORACLE = f"""
+WITH deltas AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM deltas
+)
+SELECT user_id,
+       min(ts)                            AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP}   AS session_end,
+       CAST(count(*) AS BIGINT)           AS n_events,
+       round(sum(value), 2)               AS total_value
+FROM sessions
+GROUP BY user_id, sess_id
+"""
+
+
+@query("events_session_windows", oracle=SESSION_ORACLE)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a {gap} inactivity gap — the
+    native `session_window` operator; the oracle rebuilds it as
+    gaps-and-islands to prove the merge semantics match."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested-JSON props traversal (F16)
+# ---------------------------------------------------------------------------
+
+PROPS_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                         AS n_events,
+       CAST(sum(CASE WHEN CAST(props->>'$.k' AS INTEGER) > 50
+                     THEN 1 ELSE 0 END) AS BIGINT)      AS n_high_k,
+       round(avg(CAST(props->>'$.k' AS INTEGER)), 4)    AS avg_k,
+       CAST(max(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("events_props_json_stats", oracle=PROPS_ORACLE)
+def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`from_json` with a DECLARED schema over the props column (never
+    schema inference — at 100 TB that is a full extra pass), then plain
+    aggregation on the extracted field.  Mirrors the reference's typed
+    access into manifest JSON (src/01-scrape-images.py:332-343)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_high_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
