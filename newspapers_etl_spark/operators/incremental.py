@@ -1,0 +1,211 @@
+"""Incremental execution ops: start / continue / retry-failed / verify
+(SURVEY.md §2.7 St1-St4).
+
+The reference's operational model is a day-partitioned micro-batch loop
+(reference .github/workflows/main.yml:77-95) with four declared
+operations (main.yml:14-23): full run, continue (skip processed),
+retry-failed (replay gaps), verify (completeness audit), driven by
+skip-if-exists idempotency (src/01-scrape-images.py:357-359,462-465).
+
+Here each op is a declarative plan over the ``events`` stream table,
+with the day partition as the micro-batch unit:
+
+- *continue*  = anti-join the day list against the processed log (J1) —
+  only unprocessed partitions are ever scanned further.
+- *verify*    = per-partition expected-vs-delivered accounting (A1's
+  success_count == total pattern, src/01-scrape-images.py:456-477).
+- *retry*     = re-emit full rows for exactly the incomplete partitions
+  (a broadcast semi-join against the audit result).
+
+The "delivered" side is a deterministic simulation (2% of event_ids are
+dropped) so the DuckDB oracle can check every op end-to-end; the real
+sink-backed equivalent (read the target, anti-join, append) is
+``incremental_append`` below, exercised by the idempotency test in
+tests/test_incremental.py.
+
+Scale design: all three ops reduce events to per-DAY rows before any
+join — the join inputs are ~30 rows per month, broadcast-joined, so the
+gating itself never shuffles the fact table; the retry op's row-level
+scan is pruned to failed partitions by the pushed-down day predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.registry import query
+
+# Deterministic simulated state, shared by Spark and oracle:
+# - processed log: the first PROCESSED_THROUGH days are already done
+# - delivery loss: event_ids divisible by LOSS_MOD never arrived
+PROCESSED_THROUGH = "2024-01-10"
+LOSS_MOD = 50
+
+# ---------------------------------------------------------------------------
+# continue: unprocessed day partitions only
+# ---------------------------------------------------------------------------
+
+CONTINUE_ORACLE = f"""
+WITH days AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+processed AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events WHERE ts < TIMESTAMP '{PROCESSED_THROUGH} 00:00:00'
+)
+SELECT d.day, d.n_events
+FROM days d ANTI JOIN processed p ON d.day = p.day
+"""
+
+
+@query("incr_continue_unprocessed_days", oracle=CONTINUE_ORACLE)
+def incr_continue_unprocessed_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The *continue-scraping* op: day partitions not in the processed
+    log, with their pending row counts.  Both sides aggregate to one row
+    per day BEFORE the anti-join, so the gate compares day lists (~30
+    rows), not facts; the small processed side is broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    processed = (
+        e.filter(F.col("ts") < F.lit(PROCESSED_THROUGH).cast("timestamp"))
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    return days.join(F.broadcast(processed), "day", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# verify: per-partition completeness audit
+# ---------------------------------------------------------------------------
+
+VERIFY_ORACLE = f"""
+WITH expected AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_expected
+  FROM events GROUP BY 1
+),
+delivered AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_delivered
+  FROM events WHERE event_id % {LOSS_MOD} != 0 GROUP BY 1
+)
+SELECT e.day,
+       e.n_expected,
+       coalesce(d.n_delivered, 0) AS n_delivered,
+       e.n_expected - coalesce(d.n_delivered, 0) AS n_missing,
+       CASE WHEN e.n_expected = coalesce(d.n_delivered, 0)
+            THEN 'complete' ELSE 'incomplete' END AS status
+FROM expected e LEFT JOIN delivered d ON e.day = d.day
+"""
+
+
+@query("incr_verify_day_completeness", oracle=VERIFY_ORACLE)
+def incr_verify_day_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The *verify-month* op (declared but unimplemented in the
+    reference, main.yml:23): expected-vs-delivered counts per day
+    partition with an all-success status — A1's accounting as an audit
+    query.  Aggregate-before-join: each side is one row per day."""
+    e = load_table(spark, sf_dir, "events")
+    expected = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_expected")
+    )
+    delivered = (
+        e.filter(F.pmod("event_id", F.lit(LOSS_MOD)) != 0)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_delivered"))
+    )
+    joined = expected.join(delivered, "day", "left_outer")
+    n_delivered = F.coalesce("n_delivered", F.lit(0))
+    return joined.select(
+        "day",
+        "n_expected",
+        n_delivered.alias("n_delivered"),
+        (F.col("n_expected") - n_delivered).alias("n_missing"),
+        F.when(F.col("n_expected") == n_delivered, "complete")
+        .otherwise("incomplete")
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retry-failed: replay rows of incomplete partitions
+# ---------------------------------------------------------------------------
+
+RETRY_ORACLE = f"""
+WITH incomplete AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events GROUP BY 1
+  HAVING count(*) FILTER (WHERE event_id % {LOSS_MOD} != 0) < count(*)
+)
+SELECT ev.event_id, ev.ts, ev.user_id, ev.event_type, ev.value
+FROM events ev SEMI JOIN incomplete i
+  ON CAST(date_trunc('day', ev.ts) AS DATE) = i.day
+"""
+
+
+@query("incr_retry_failed_partitions", oracle=RETRY_ORACLE)
+def incr_retry_failed_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The *retry-failed* op: full rows for exactly the day partitions
+    the audit flags incomplete — partition-grain replay, the reference's
+    failure isolation unit (one day per process, main.yml:77-95).  The
+    incomplete-day list is tiny and broadcast; at 100 TB the semi-join
+    predicate doubles as a dynamic partition-pruning filter on a
+    day-partitioned source."""
+    e = load_table(spark, sf_dir, "events")
+    incomplete = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_expected"),
+            F.count(F.when(F.pmod("event_id", F.lit(LOSS_MOD)) != 0, 1)).alias(
+                "n_delivered"
+            ),
+        )
+        .filter(F.col("n_delivered") < F.col("n_expected"))
+        .select("day")
+    )
+    return (
+        e.withColumn("day", F.to_date("ts"))
+        .join(F.broadcast(incomplete), "day", "left_semi")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Idempotent incremental append (the real sink-backed continue op)
+# ---------------------------------------------------------------------------
+
+
+def incremental_append(
+    spark: SparkSession,
+    src: DataFrame,
+    target_dir: str,
+    key_cols: list[str],
+) -> int:
+    """Append to a parquet target exactly the src rows whose keys are not
+    already present (exactly-once effect via anti-join, the Spark
+    translation of skip-if-exists at src/01-scrape-images.py:357-359).
+    Returns the number of rows appended.  Re-running with the same src is
+    a no-op — verified by tests/test_incremental.py.
+
+    At scale the existing-keys side is a key-only projection (column
+    pruning reaches the parquet scan) and the anti-join shuffles keys,
+    not payloads; for a day-partitioned target, read only the partitions
+    overlapping src's key range instead of the whole catalog."""
+    try:
+        existing = spark.read.parquet(target_dir).select(*key_cols)
+        fresh = src.join(existing, key_cols, "left_anti")
+    except Exception:  # target does not exist yet: first run writes all
+        fresh = src
+    # Two actions (count + write) are fine here: fresh is cheap to
+    # recompute and counting after the write would race with readers.
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(target_dir)
+    return n
