@@ -1,0 +1,57 @@
+"""Multimodal plumbing tests: the real binaryFile DataSource (S3) and
+the mapInPandas decode stub's schema/batch contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from newspapers_etl_spark.operators.multimodal import (
+    DECODE_SCHEMA,
+    decode_image_batches,
+)
+
+
+def test_binaryfile_source_reads_content_and_metadata(spark, tmp_path):
+    """spark.read.format('binaryFile') — the Spark-native replacement for
+    the reference's chunked HTTP fetch (src/01-scrape-images.py:353-385):
+    path/length/content columns, md5 computable over content (S4)."""
+    payloads = {f"bib{i}_page.jp2": bytes([i]) * (100 + i) for i in range(5)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jp2")
+        .load(str(tmp_path))
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("filename"),
+            "length",
+            F.md5("content").alias("content_md5"),
+        )
+    )
+    rows = {r.filename: r for r in df.collect()}
+    assert set(rows) == set(payloads)
+    for name, data in payloads.items():
+        assert rows[name].length == len(data)
+        assert rows[name].content_md5 == hashlib.md5(data).hexdigest()
+
+
+def test_decode_stub_schema_and_determinism(spark, sf_dir):
+    """The stubbed decode keeps a real contract: output matches
+    DECODE_SCHEMA exactly, one output row per input row, deterministic
+    across runs (so retries/speculative tasks agree)."""
+    from newspapers_etl_spark.catalog import load_table
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    )
+    out1 = d.mapInPandas(decode_image_batches, DECODE_SCHEMA)
+    assert out1.schema == DECODE_SCHEMA
+    r1 = sorted(out1.collect())
+    r2 = sorted(d.mapInPandas(decode_image_batches, DECODE_SCHEMA).collect())
+    assert r1 == r2
+    assert len(r1) == d.count()
+    assert all(r.decode_ok for r in r1)
