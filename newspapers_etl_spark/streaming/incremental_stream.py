@@ -1,0 +1,204 @@
+"""Structured Streaming layer (SURVEY.md §2.7 St1-St5).
+
+The reference's incremental machinery — one micro-batch per day
+partition (reference .github/workflows/main.yml:77-95), checkpoint state
+(scraper_state.json, main.yml:70-74), idempotent re-delivery via
+skip-if-exists (src/01-scrape-images.py:357-359,462-465) — maps onto
+Structured Streaming natively:
+
+- St1 micro-batching: a file source with ``maxFilesPerTrigger`` (or
+  ``Trigger.AvailableNow`` for bounded catch-up runs, the direct
+  equivalent of the day loop's "process what exists, then stop").
+- St2 checkpoint state: ``checkpointLocation`` — offsets + operator
+  state, resumable across processes, replacing scraper_state.json.
+- St3 resume/replay: restart with the same checkpoint processes ONLY
+  unseen input files (verified by tests/test_streaming.py).
+- St4 idempotent delivery: ``dropDuplicatesWithinWatermark`` on the
+  event key, plus ``foreachBatch`` writing through the anti-join append
+  sink (operators/incremental.py:incremental_append).
+- St5 watermarked event-time windows: the same window shapes as the
+  batch queries in operators/events_windows.py — one definition, two
+  execution modes.
+
+Scale design: the streaming aggregations below shuffle on (window, key)
+with partial aggregation per micro-batch; state store size is bounded by
+the watermark horizon, and the file source never lists more than the
+trigger's file cap per batch.  The registered queries execute the REAL
+streaming engine (AvailableNow → memory sink) so the DuckDB oracle
+checks actual micro-batch output, not a batch re-phrasing.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import DataStreamReader
+
+from newspapers_etl_spark.catalog import table_path
+from newspapers_etl_spark.registry import query
+
+# Declared source schema (FIXTURES.md) — streaming file sources must
+# never infer (inference re-lists and re-reads the directory).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+# The driver fixtures store ts as TIMESTAMP(NANOS), which Spark's reader
+# rejects as TimestampType; mirror catalog.load_table: declare the column
+# as raw nanos and floor-divide to microseconds (same truncation DuckDB
+# applies, so oracle comparisons line up).
+EVENTS_SCHEMA_NANOS = T.StructType(
+    [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENTS_SCHEMA]
+)
+
+# Late-data horizon.  The fixture is a bounded replay (ts spans one
+# month), so a generous watermark keeps every window open for the whole
+# catch-up run while still exercising the watermark code path; a live
+# deployment would use the actual lateness SLA (e.g. "1 hour").
+WATERMARK = "35 days"
+
+
+def read_events_stream(
+    spark: SparkSession,
+    src_dir: str,
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+    nanos: bool = False,
+) -> DataFrame:
+    """File-source stream over a directory of events-shaped parquet
+    (optionally narrowed by a ``pathGlobFilter`` — the streaming source
+    requires a directory, so single-file fixtures are selected by glob).
+    With ``max_files_per_trigger`` set, each micro-batch consumes at most
+    that many files — the day-loop pacing knob (main.yml:94) done by the
+    engine instead of `sleep 5`.  ``nanos=True`` reads driver fixtures
+    whose ts is parquet TIMESTAMP(NANOS)."""
+    schema = EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader: DataStreamReader = spark.readStream.schema(schema)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    out = reader.parquet(src_dir)
+    if nanos:
+        out = out.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return out
+
+
+def tumbling_counts(stream: DataFrame) -> DataFrame:
+    """St5: watermarked 1-hour tumbling count/sum per event type —
+    identical shape to the batch events_tumbling_hourly."""
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def deduped_stream(stream: DataFrame) -> DataFrame:
+    """St4: exactly-once effect under at-least-once delivery —
+    watermark-bounded dedup on the event key (state is dropped once
+    event-time passes the horizon, so the store stays bounded)."""
+    return stream.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(
+    df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str
+) -> DataFrame:
+    """Execute a streaming plan to completion over all currently
+    available input (Trigger.AvailableNow — the reference's 'catch up,
+    then stop' month run), land it in a memory sink, and return the
+    result as a DataFrame.  The checkpoint makes re-runs incremental."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# Registered queries: the real streaming engine, oracle-checked
+# ---------------------------------------------------------------------------
+
+STREAM_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2)     AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("stream_tumbling_hourly", oracle=STREAM_TUMBLING_ORACLE)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked tumbling aggregation executed BY THE STREAMING
+    ENGINE (AvailableNow over the events parquet, complete-mode memory
+    sink).  Matching the batch oracle proves micro-batch execution
+    converges to the batch answer on bounded input."""
+    stream = read_events_stream(spark, sf_dir, glob="events.parquet", nanos=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_tumbling_")
+    return run_available_now(
+        tumbling_counts(stream), "stream_tumbling_hourly_sink", ckpt, "complete"
+    )
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2)     AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("stream_dedup_within_watermark", oracle=STREAM_DEDUP_ORACLE)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over the event stream, then a
+    per-type count of survivors.  The fixture has unique event_ids, so
+    the oracle's count == count(distinct) per type is exactly what the
+    dedup must preserve (no drops, no double-delivery); the duplicate-
+    collapsing path is exercised with planted dupes in
+    tests/test_streaming.py."""
+    stream = read_events_stream(spark, sf_dir, glob="events.parquet", nanos=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dedup_")
+    deduped = deduped_stream(stream)
+    # No distinct aggregates on streams; count+sum over the deduped rows
+    # equals the oracle's per-type totals iff dedup dropped nothing it
+    # shouldn't (fixture ids are unique) and nothing twice.
+    counted = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    # Aggregation after dropDuplicatesWithinWatermark needs its own
+    # watermark context; complete mode emits the converged totals.
+    return run_available_now(
+        counted, "stream_dedup_sink", ckpt, "complete"
+    )

@@ -1,0 +1,114 @@
+"""Structured Streaming behavior tests (SURVEY.md §2.7): checkpoint
+resume processes only unseen files (St2/St3), watermark dedup collapses
+planted duplicates across micro-batches (St4), and maxFilesPerTrigger
+paces micro-batches (St1)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.operators.incremental import incremental_append
+from newspapers_etl_spark.streaming.incremental_stream import (
+    deduped_stream,
+    read_events_stream,
+)
+
+
+def _write_events_file(spark, sf_dir, path, lo, hi):
+    """One standalone parquet file of events rows lo <= id < hi (µs ts)."""
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .filter(f"event_id >= {lo} AND event_id < {hi}")
+        .toPandas()
+    )
+    # µs precision: pandas defaults to ns, which Spark's reader rejects.
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(pdf), path)
+    return len(pdf)
+
+
+def _run_foreach_batch(stream, target, checkpoint, batches_seen):
+    """availableNow run landing each micro-batch through the idempotent
+    anti-join append sink (St4's exactly-once effect over an
+    at-least-once channel)."""
+
+    def sink(batch_df, batch_id):
+        n = incremental_append(
+            batch_df.sparkSession, batch_df, target, ["event_id"]
+        )
+        batches_seen.append((batch_id, n))
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    n1 = _write_events_file(spark, sf_dir, src / "day1.parquet", 0, 300)
+    seen: list[tuple[int, int]] = []
+    _run_foreach_batch(read_events_stream(spark, str(src)), target, ckpt, seen)
+    assert sum(n for _, n in seen) == n1
+    assert spark.read.parquet(target).count() == n1
+
+    # New file arrives; SAME checkpoint → only the new file is read.
+    n2 = _write_events_file(spark, sf_dir, src / "day2.parquet", 300, 500)
+    seen.clear()
+    _run_foreach_batch(read_events_stream(spark, str(src)), target, ckpt, seen)
+    assert sum(n for _, n in seen) == n2, "resume re-read already-seen input"
+    got = spark.read.parquet(target)
+    assert got.count() == n1 + n2
+    assert got.select("event_id").distinct().count() == n1 + n2
+
+
+def test_dedup_collapses_duplicates_across_micro_batches(spark, sf_dir, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    # Same 200 rows delivered twice (two files → two micro-batches with
+    # maxFilesPerTrigger=1): at-least-once delivery simulation.
+    n = _write_events_file(spark, sf_dir, src / "a.parquet", 0, 200)
+    _write_events_file(spark, sf_dir, src / "a_redelivered.parquet", 0, 200)
+
+    stream = deduped_stream(
+        read_events_stream(spark, str(src), max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_test_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("dedup_test_sink")
+    assert out.count() == n
+    assert out.select("event_id").distinct().count() == n
+
+
+def test_max_files_per_trigger_paces_micro_batches(spark, sf_dir, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        _write_events_file(
+            spark, sf_dir, src / f"f{i}.parquet", i * 100, (i + 1) * 100
+        )
+    seen: list[tuple[int, int]] = []
+    _run_foreach_batch(
+        read_events_stream(spark, str(src), max_files_per_trigger=1),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        seen,
+    )
+    assert len(seen) == 3, f"expected 3 micro-batches, saw {seen}"
+    assert [n for _, n in seen] == [100, 100, 100]
