@@ -35,59 +35,11 @@ from pyspark.sql import types as T
 from newspapers_etl_spark.catalog import load_table
 from newspapers_etl_spark.functions.extraction import mime_for_filename
 from newspapers_etl_spark.registry import query
+from newspapers_etl_spark.sources.manifest import flatten_manifests
 
 # ---------------------------------------------------------------------------
 # S2: nested-JSON manifest flatten (4-level items → body.id)
 # ---------------------------------------------------------------------------
-
-# IIIF-shaped manifest schema: manifest.items[] (canvases) → items[]
-# (annotation pages) → items[] (annotations) → body.id.  Declared, never
-# inferred — mirrors manifest_data['items'][...]['body']['id'] at
-# src/01-scrape-images.py:332-343.
-MANIFEST_SCHEMA = T.StructType(
-    [
-        T.StructField("id", T.StringType()),
-        T.StructField(
-            "items",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("id", T.StringType()),
-                        T.StructField(
-                            "items",
-                            T.ArrayType(
-                                T.StructType(
-                                    [
-                                        T.StructField(
-                                            "items",
-                                            T.ArrayType(
-                                                T.StructType(
-                                                    [
-                                                        T.StructField(
-                                                            "body",
-                                                            T.StructType(
-                                                                [
-                                                                    T.StructField(
-                                                                        "id",
-                                                                        T.StringType(),
-                                                                    )
-                                                                ]
-                                                            ),
-                                                        )
-                                                    ]
-                                                )
-                                            ),
-                                        )
-                                    ]
-                                )
-                            ),
-                        ),
-                    ]
-                )
-            ),
-        ),
-    ]
-)
 
 MANIFEST_FLATTEN_ORACLE = """
 SELECT o.o_orderkey AS manifest_key,
@@ -150,19 +102,9 @@ def mm_manifest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("manifest_json"),
         )
     )
-    # --- the actual S2 operator: parse + 3 chained explodes + body.id
-    parsed = manifests.select(
-        F.col("o_orderkey").alias("manifest_key"),
-        F.from_json("manifest_json", MANIFEST_SCHEMA).alias("m"),
-    )
-    return (
-        parsed.select("manifest_key", F.explode("m.items").alias("canvas"))
-        .select("manifest_key", F.col("canvas.id").alias("canvas_id"),
-                F.explode("canvas.items").alias("page"))
-        .select("manifest_key", "canvas_id", F.explode("page.items").alias("ann"))
-        .select("manifest_key", "canvas_id", F.col("ann.body.id").alias("jp2_url"))
-        .filter(F.col("jp2_url").endswith(".jp2"))
-    )
+    # --- the actual S2 operator (sources/manifest.py): parse + 3 chained
+    # explodes + body.id projection + .jp2 suffix filter
+    return flatten_manifests(manifests, "o_orderkey", "manifest_json")
 
 
 # ---------------------------------------------------------------------------

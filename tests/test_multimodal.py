@@ -17,24 +17,24 @@ def test_binaryfile_source_reads_content_and_metadata(spark, tmp_path):
     """spark.read.format('binaryFile') — the Spark-native replacement for
     the reference's chunked HTTP fetch (src/01-scrape-images.py:353-385):
     path/length/content columns, md5 computable over content (S4)."""
+    from newspapers_etl_spark.sources.binary import (
+        read_binary_files,
+        with_binary_metadata,
+    )
+
     payloads = {f"bib{i}_page.jp2": bytes([i]) * (100 + i) for i in range(5)}
     for name, data in payloads.items():
         (tmp_path / name).write_bytes(data)
-    df = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.jp2")
-        .load(str(tmp_path))
-        .select(
-            F.element_at(F.split("path", "/"), -1).alias("filename"),
-            "length",
-            F.md5("content").alias("content_md5"),
-        )
+    (tmp_path / "ignored.txt").write_bytes(b"not an image")
+    df = with_binary_metadata(
+        read_binary_files(spark, str(tmp_path), glob="*.jp2")
     )
     rows = {r.filename: r for r in df.collect()}
-    assert set(rows) == set(payloads)
+    assert set(rows) == set(payloads), "glob filter leaked non-matching files"
     for name, data in payloads.items():
-        assert rows[name].length == len(data)
+        assert rows[name].n_bytes == len(data)
         assert rows[name].content_md5 == hashlib.md5(data).hexdigest()
+        assert bytes(rows[name].content) == data
 
 
 def test_decode_stub_schema_and_determinism(spark, sf_dir):
