@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
 from newspapers_etl_spark.functions.text import doc_fingerprint, words
+from newspapers_etl_spark.functions.vectors import cosine_similarity
 from newspapers_etl_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -217,6 +218,62 @@ def dedup_minhash_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("bucket_size") * (F.col("bucket_size") - 1)) / 2
             ).cast("long").alias("n_candidate_pairs"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (blocked pair scan)
+# ---------------------------------------------------------------------------
+
+NEARDUP_COS_THRESHOLD = 0.30
+
+# Double-precision fold on the oracle side (DuckDB's list_cosine_similarity
+# accumulates in float32, ~1e-7 off Spark's double path).
+_ORACLE_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), z -> CAST(z[1] AS DOUBLE)*z[2]))"
+)
+_ORACLE_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*x)))"
+
+EMBED_NEARDUP_ORACLE = f"""
+SELECT * FROM (
+  SELECT a.label,
+         a.vec_id AS id_a,
+         b.vec_id AS id_b,
+         round(
+           {_ORACLE_DOT.format(a="a.embedding", b="b.embedding")}
+           / ({_ORACLE_NORM.format(a="a.embedding")} * {_ORACLE_NORM.format(a="b.embedding")}),
+           6) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cos_sim >= {NEARDUP_COS_THRESHOLD}
+"""
+
+
+@query("dedup_embedding_neardup", oracle=EMBED_NEARDUP_ORACLE)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs WITHIN a blocking key
+    (label) — the semantic-dedup verify stage: candidate pairs come from
+    a blocked equi-join (at 100 TB the block key is the LSH bucket from
+    similarity.lsh_bucket, bounding fan-out), each pair scored once with
+    the JVM-side cosine, thresholded.  Never an all-pairs cross join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEARDUP_COS_THRESHOLD)
     )
 
 
