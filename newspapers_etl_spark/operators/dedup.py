@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
 from newspapers_etl_spark.functions.text import doc_fingerprint, words
-from newspapers_etl_spark.functions.vectors import cosine_similarity
+from newspapers_etl_spark.functions.vectors import dot, l2_norm
 from newspapers_etl_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -94,21 +94,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is blocked on source so pair count is sum of per-block C(n,2), never
     the global cross product; at 100 TB the block key is the LSH bucket."""
     d = load_table(spark, sf_dir, "documents")
+    # Token-set size is precomputed per ROW; per pair only the intersect
+    # runs and |A∪B| comes from inclusion-exclusion (|A|+|B|-|A∩B|) —
+    # materializing array_union per pair doubled pair cost for a number
+    # already determined by the intersection.
     toks = d.select(
         "doc_id", "source", F.array_distinct(words("text")).alias("ts")
-    )
+    ).withColumn("n", F.size("ts"))
     a = toks.alias("a")
     b = toks.alias("b")
+    inter = F.size(F.array_intersect("a.ts", "b.ts"))
     pairs = a.join(
         b,
         (F.col("a.source") == F.col("b.source"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.source").alias("source"),
-        (
-            F.size(F.array_intersect("a.ts", "b.ts")).cast("double")
-            / F.size(F.array_union("a.ts", "b.ts"))
-        ).alias("j"),
+        (inter.cast("double") / (F.col("a.n") + F.col("b.n") - inter)).alias("j"),
     )
     return pairs.groupBy("source").agg(
         F.count("*").alias("n_pairs"),
@@ -139,19 +141,32 @@ def shingles(text_col: Column | str, n: int = SHINGLE_SIZE) -> Column:
     return F.when(k >= 1, windows).otherwise(F.array(F.array_join(toks, " ")))
 
 
-def minhash_signature(text_col: Column | str, k: int = N_HASHES) -> Column:
+_LONG_MAX = (1 << 63) - 1
+
+
+def minhash_signature(shingle_col: Column | str, k: int = N_HASHES) -> Column:
     """k-permutation MinHash: hash_i(shingle) = xxhash64(i || shingle);
-    signature[i] = min over shingles.  One array expression, JVM-side."""
-    sh = shingles(text_col)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    sh, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}#"), s))
-                )
-            )
-            for i in range(k)
-        ]
+    signature[i] = min over shingles.
+
+    ONE fold over the shingle array computes all k mins: the accumulator
+    is the k-wide signature, merged per shingle with zip_with/least.
+    (The naive form — k separate array_min(transform(...)) projections —
+    re-evaluates the shingle-construction subtree k times; Catalyst does
+    not CSE it, which measured 8× slower at sf0.1.)  Callers must pass an
+    already-materialized shingle COLUMN, not the raw text, for the same
+    reason."""
+    col = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    zero = F.array(*[F.lit(_LONG_MAX).cast("long")] * k)
+    return F.aggregate(
+        col,
+        zero,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(
+                *[F.xxhash64(F.concat(F.lit(f"{i}#"), s)) for i in range(k)]
+            ),
+            lambda x, y: F.least(x, y),
+        ),
     )
 
 
@@ -205,7 +220,9 @@ def dedup_minhash_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature scan, band explode, ONE shuffle on the band key — minus
     the final Jaccard verify (dedup_ngram_jaccard) over candidates."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", minhash_signature("text").alias("sig"))
+    sigs = d.select("doc_id", shingles("text").alias("sh")).select(
+        "doc_id", minhash_signature("sh").alias("sig")
+    )
     banded = lsh_bands(sigs, "doc_id")
     return (
         banded.groupBy("band_id", "band_hash")
@@ -255,10 +272,19 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label) — the semantic-dedup verify stage: candidate pairs come from
     a blocked equi-join (at 100 TB the block key is the LSH bucket from
     similarity.lsh_bucket, bounding fan-out), each pair scored once with
-    the JVM-side cosine, thresholded.  Never an all-pairs cross join."""
+    the JVM-side cosine, thresholded.  Never an all-pairs cross join.
+
+    Norms are computed ONCE per row before the join (O(n) per vector),
+    so the per-pair cost is a single dot fold — inlining
+    cosine_similarity in the pair projection would redo both norms per
+    pair.  dot/(na*nb) is arithmetically identical to the oracle's
+    inline form, so rounding stays aligned."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
+    withnorm = e.select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    a = withnorm.alias("a")
+    b = withnorm.alias("b")
     return (
         a.join(
             b,
@@ -270,7 +296,9 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             F.round(
-                cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= NEARDUP_COS_THRESHOLD)

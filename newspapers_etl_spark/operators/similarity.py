@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
-from newspapers_etl_spark.functions.vectors import cosine_similarity, dot
+from newspapers_etl_spark.functions.vectors import dot, l2_norm
 from newspapers_etl_spark.registry import query
 
 N_PROBES = 5  # probes = vec_id < N_PROBES: deterministic, tiny, broadcastable
@@ -71,15 +71,26 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k per probe: broadcast the probe set, score the
     whole corpus once, keep k per probe via a bounded window.  Ranking is
     on the ROUNDED similarity with vec_id tie-break so the ordering is
-    identical across engines despite float last-ulp drift."""
+    identical across engines despite float last-ulp drift.
+
+    Norms are computed once per corpus row (and once per probe) BEFORE
+    the scoring join; per (probe, corpus) pair only the dot fold runs.
+    dot/(na*nb) matches the oracle's inline arithmetic exactly."""
     e = load_table(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    corpus = e.select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
     )
-    sims = e.crossJoin(F.broadcast(probes)).select(
+    probes = corpus.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("nrm").alias("probe_nrm"),
+    )
+    sims = corpus.crossJoin(F.broadcast(probes)).select(
         "probe_id",
         "vec_id",
-        F.round(cosine_similarity("probe_vec", "embedding"), 6).alias("sim"),
+        F.round(
+            dot("probe_vec", "embedding") / (F.col("probe_nrm") * F.col("nrm")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -153,18 +164,26 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 2^bits scan reduction; recall is tested against the brute-force
     baseline in tests/test_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings")
-    corpus = e.select("vec_id", "embedding", lsh_bucket("embedding").alias("bucket"))
+    corpus = e.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket("embedding").alias("bucket"),
+        l2_norm("embedding").alias("nrm"),
+    )
     probes = corpus.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_vec"),
         F.col("bucket").alias("probe_bucket"),
+        F.col("nrm").alias("probe_nrm"),
     )
     cands = corpus.join(
         F.broadcast(probes), F.col("bucket") == F.col("probe_bucket")
     ).select(
         "probe_id",
         "vec_id",
-        F.round(cosine_similarity("probe_vec", "embedding"), 6).alias("sim"),
+        F.round(
+            dot("probe_vec", "embedding") / (F.col("probe_nrm") * F.col("nrm")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
