@@ -77,6 +77,8 @@ def lang_score(col: Column | str, lang: str) -> Column:
 def doc_fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5 over the sorted distinct token set.
     Word-order-insensitive, so near-identical shuffled documents collide —
-    the cheap exact-ish dedup key."""
-    canon = F.array_join(F.array_sort(F.array_distinct(words(col))), " ")
-    return F.md5(canon)
+    the cheap exact-ish dedup key.  Empty tokens (split artifacts from
+    leading/trailing whitespace) are dropped so ' b' and 'b' fingerprint
+    identically — found by tests/test_properties.py."""
+    toks = F.filter(F.array_distinct(words(col)), lambda w: w != "")
+    return F.md5(F.array_join(F.array_sort(toks), " "))

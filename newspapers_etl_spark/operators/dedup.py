@@ -34,7 +34,7 @@ from newspapers_etl_spark.registry import query
 EXACT_DEDUP_ORACLE = """
 WITH fp AS (
   SELECT doc_id,
-         md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\\s+'))), ' '))
+         md5(array_to_string(list_sort(list_filter(list_distinct(string_split_regex(text, '\\s+')), x -> x != '')), ' '))
            AS fingerprint
   FROM documents
 )

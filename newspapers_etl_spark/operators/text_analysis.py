@@ -153,7 +153,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FINGERPRINT_ORACLE = """
 SELECT doc_id,
-       md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\\s+'))), ' '))
+       md5(array_to_string(list_sort(list_filter(list_distinct(string_split_regex(text, '\\s+')), x -> x != '')), ' '))
          AS fingerprint,
        list_min(list_transform(list_distinct(string_split_regex(text, '\\s+')),
                                t -> md5(t))) AS min_token_hash

@@ -1,0 +1,84 @@
+"""Property-based checks (SURVEY.md §5.2 item 4) via hypothesis:
+algebraic identities that must hold for ANY input, not just the
+fixtures.  Examples are kept small (Spark job per example) and the
+deadline is disabled — JVM latency is not a property failure."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.lists(st.integers(min_value=-50, max_value=50), min_size=0, max_size=40)
+
+
+@given(xs=keys)
+@settings(**SETTINGS)
+def test_distinct_is_idempotent(spark, xs):
+    df = spark.createDataFrame([(x,) for x in xs], "k int")
+    once = df.distinct()
+    assert sorted(r.k for r in once.distinct().collect()) == sorted(
+        r.k for r in once.collect()
+    )
+    assert once.count() == len(set(xs))
+
+
+@given(a=keys, b=keys)
+@settings(**SETTINGS)
+def test_anti_join_complement_identity(spark, a, b):
+    """|A ▷ B| = |A| − |A ⋉ B| row-for-row (semi and anti partition A)."""
+    da = spark.createDataFrame([(x,) for x in a], "k int")
+    db = spark.createDataFrame([(x,) for x in b], "k int")
+    anti = da.join(db, "k", "left_anti").count()
+    semi = da.join(db, "k", "left_semi").count()
+    assert anti == da.count() - semi
+    # and the anti side really contains no B keys
+    assert anti == len([x for x in a if x not in set(b)])
+
+
+@given(
+    days=st.lists(
+        st.integers(min_value=0, max_value=365 * 50), min_size=1, max_size=30
+    )
+)
+@settings(**SETTINGS)
+def test_date_format_roundtrip(spark, days):
+    """to_date(date_format(d)) == d — the reference's YYYY-MM-DD string
+    normalization (src/01-scrape-images.py:418,483-485) is lossless."""
+    df = spark.createDataFrame([(d,) for d in days], "off int").select(
+        F.date_add(F.to_date(F.lit("2000-01-01")), F.col("off")).alias("d")
+    )
+    out = df.select(
+        "d", F.to_date(F.date_format("d", "yyyy-MM-dd")).alias("rt")
+    ).collect()
+    assert all(r.d == r.rt for r in out)
+
+
+@given(xs=st.lists(st.text(alphabet="ab ", max_size=12), min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_exact_dedup_fingerprint_is_order_insensitive(spark, xs):
+    """doc_fingerprint treats a document as a token SET: any permutation
+    of the same tokens fingerprints identically, different token sets
+    don't collide (md5 over canonical form)."""
+    from newspapers_etl_spark.functions.text import doc_fingerprint
+
+    rows = [(i, t) for i, t in enumerate(xs)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: r.fp
+        for r in df.select("id", doc_fingerprint("text").alias("fp")).collect()
+    }
+    canon = {i: frozenset(t.split()) for i, t in rows}
+    for i in got:
+        for j in got:
+            if canon[i] == canon[j]:
+                assert got[i] == got[j], f"same token set, different fp: {i},{j}"
+            else:
+                assert got[i] != got[j], f"collision: {xs[i]!r} vs {xs[j]!r}"
