@@ -209,3 +209,79 @@ def incremental_append(
     if n:
         fresh.write.mode("append").parquet(target_dir)
     return n
+
+
+# ---------------------------------------------------------------------------
+# Operation dispatcher: the reference's four declared workflow ops
+# ---------------------------------------------------------------------------
+
+
+def audit_against_target(
+    spark: SparkSession, src: DataFrame, target_dir: str, ts_col: str = "ts"
+) -> DataFrame:
+    """Per-day expected (src) vs actual (target) accounting — the
+    verify op against a REAL sink (the simulated-loss variant above is
+    the oracle-checkable query)."""
+    expected = src.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.count("*").alias("n_expected")
+    )
+    try:
+        tgt = spark.read.parquet(target_dir)
+        actual = tgt.groupBy(F.to_date(ts_col).alias("day")).agg(
+            F.count("*").alias("n_actual")
+        )
+    except Exception:  # no target yet: everything is missing
+        actual = expected.select("day", F.lit(0).cast("long").alias("n_actual")).limit(0)
+    joined = expected.join(actual, "day", "left_outer")
+    n_actual = F.coalesce("n_actual", F.lit(0))
+    return joined.select(
+        "day",
+        "n_expected",
+        n_actual.alias("n_actual"),
+        (F.col("n_expected") - n_actual).alias("n_missing"),
+        F.when(F.col("n_expected") == n_actual, "complete")
+        .otherwise("incomplete")
+        .alias("status"),
+    )
+
+
+def run_operation(
+    spark: SparkSession,
+    op: str,
+    src: DataFrame,
+    target_dir: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+):
+    """Dispatch one of the reference's four workflow operations
+    (reference .github/workflows/main.yml:14-23; only start-month is
+    implemented there — the other three are declared with no job steps,
+    main.yml:61-62 — so this supplies all four):
+
+    - ``start``:    fresh full load (overwrite) — start-month.
+    - ``continue``: anti-join-gated append of unseen keys — the
+      skip-if-exists discipline (src/01-scrape-images.py:357-359,462-465).
+    - ``retry-failed``: re-deliver rows of day partitions the audit
+      flags incomplete; the anti-join keeps re-delivery idempotent.
+    - ``verify``:   return the per-day completeness audit DataFrame.
+
+    Returns rows-appended (int) for the write ops, the audit DataFrame
+    for verify."""
+    if op == "start":
+        src.write.mode("overwrite").parquet(target_dir)
+        return src.count()
+    if op == "continue":
+        return incremental_append(spark, src, target_dir, key_cols)
+    if op == "retry-failed":
+        bad_days = (
+            audit_against_target(spark, src, target_dir, ts_col)
+            .filter(F.col("status") == "incomplete")
+            .select("day")
+        )
+        replay = src.withColumn("day", F.to_date(ts_col)).join(
+            F.broadcast(bad_days), "day", "left_semi"
+        ).drop("day")
+        return incremental_append(spark, replay, target_dir, key_cols)
+    if op == "verify":
+        return audit_against_target(spark, src, target_dir, ts_col)
+    raise ValueError(f"unknown operation {op!r}")

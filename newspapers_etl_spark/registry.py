@@ -55,17 +55,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def _ensure_loaded() -> None:
+    """Import every declared operator module; any failure raises.  All
+    declared modules exist, so a missing one is a packaging bug, not an
+    in-progress build — silent tolerance would shrink the registered
+    surface without failing anything."""
     global _loaded
     if _loaded:
         return
     for mod in _OPERATOR_MODULES:
-        try:
-            importlib.import_module(mod)
-        except ModuleNotFoundError as e:
-            # Tolerate not-yet-written modules during incremental build,
-            # but never mask a typo inside an existing module.
-            if e.name != mod:
-                raise
+        importlib.import_module(mod)
     _loaded = True
 
 

@@ -18,6 +18,32 @@ def test_second_run_is_noop(spark, sf_dir, tmp_path):
     assert spark.read.parquet(target).count() == batch.count()
 
 
+def test_operation_lifecycle_start_verify_retry(spark, sf_dir, tmp_path):
+    """start → damaged delivery → verify flags it → retry-failed heals →
+    verify clean; a second retry is a no-op (idempotent)."""
+    from newspapers_etl_spark.operators.incremental import run_operation
+
+    target = str(tmp_path / "sink")
+    src = load_table(spark, sf_dir, "events")
+
+    # 'start' with a damaged copy (2% of rows never arrive)
+    damaged = src.filter(F.col("event_id") % 50 != 0)
+    run_operation(spark, "start", damaged, target, ["event_id"])
+
+    audit = run_operation(spark, "verify", src, target, ["event_id"])
+    bad = audit.filter("status = 'incomplete'")
+    assert bad.count() > 0
+    assert audit.filter("n_missing > 0").count() == bad.count()
+
+    healed = run_operation(spark, "retry-failed", src, target, ["event_id"])
+    assert healed == src.count() - damaged.count()
+    audit2 = run_operation(spark, "verify", src, target, ["event_id"])
+    assert audit2.filter("status = 'incomplete'").count() == 0
+
+    assert run_operation(spark, "retry-failed", src, target, ["event_id"]) == 0
+    assert run_operation(spark, "continue", src, target, ["event_id"]) == 0
+
+
 def test_overlapping_batch_appends_only_novel(spark, sf_dir, tmp_path):
     target = str(tmp_path / "sink")
     e = load_table(spark, sf_dir, "events")
