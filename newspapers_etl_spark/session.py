@@ -21,10 +21,17 @@ mirrors the reference's pacing constants.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Managed-table warehouse (bucketed tables etc.): a throwaway dir by
+# default so local runs never litter the repo; clusters override.
+_WAREHOUSE = os.environ.get("SPARK_GRAFT_WAREHOUSE") or tempfile.mkdtemp(
+    prefix="spark_warehouse_"
+)
 
 
 def get_spark(
@@ -53,6 +60,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.warehouse.dir", _WAREHOUSE)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

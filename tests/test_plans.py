@@ -56,3 +56,38 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert "l_extendedprice" not in read_schema, (
         "scan reads columns the projection never referenced"
     )
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir):
+    """The co-located fact-fact join strategy for 100 TB: both sides
+    bucketed on the join key → SortMergeJoin with ZERO exchanges (the
+    same join unbucketed shuffles both sides).  This is the layout the
+    flagship orders⋈lineitem join would use on a real cluster."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    for name in ("bt_orders", "bt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("bt_orders")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+            "bt_lineitem"
+        )
+        # merge hint: at fixture scale the dim-sized side would broadcast;
+        # on real fact-fact volumes SMJ is what the planner picks anyway,
+        # and the point here is that bucketing removes its exchanges.
+        joined = spark.table("bt_orders").hint("merge").join(
+            spark.table("bt_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, (
+            f"bucketed join still shuffles:\n{plan[:1500]}"
+        )
+        # sanity: result matches the unbucketed join
+        assert joined.count() == o.join(
+            li, F.col("o_orderkey") == F.col("l_orderkey")
+        ).count()
+    finally:
+        for name in ("bt_orders", "bt_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
