@@ -1,0 +1,185 @@
+"""Extended relational coverage: multi-join analytical queries (TPC-H
+Q3/Q5 shapes) and ordered-statistics aggregates.
+
+The reference has no joins at all (SURVEY.md §2.3 — its join semantics
+are per-row remote lookups); these queries exercise the join-heavy
+plans a real warehouse workload runs over the same star schema, which
+is where Catalyst's join reordering, broadcast selection, and AQE
+matter most at 100 TB.
+
+Scale notes per query are on the functions; the common theme: dims are
+broadcast (explicitly where the stats might not be there at scale),
+fact-fact joins shuffle on the join key once, and aggregations sit
+above the joins so partial aggregation compresses before the final
+exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Q3 shape: shipping-priority top-N over a 3-way join
+# ---------------------------------------------------------------------------
+
+Q3_ORACLE = """
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", oracle=Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers ⋈ date-filtered orders
+    ⋈ lineitem, revenue per order, top 10.  Both date predicates push to
+    their scans; customer (after the segment filter) broadcasts into
+    orders; the surviving orders⋈lineitem is the only fact shuffle;
+    orderBy+limit plans TakeOrderedAndProject, never a global sort."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape: local-supplier volume over a 6-way join
+# ---------------------------------------------------------------------------
+
+Q5_ORACLE = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM region r
+JOIN nation n    ON n.n_regionkey = r.r_regionkey
+JOIN supplier s  ON s.s_nationkey = n.n_nationkey
+JOIN lineitem l  ON l.l_suppkey   = s.s_suppkey
+JOIN orders o    ON o.o_orderkey  = l.l_orderkey
+JOIN customer c  ON c.c_custkey   = o.o_custkey
+                AND c.c_nationkey = s.s_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@query("q5_local_supplier_volume", oracle=Q5_ORACLE)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with the local-supplier correlation
+    (customer nation == supplier nation).  All four dims broadcast —
+    region filters nation, nation filters supplier, so the fact only
+    meets pre-shrunk build sides; orders⋈lineitem is again the single
+    fact-fact shuffle, and the 5-row group-by collapses map-side."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+            s.s_nationkey == n.n_nationkey,
+        )
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered statistics: exact percentiles + argmin/argmax
+# ---------------------------------------------------------------------------
+
+PERCENTILES_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+       round(quantile_cont(l_quantity, 0.50), 4) AS q50,
+       round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+       round(quantile_cont(l_quantity, 0.99), 4) AS q99
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentiles", oracle=PERCENTILES_ORACLE)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (`percentile` =
+    DuckDB's quantile_cont).  Exact percentile buffers the group's
+    values — fine per (returnflag); for high-cardinality keys at 100 TB
+    switch to percentile_approx (t-digest, mergeable, bounded memory)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = {"q25": 0.25, "q50": 0.50, "q75": 0.75, "q99": 0.99}
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_quantity", F.lit(p)), 4).alias(name)
+            for name, p in pcts.items()
+        ]
+    )
+
+
+ARGMINMAX_ORACLE = """
+SELECT l_returnflag,
+       arg_max(l_orderkey, l_extendedprice) AS priciest_order,
+       arg_min(l_orderkey, l_extendedprice) AS cheapest_order,
+       max(l_extendedprice)                 AS max_price,
+       min(l_extendedprice)                 AS min_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_argminmax", oracle=ARGMINMAX_ORACLE)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (SQL arg_max/arg_min): the 'which row holds the
+    extreme' aggregate — one pass, no self-join-on-max anti-pattern.
+    Deterministic here because l_extendedprice values are distinct per
+    group in the fixtures; on tie-prone data add a tiebreak column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+        F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_extendedprice").alias("min_price"),
+    )

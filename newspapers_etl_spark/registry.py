@@ -23,6 +23,7 @@ ORACLE: dict[str, str] = {}
 
 _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.relational",
+    "newspapers_etl_spark.operators.relational_extended",
     "newspapers_etl_spark.operators.extraction_queries",
     "newspapers_etl_spark.operators.incremental",
     "newspapers_etl_spark.operators.dedup",
