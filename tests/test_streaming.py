@@ -96,6 +96,47 @@ def test_dedup_collapses_duplicates_across_micro_batches(spark, sf_dir, tmp_path
     assert out.select("event_id").distinct().count() == n
 
 
+def test_stateful_running_totals_accumulate_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches —
+    after two batches, the last emission per key equals the batch
+    aggregate over ALL input; keys only in batch 1 keep their totals."""
+    import pyspark.sql.functions as F
+
+    from newspapers_etl_spark.streaming.stateful import running_totals_stateful
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_events_file(spark, sf_dir, src / "b1.parquet", 0, 300)
+    _write_events_file(spark, sf_dir, src / "b2.parquet", 300, 500)
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        running_totals_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("stateful_sink").toPandas()
+    # last emission per key (emissions arrive in batch order)
+    last = emitted.groupby("user_id").last()
+
+    all_events = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_id < 500")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    )
+    assert len(last) == len(all_events)
+    for r in all_events:
+        assert last.loc[r.user_id, "n_events"] == r.n
+        assert abs(last.loc[r.user_id, "total_value"] - r.tv) < 1e-9
+
+
 def test_max_files_per_trigger_paces_micro_batches(spark, sf_dir, tmp_path):
     src = tmp_path / "in"
     src.mkdir()
