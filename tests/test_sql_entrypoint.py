@@ -1,0 +1,45 @@
+"""The second entry point (SURVEY.md §3.4): spark.sql over the
+registered fixture views must agree with the DataFrame API, and
+df.observe() must deliver streaming-safe metrics without a second scan
+(§2.4 A3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from newspapers_etl_spark.catalog import load_table, register_views
+
+
+def test_sql_over_registered_views_matches_dataframe_api(spark, sf_dir):
+    register_views(spark, sf_dir)
+    via_sql = spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_orderstatus
+        """
+    ).collect()
+    o = load_table(spark, sf_dir, "orders")
+    via_df = (
+        o.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .collect()
+    )
+    assert sorted(map(tuple, via_sql)) == sorted(map(tuple, via_df))
+
+
+def test_observe_collects_metrics_in_one_pass(spark, sf_dir):
+    """observe() attaches aggregates to a plan without re-scanning —
+    the replacement for the reference's len()-based progress logging
+    (src/01-scrape-images.py:500,553) that also works under streaming."""
+    obs = Observation("scan_metrics")
+    o = load_table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum("o_totalprice").alias("value_seen"),
+    )
+    kept = o.filter(F.col("o_orderstatus") == "O").count()
+    got = obs.get
+    assert got["rows_seen"] == load_table(spark, sf_dir, "orders").count()
+    assert got["rows_seen"] >= kept
+    assert got["value_seen"] > 0
