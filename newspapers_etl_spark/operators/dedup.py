@@ -315,21 +315,39 @@ SIMHASH_BITS = 16
 def simhash(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
     """Classic SimHash: per bit position, sum +1/-1 over token-hash bits,
     take the sign.  Near-identical documents land within a small Hamming
-    distance.  Pure aggregate expressions — one pass over the tokens."""
+    distance.
+
+    ONE fold over the tokens accumulates all ``bits`` counters at once
+    (accumulator = array of per-bit sums, merged with zip_with) — the
+    per-bit-aggregate form re-tokenizes the text per bit because
+    higher-order functions never enter codegen/CSE (same trap as
+    minhash_signature above)."""
     hashes = F.transform(words(text_col), lambda t: F.xxhash64(t))
-
-    def bit_sum(b: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    out = F.lit(0)
-    for b in range(bits):
-        out = out + F.when(bit_sum(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return out
+    zero = F.array(*[F.lit(0)] * bits)
+    counts = F.aggregate(
+        hashes,  # the fold's input is evaluated once: one hash per token
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                    for b in range(bits)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << b) for b in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            counts, powers, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
 
 
 def hamming16(a: Column | str, b: Column | str) -> Column:
@@ -350,8 +368,10 @@ def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     key under which near-dup candidates are compared by Hamming distance
     at scale (prefix blocks ≈ LSH for Hamming space)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    # simhash computed once; the prefix derives from the column (a second
+    # simhash() call would re-fold the whole token array).
+    return d.select("doc_id", simhash("text").alias("simhash")).select(
         "doc_id",
-        simhash("text").alias("simhash"),
-        F.shiftright(simhash("text"), SIMHASH_BITS - 4).alias("prefix_bucket"),
+        "simhash",
+        F.shiftright("simhash", SIMHASH_BITS - 4).alias("prefix_bucket"),
     )

@@ -87,12 +87,27 @@ FROM feats
 
 @query("text_quality_scores", oracle=QUALITY_ORACLE)
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Features (token count, punct ratio, stopword ratio) are computed
+    in their own projection and REFERENCED by the derived columns —
+    higher-order-function expressions don't enter codegen, so Catalyst
+    never CSEs repeated subtrees; without the staging each ratio's
+    split/regex re-runs per output column (and CollapseProject keeps the
+    stage because the aliases are referenced more than once)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    feats = d.select(
         "doc_id",
-        F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
-        F.round(punct_ratio("text"), 6).alias("pnct_ratio"),
-        quality_score("text").alias("quality"),
+        token_count_ws("text").cast("double").alias("n_tokens"),
+        punct_ratio("text").alias("p_ratio"),
+        stopword_ratio("text").alias("s_ratio"),
+    )
+    len_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000), 1.0).otherwise(0.0)
+    punct_ok = F.when(F.col("p_ratio") < 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when((F.col("s_ratio") > 0.0) & (F.col("s_ratio") < 0.6), 1.0).otherwise(0.0)
+    return feats.select(
+        "doc_id",
+        F.round("s_ratio", 6).alias("stop_ratio"),
+        F.round("p_ratio", 6).alias("pnct_ratio"),
+        F.round((len_ok + punct_ok + stop_ok) / F.lit(3.0), 6).alias("quality"),
     )
 
 
@@ -128,16 +143,22 @@ FROM scores
 @query("text_lang_id", oracle=LANG_ID_ORACLE)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID: per-language hit counts + argmax with
-    alphabetical tiebreak (identical CASE ordering in the oracle)."""
+    alphabetical tiebreak (identical CASE ordering in the oracle).
+
+    The token array is materialized in its own projection so the text is
+    split ONCE, not once per language (no codegen/CSE for higher-order
+    functions — see text_quality_scores)."""
     d = load_table(spark, sf_dir, "documents")
-    ws = words("text")
+    toks = d.select(
+        "doc_id", F.col("lang").alias("lang_true"), words("text").alias("ws")
+    )
 
     def marker_hits(lg: str):
         markers = LANG_MARKERS[lg]
-        return F.size(F.filter(ws, lambda w: w.isin(*markers))).alias(f"s_{lg}")
+        return F.size(F.filter("ws", lambda w: w.isin(*markers))).alias(f"s_{lg}")
 
-    scored = d.select(
-        "doc_id", F.col("lang").alias("lang_true"), *[marker_hits(lg) for lg in _LANGS]
+    scored = toks.select(
+        "doc_id", "lang_true", *[marker_hits(lg) for lg in _LANGS]
     )
     best = F.greatest(*[F.col(f"s_{lg}") for lg in _LANGS])
     expr = None
