@@ -61,6 +61,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.warehouse.dir", _WAREHOUSE)
+        # Python Data Source API: let custom connectors receive filters
+        # (sources/archive_source.py folds date predicates into the scan).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
