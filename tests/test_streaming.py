@@ -137,6 +137,49 @@ def test_stateful_running_totals_accumulate_across_batches(spark, sf_dir, tmp_pa
         assert abs(last.loc[r.user_id, "total_value"] - r.tv) < 1e-9
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join over two event-type
+    sub-streams of the same source equals the batch join on identical
+    input — micro-batch execution changes nothing semantically."""
+    from newspapers_etl_spark.streaming.stream_joins import interval_join
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_events_file(spark, sf_dir, src / "b1.parquet", 0, 400)
+    _write_events_file(spark, sf_dir, src / "b2.parquet", 400, 800)
+
+    def split(df):
+        return (
+            df.filter("event_type = 'click'"),
+            df.filter("event_type = 'purchase'"),
+        )
+
+    clicks_s, purchases_s = split(read_events_stream(spark, str(src)))
+    q = (
+        interval_join(clicks_s, purchases_s, "user_id", within="6 hours")
+        .writeStream.format("memory")
+        .queryName("ssjoin_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(map(tuple, spark.table("ssjoin_sink").collect()))
+
+    batch = load_table(spark, sf_dir, "events").filter("event_id < 800")
+    clicks_b, purchases_b = split(batch)
+    expected = sorted(
+        map(
+            tuple,
+            interval_join(clicks_b, purchases_b, "user_id", within="6 hours")
+            .collect(),
+        )
+    )
+    assert len(expected) > 0, "fixture produced no click→purchase pairs"
+    assert streamed == expected
+
+
 def test_max_files_per_trigger_paces_micro_batches(spark, sf_dir, tmp_path):
     src = tmp_path / "in"
     src.mkdir()
