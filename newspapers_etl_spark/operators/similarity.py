@@ -193,6 +193,117 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF ANN: coarse k-means quantizer + cell-probed search (rows-only)
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 8
+IVF_ITERATIONS = 2
+IVF_NPROBE = 2
+
+
+def _centroids(e: DataFrame, k: int, iters: int) -> list[tuple[int, list[float]]]:
+    """Coarse quantizer: k centroids refined by ``iters`` Lloyd steps,
+    entirely in DataFrame ops — assignment is an argmax-dot against the
+    (tiny, literal-embedded) centroid set, the update is a posexplode/
+    groupBy mean so no executor ever materializes a cell's vectors.
+    Only k×dim floats ever reach the driver (the fitted model, not
+    data); seeds are the first k vectors for determinism."""
+    cents = [
+        (int(r.vec_id), list(r.embedding))
+        for r in e.filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    for _ in range(iters):
+        assigned = e.select(
+            "embedding", _nearest_cell("embedding", cents).alias("cell")
+        )
+        new = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("comps"))
+            .select("cell", F.col("comps.m").alias("centroid"))
+            .collect()
+        )
+        cents = [(int(r.cell), list(r.centroid)) for r in new]
+    return cents
+
+
+def _nearest_cell(vec: Column | str, cents: list[tuple[int, list[float]]]) -> Column:
+    """Argmax-dot cell assignment as a literal CASE chain — the
+    quantizer ships inside the plan, no join, no shuffle."""
+    scores = [
+        (cid, dot(vec, F.array(*[F.lit(float(x)) for x in c]))) for cid, c in cents
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    expr = None
+    for cid, s in scores:
+        cond = s == best
+        expr = F.when(cond, F.lit(cid)) if expr is None else expr.when(cond, F.lit(cid))
+    return expr
+
+
+@query("sim_ann_ivf_topk")  # rows-only: cell assignment is model-derived
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into IVF_CELLS Voronoi cells
+    (k-means, 2 Lloyd iterations), then score each probe only against
+    its IVF_NPROBE nearest cells — the inverted-file pattern behind
+    FAISS-style billion-scale search.  One linear scan assigns cells,
+    the probe join is an equi-join on cell id with the probe side
+    broadcast; expected scan fraction is nprobe/cells."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
+
+    corpus = e.select(
+        "vec_id",
+        "embedding",
+        l2_norm("embedding").alias("nrm"),
+        _nearest_cell("embedding", cents).alias("cell"),
+    )
+    # per probe: its NPROBE closest cells, as (probe, cell) pairs
+    cell_scores = [
+        (cid, dot("embedding", F.array(*[F.lit(float(x)) for x in c])))
+        for cid, c in cents
+    ]
+    ranked_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct((-s).alias("neg"), F.lit(cid).alias("cell"))
+                        for cid, s in cell_scores
+                    ]
+                )
+            ),
+            lambda x: x.getField("cell"),
+        ),
+        1,
+        IVF_NPROBE,
+    )
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        l2_norm("embedding").alias("probe_nrm"),
+        F.explode(ranked_cells).alias("cell"),
+    )
+    cands = corpus.join(F.broadcast(probes), "cell").select(
+        "probe_id",
+        "vec_id",
+        F.round(
+            dot("probe_vec", "embedding") / (F.col("probe_nrm") * F.col("nrm")), 6
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "vec_id", "sim", "rnk")
+    )
+
+
 @query("sim_lsh_bucket_stats")  # rows-only: bucket ids are hash-derived
 def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket-occupancy histogram — the skew diagnostic for the ANN

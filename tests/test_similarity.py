@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from newspapers_etl_spark.operators.similarity import (
     TOP_K,
+    sim_ann_ivf_topk,
     sim_ann_lsh_topk,
     sim_topk_bruteforce,
 )
@@ -36,6 +37,29 @@ def test_ann_includes_self_and_is_subset_ranked(spark, sf_dir):
     exact_sims = {(r.probe_id, r.vec_id): r.sim for r in exact}
     for probe_id, rows in by_probe.items():
         assert any(r.vec_id == probe_id for r in rows), "self not in own bucket"
+        assert len(rows) <= TOP_K
+        for r in rows:
+            if (probe_id, r.vec_id) in exact_sims:
+                assert abs(r.sim - exact_sims[(probe_id, r.vec_id)]) < 1e-9
+
+
+def test_ivf_includes_self_and_scores_match_exact(spark, sf_dir):
+    """IVF ANN: the probe's own vector is always in the probe's nearest
+    cell (it IS that cell's member), so rank-1 is self at 1.0; any
+    neighbor shared with the brute-force baseline carries the identical
+    similarity (IVF only restricts candidates, never rescores)."""
+    ivf = sim_ann_ivf_topk(spark, sf_dir).collect()
+    assert ivf
+    by_probe: dict[int, list] = {}
+    for r in ivf:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    exact_sims = {
+        (r.probe_id, r.vec_id): r.sim
+        for r in sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    for probe_id, rows in by_probe.items():
+        top = min(rows, key=lambda r: r.rnk)
+        assert top.vec_id == probe_id and abs(top.sim - 1.0) < 1e-6
         assert len(rows) <= TOP_K
         for r in rows:
             if (probe_id, r.vec_id) in exact_sims:
