@@ -351,14 +351,44 @@ def simhash(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
 
 
 def hamming16(a: Column | str, b: Column | str) -> Column:
-    """Hamming distance between two 16-bit simhashes (popcount of XOR)."""
+    """Hamming distance between two 16-bit simhashes (popcount of XOR),
+    as a sum of literal bitmask tests — flat integer arithmetic, no
+    loops or shifts at runtime."""
     x = F.col(a) if isinstance(a, str) else a
     y = F.col(b) if isinstance(b, str) else b
     xor = x.bitwiseXOR(y)
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-        F.lit(0),
-        lambda acc, i: acc + F.shiftright(xor, i).bitwiseAND(F.lit(1)),
+    out = F.lit(0)
+    for i in range(SIMHASH_BITS):
+        out = out + F.when(xor.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(0)
+    return out
+
+
+@query("dedup_simhash_neardup_pairs")  # rows-only: hash values are engine-specific
+def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: pairs sharing a 4-bit prefix bucket
+    with Hamming distance <= 3 — prefix blocking bounds the pair join
+    (≈ n²/2^4 per bucket instead of n²), then the cheap popcount verify
+    runs only inside buckets.  At 100 TB use multiple rotated prefix
+    tables to guarantee recall at distance d (the Manku/Google
+    near-duplicate scheme)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", simhash("text").alias("sh")).select(
+        "doc_id", "sh", F.shiftright("sh", SIMHASH_BITS - 4).alias("bucket")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming16(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
     )
 
 

@@ -170,6 +170,22 @@ GROUP BY l_returnflag
 """
 
 
+@query("agg_percentile_approx")  # rows-only: t-digest estimates are engine-specific
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: percentile_approx (t-digest sketch) —
+    mergeable partial state, bounded memory per group regardless of
+    group size; exact percentiles (agg_percentiles) buffer the group.
+    Rows-only because sketch estimates are engine-specific; the exact
+    variant is the accuracy oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75, 0.99], 10_000).alias(
+            "quantiles"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
 @query("agg_argminmax", oracle=ARGMINMAX_ORACLE)
 def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by/min_by (SQL arg_max/arg_min): the 'which row holds the
