@@ -34,6 +34,29 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    """The HLL estimate has no cross-engine oracle, but it DOES have an
+    accuracy contract: within ~3×rsd (rsd=0.02) of the exact count."""
+    from pyspark.sql import functions as F
+
+    from newspapers_etl_spark.catalog import load_table
+    from newspapers_etl_spark.operators.relational import agg_approx_distinct
+
+    approx = {r.l_returnflag: r.approx_parts for r in agg_approx_distinct(spark, sf_dir).collect()}
+    exact = {
+        r.l_returnflag: r.n
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(3, 0.06 * exact[k]), (
+            f"{k}: approx {approx[k]} vs exact {exact[k]}"
+        )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
