@@ -211,6 +211,38 @@ def incremental_append(
     return n
 
 
+def incremental_append_partitioned(
+    spark: SparkSession,
+    src: DataFrame,
+    target_dir: str,
+    key_cols: list[str],
+    partition_col: str,
+) -> int:
+    """Partition-aware incremental append: the existing-keys scan reads
+    ONLY the target partitions whose ``partition_col`` value appears in
+    this batch (static partition pruning — the predicate is a literal IN
+    list, so the parquet reader skips every other directory).  At 100 TB
+    with thousands of day partitions this turns the dedup gate from a
+    full-catalog scan into a read of the handful of days the batch
+    touches.  The batch's partition values are collected first — a
+    day-grain batch has a handful, like the reference's one-day unit
+    (main.yml:77-95)."""
+    values = [r[0] for r in src.select(partition_col).distinct().collect()]
+    try:
+        existing = (
+            spark.read.parquet(target_dir)
+            .filter(F.col(partition_col).isin(values))
+            .select(*key_cols)
+        )
+        fresh = src.join(existing, key_cols, "left_anti")
+    except Exception:  # first run
+        fresh = src
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").partitionBy(partition_col).parquet(target_dir)
+    return n
+
+
 # ---------------------------------------------------------------------------
 # Operation dispatcher: the reference's four declared workflow ops
 # ---------------------------------------------------------------------------

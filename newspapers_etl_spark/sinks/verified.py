@@ -49,10 +49,21 @@ def partition_manifest(
 
 
 def write_partitioned(
-    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    sort_cols: list[str] | None = None,
 ) -> None:
     """Hive-partitioned parquet write — the title/date folder fan-out of
-    src/01-scrape-images.py:441-452 as one declarative sink."""
+    src/01-scrape-images.py:441-452 as one declarative sink.
+
+    ``sort_cols`` sorts WITHIN each write task before encoding
+    (sortWithinPartitions — no global shuffle): clustered values compress
+    better and give parquet row-group min/max statistics real selectivity,
+    so later range predicates skip row groups, not just directories."""
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
     df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
 
 

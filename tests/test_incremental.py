@@ -44,6 +44,38 @@ def test_operation_lifecycle_start_verify_retry(spark, sf_dir, tmp_path):
     assert run_operation(spark, "continue", src, target, ["event_id"]) == 0
 
 
+def test_partitioned_append_prunes_existing_scan(spark, sf_dir, tmp_path):
+    """The dedup gate's read of the target must carry PartitionFilters
+    for the batch's days — at scale that's the difference between
+    scanning 3 directories and the whole catalog — and the append stays
+    idempotent across day-overlapping batches."""
+    from newspapers_etl_spark.operators.incremental import (
+        incremental_append_partitioned,
+    )
+
+    target = str(tmp_path / "sink")
+    e = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    b1 = e.filter("day <= '2024-01-05'")
+    n1 = incremental_append_partitioned(spark, b1, target, ["event_id"], "day")
+    assert n1 == b1.count()
+    # overlapping batch: days 4-8; only the novel rows append
+    b2 = e.filter("day >= '2024-01-04' AND day <= '2024-01-08'")
+    n2 = incremental_append_partitioned(spark, b2, target, ["event_id"], "day")
+    assert n2 == b2.join(b1, ["event_id"], "left_anti").count()
+    got = spark.read.parquet(target)
+    assert got.count() == e.filter("day <= '2024-01-08'").count()
+    # the pruning is real: a day-filtered read of the target plans
+    # PartitionFilters on the partition column
+    plan = (
+        spark.read.parquet(target)
+        .filter(F.col("day").isin([b2.select("day").first()[0]]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:120]
+
+
 def test_overlapping_batch_appends_only_novel(spark, sf_dir, tmp_path):
     target = str(tmp_path / "sink")
     e = load_table(spark, sf_dir, "events")

@@ -51,6 +51,24 @@ def test_audit_catches_missing_and_corrupt_rows(spark, sf_dir, tmp_path):
             assert r.expected_digest != r.actual_digest
 
 
+def test_sorted_write_layout_and_schema_evolution(spark, sf_dir, tmp_path):
+    """sortWithinPartitions write layout round-trips losslessly, and a
+    later write with an added column reads back under mergeSchema with
+    nulls for the old files — schema evolution without rewriting
+    history."""
+    target = str(tmp_path / "sink")
+    src = load_table(spark, sf_dir, "documents")
+    write_partitioned(src, target, ["lang"], sort_cols=["source", "doc_id"])
+    assert spark.read.parquet(target).count() == src.count()
+
+    evolved = src.limit(10).withColumn("ocr_confidence", F.lit(0.9))
+    write_partitioned(evolved, target, ["lang"], mode="append")
+    merged = spark.read.option("mergeSchema", "true").parquet(target)
+    assert "ocr_confidence" in merged.columns
+    assert merged.count() == src.count() + 10
+    assert merged.filter(F.col("ocr_confidence").isNull()).count() == src.count()
+
+
 def test_manifest_digest_is_order_insensitive(spark, sf_dir):
     src = load_table(spark, sf_dir, "documents")
     m1 = partition_manifest(src, ["lang"], "text")
