@@ -99,6 +99,44 @@ def verify_partitioned_write(
     )
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+) -> None:
+    """Small-file compaction: rewrite each Hive partition into at most
+    ``files_per_partition`` files.  Streaming/incremental sinks accrete
+    one file per micro-batch per partition; at 100 TB that's millions of
+    tiny files — listing cost alone dominates reads.
+
+    Spark refuses to overwrite a path it is reading (correctly — the
+    scan is lazy), so the rewrite lands in a sibling staging dir and is
+    swapped in whole: write-aside + rename, the same staging-then-commit
+    shape as Spark's own job-commit protocol.  The shuffle key is
+    (partition_cols, hash-bucket) so each output partition spreads over
+    at most ``files_per_partition`` write tasks."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    parts = [F.col(c) for c in partition_cols]
+    bucket = F.pmod(
+        F.xxhash64(*parts, F.monotonically_increasing_id()),
+        F.lit(files_per_partition),
+    )
+    staging = path.rstrip("/") + ".compacting"
+    (
+        df.repartition(*parts, bucket.alias("_b"))
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(staging)
+    )
+    old = path.rstrip("/") + ".pre_compact"
+    shutil.move(path, old)
+    shutil.move(staging, path)
+    shutil.rmtree(old)
+
+
 # ---------------------------------------------------------------------------
 # Registered audit query (oracle-checked): the manifest itself
 # ---------------------------------------------------------------------------

@@ -69,6 +69,36 @@ def test_sorted_write_layout_and_schema_evolution(spark, sf_dir, tmp_path):
     assert merged.filter(F.col("ocr_confidence").isNull()).count() == src.count()
 
 
+def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
+    from newspapers_etl_spark.sinks.verified import compact_partitions
+
+    target = str(tmp_path / "sink")
+    src = load_table(spark, sf_dir, "documents")
+    # simulate micro-batch accretion: 5 appends → ≥5 files per partition
+    for i in range(5):
+        write_partitioned(
+            src.filter(F.col("doc_id") % 5 == i), target, ["lang"], mode="append"
+        )
+    before = sorted(map(tuple, spark.read.parquet(target).collect()))
+
+    def files_per_lang(p):
+        import os
+
+        out = {}
+        for d in os.listdir(p):
+            if d.startswith("lang="):
+                out[d] = len(
+                    [f for f in os.listdir(os.path.join(p, d)) if f.endswith(".parquet")]
+                )
+        return out
+
+    assert all(n >= 5 for n in files_per_lang(target).values())
+    compact_partitions(spark, target, ["lang"], files_per_partition=1)
+    assert all(n <= 1 for n in files_per_lang(target).values())
+    after = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert after == before
+
+
 def test_manifest_digest_is_order_insensitive(spark, sf_dir):
     src = load_table(spark, sf_dir, "documents")
     m1 = partition_manifest(src, ["lang"], "text")

@@ -28,6 +28,30 @@ def test_sql_over_registered_views_matches_dataframe_api(spark, sf_dir):
     assert sorted(map(tuple, via_sql)) == sorted(map(tuple, via_df))
 
 
+def test_malformed_json_degrades_to_sentinel_not_failure(spark):
+    """F16 resilience: from_json yields NULL for malformed documents and
+    the sentinel default fills it (the reference's Unknown/Unknown_Date
+    degradation, src/01-scrape-images.py:413-420) — one bad row never
+    aborts the scan."""
+    from newspapers_etl_spark.functions.extraction import with_sentinel
+
+    rows = [
+        (0, '{"k": 1}'),
+        (1, "not json at all"),
+        (2, '{"k": "type-mismatch"}'),
+        (3, None),
+        (4, '{"k": 4}'),
+    ]
+    df = spark.createDataFrame(rows, "id long, props string")
+    k = F.from_json("props", "k INT").getField("k")
+    out = df.select(
+        "id", with_sentinel(k.cast("string"), "Unknown").alias("k")
+    ).collect()
+    got = {r.id: r.k for r in out}
+    assert got[0] == "1" and got[4] == "4"
+    assert got[1] == "Unknown" and got[2] == "Unknown" and got[3] == "Unknown"
+
+
 def test_observe_collects_metrics_in_one_pass(spark, sf_dir):
     """observe() attaches aggregates to a plan without re-scanning —
     the replacement for the reference's len()-based progress logging
