@@ -129,6 +129,91 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unpivot (melt) — the inverse of pivot_status_by_priority
+# ---------------------------------------------------------------------------
+
+UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+         CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+         CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status, n
+FROM wide UNPIVOT (n FOR status IN (n_f, n_o, n_p))
+"""
+
+
+@query("agg_unpivot_status", oracle=UNPIVOT_ORACLE)
+def agg_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt: wide per-status count columns back to long form —
+    the inverse of the pivot operator.  Map-side row expansion (×3), no
+    shuffle beyond the upstream aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        *[
+            F.count(F.when(F.col("o_orderstatus") == s, 1)).alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ]
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_f", "n_o", "n_p"],
+        variableColumnName="status",
+        valueColumnName="n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# explode_outer — fan-out that PRESERVES empty parents
+# ---------------------------------------------------------------------------
+
+EXPLODE_OUTER_ORACLE = """
+WITH manifests AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN CAST([] AS VARCHAR[])
+              ELSE ['p1_' || CAST(o_orderkey AS VARCHAR),
+                    'p2_' || CAST(o_orderkey AS VARCHAR)] END AS pages
+  FROM orders WHERE o_orderkey % 20 = 0
+)
+SELECT m.o_orderkey, p.page
+FROM manifests m LEFT JOIN (
+  SELECT o_orderkey, unnest(pages) AS page FROM manifests
+) p USING (o_orderkey)
+"""
+
+
+@query("explode_outer_empty_manifests", oracle=EXPLODE_OUTER_ORACLE)
+def explode_outer_empty_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: the issue→files fan-out (J3) that KEEPS issues
+    whose manifest has no pages (NULL page row) — a plain explode
+    silently drops them, which is exactly how an audit misses empty
+    manifests (the reference logs-and-continues at
+    src/01-scrape-images.py:444-448)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.pmod("o_orderkey", F.lit(20)) == 0
+    )
+    manifests = o.select(
+        "o_orderkey",
+        F.when(
+            F.pmod("o_orderkey", F.lit(4)) == 0,
+            F.array().cast("array<string>"),
+        )
+        .otherwise(
+            F.array(
+                F.concat(F.lit("p1_"), F.col("o_orderkey")),
+                F.concat(F.lit("p2_"), F.col("o_orderkey")),
+            )
+        )
+        .alias("pages"),
+    )
+    return manifests.select(
+        "o_orderkey", F.explode_outer("pages").alias("page")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Ordered statistics: exact percentiles + argmin/argmax
 # ---------------------------------------------------------------------------
 
