@@ -129,10 +129,17 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 SHINGLE_SIZE = 3
 
 
-def shingles(text_col: Column | str, n: int = SHINGLE_SIZE) -> Column:
-    """Word n-gram shingles as array<string>; docs shorter than n words
-    collapse to a single whole-text shingle."""
-    toks = words(text_col)
+def shingles(tokens_col: Column | str, n: int = SHINGLE_SIZE) -> Column:
+    """Word n-gram shingles as array<string> over an ALREADY-MATERIALIZED
+    token-array column; docs shorter than n words collapse to a single
+    whole-text shingle.
+
+    Takes the token column, not raw text: an expression subtree
+    referenced inside a higher-order lambda is re-evaluated PER ELEMENT
+    (no codegen/CSE for HOFs), so splitting inside the window lambda
+    would re-tokenize the document once per window — O(tokens²),
+    measured as ~70% of the whole MinHash pipeline at sf0.1."""
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     k = F.size(toks) - (n - 1)
     windows = F.transform(
         F.sequence(F.lit(1), k),
@@ -141,29 +148,57 @@ def shingles(text_col: Column | str, n: int = SHINGLE_SIZE) -> Column:
     return F.when(k >= 1, windows).otherwise(F.array(F.array_join(toks, " ")))
 
 
-_LONG_MAX = (1 << 63) - 1
+# 2-universal hash family over a Mersenne prime: h_i(x) = (a_i*x + b_i) mod P.
+# One base hash per shingle + k affine combinations replaces k independent
+# xxhash64 evaluations (16× less hashing per shingle, same MinHash guarantees).
+# P = 2^31-1 keeps every intermediate < 2^62 — no long overflow even under
+# ANSI arithmetic.
+_MINHASH_P = (1 << 31) - 1
+
+
+def _affine_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs derived from a fixed seed hash —
+    a_i in [1, P), b_i in [0, P)."""
+    params = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (_MINHASH_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MINHASH_P
+        params.append((a, b))
+    return params
 
 
 def minhash_signature(shingle_col: Column | str, k: int = N_HASHES) -> Column:
-    """k-permutation MinHash: hash_i(shingle) = xxhash64(i || shingle);
-    signature[i] = min over shingles.
+    """k-permutation MinHash via a 2-universal family:
+    signature[i] = min over shingles of (a_i * xxhash64(shingle) + b_i) mod P.
 
-    ONE fold over the shingle array computes all k mins: the accumulator
-    is the k-wide signature, merged per shingle with zip_with/least.
-    (The naive form — k separate array_min(transform(...)) projections —
-    re-evaluates the shingle-construction subtree k times; Catalyst does
-    not CSE it, which measured 8× slower at sf0.1.)  Callers must pass an
-    already-materialized shingle COLUMN, not the raw text, for the same
-    reason."""
+    ONE fold over the shingle array computes all k mins (accumulator =
+    the k-wide signature, merged per shingle with zip_with/least) and
+    each shingle is hashed ONCE — the k permutations are affine
+    combinations of the base hash.  The naive form (k separate
+    array_min(transform(xxhash64(i||s))) projections) re-evaluates the
+    shingle subtree k times — Catalyst does not CSE higher-order
+    subtrees — and hashes k times; both fixes together measured ~10× at
+    sf0.1.  Callers must pass an already-materialized shingle COLUMN,
+    not the raw text."""
     col = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
-    zero = F.array(*[F.lit(_LONG_MAX).cast("long")] * k)
+    zero = F.array(*[F.lit(_MINHASH_P).cast("long")] * k)
+    params = _affine_params(k)
+    # Materialize the base hash per shingle as the fold's INPUT — inside
+    # the fold body it would be re-evaluated once per permutation.
+    base = F.transform(col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P)))
     return F.aggregate(
-        col,
+        base,
         zero,
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
-                *[F.xxhash64(F.concat(F.lit(f"{i}#"), s)) for i in range(k)]
+                *[
+                    F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))
+                    for a, b in params
+                ]
             ),
             lambda x, y: F.least(x, y),
         ),
@@ -220,8 +255,10 @@ def dedup_minhash_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature scan, band explode, ONE shuffle on the band key — minus
     the final Jaccard verify (dedup_ngram_jaccard) over candidates."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", shingles("text").alias("sh")).select(
-        "doc_id", minhash_signature("sh").alias("sig")
+    sigs = (
+        d.select("doc_id", words("text").alias("toks"))
+        .select("doc_id", shingles("toks").alias("sh"))
+        .select("doc_id", minhash_signature("sh").alias("sig"))
     )
     banded = lsh_bands(sigs, "doc_id")
     return (
