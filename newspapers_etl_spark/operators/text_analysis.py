@@ -14,7 +14,7 @@ aggregations.  At 100 TB the cost is one linear scan of the text bytes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
@@ -166,6 +166,73 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         cond = F.col(f"s_{lg}") == best
         expr = F.when(cond, F.lit(lg)) if expr is None else expr.when(cond, F.lit(lg))
     return scored.withColumn("lang_pred", expr)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (SURVEY §7.1 item 5): top terms per document
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+TFIDF_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM documents, unnest(string_split_regex(text, '\\s+')) AS t(term)
+  GROUP BY doc_id, t.term
+),
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((SELECT n FROM n) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+            AS INTEGER) AS rnk
+FROM scored
+QUALIFY rnk <= {TFIDF_TOP_K}
+"""
+
+
+@query("text_tfidf_top_terms", oracle=TFIDF_ORACLE)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} TF-IDF terms per document — the classic
+    keyword-extraction / relevance-weighting primitive, entirely in
+    built-ins: explode → two aggregations → broadcast of the term-DF
+    dim → bounded window.
+
+    Plan shape: the (doc, term) TF aggregate is the only fact-sized
+    shuffle; the document-frequency relation aggregates to vocabulary
+    size and broadcasts back onto TF; corpus size N rides in as a
+    scalar (cross-join of a 1-row aggregate, broadcast).  Ranking on
+    the ROUNDED score with a term tie-break keeps ordering identical
+    across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(words("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    df_rel = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    n_docs = d.agg(F.count("*").cast("double").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_rel), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+    )
 
 
 # ---------------------------------------------------------------------------

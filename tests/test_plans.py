@@ -58,6 +58,27 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     )
 
 
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """SURVEY §4: a partitioned fact joined to a filtered dim plans a
+    dynamicpruning subquery — only fact partitions matching the dim
+    filter are scanned, the runtime analog of the reference's day-loop
+    touching only requested partitions (main.yml:77-95)."""
+    target = str(tmp_path / "fact")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(target)
+    fact = spark.read.parquet(target)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .filter(F.col("o_orderpriority") < "3")
+    )
+    joined = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
+    plan = _plan(joined).lower()
+    assert "dynamicpruning" in plan, "no DPP subquery in the fact scan"
+
+
 def test_bucketed_join_elides_shuffle(spark, sf_dir):
     """The co-located fact-fact join strategy for 100 TB: both sides
     bucketed on the join key → SortMergeJoin with ZERO exchanges (the
