@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 SOURCE_NAME = "newspaper_archive"
@@ -115,6 +116,40 @@ class ArchiveReader(DataSourceReader):
         yield from _issues_for_day(partition.day, partition.n_papers)
 
 
+class ArchiveStreamReader(SimpleDataSourceStreamReader):
+    """The reference's workflow day-loop (main.yml:77-95) as an
+    engine-managed streaming source: the OFFSET is the next unread day,
+    each micro-batch delivers exactly one day of issues, and the
+    checkpoint persists the offset — scraper_state.json replaced by the
+    engine's offset log, restart-safe for free."""
+
+    def __init__(self, options: dict) -> None:
+        self.start = options.get("start", DEFAULT_START)
+        self.end = options.get("end", DEFAULT_END)
+        self.n_papers = int(options.get("papers", DEFAULT_PAPERS))
+
+    def initialOffset(self) -> dict:
+        return {"day": self.start}
+
+    def read(self, start: dict):
+        day = start["day"]
+        if day > self.end:  # caught up: empty batch, offset unchanged
+            return [], start
+        nxt = (date.fromisoformat(day) + timedelta(days=1)).isoformat()
+        # materialized list: the engine pickles prefetched rows into its
+        # cache for exactly-once replay
+        return list(_issues_for_day(day, self.n_papers)), {"day": nxt}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        """Deterministic replay for recovery: regenerate every day in
+        [start, end) — same rows as the original delivery."""
+        d = date.fromisoformat(start["day"])
+        stop = date.fromisoformat(end["day"])
+        while d < stop:
+            yield from _issues_for_day(d.isoformat(), self.n_papers)
+            d += timedelta(days=1)
+
+
 class ArchiveDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -125,6 +160,9 @@ class ArchiveDataSource(DataSource):
 
     def reader(self, schema) -> ArchiveReader:
         return ArchiveReader(dict(self.options))
+
+    def simpleStreamReader(self, schema) -> ArchiveStreamReader:
+        return ArchiveStreamReader(dict(self.options))
 
 
 def register(spark) -> None:

@@ -55,3 +55,44 @@ def test_date_predicate_prunes_partitions_at_source(archive):
 def test_fully_pruned_range_returns_empty(archive):
     none = archive.load().filter(F.col("issue_date") > F.lit(date(1999, 1, 1)))
     assert none.count() == 0
+
+
+def test_streaming_day_loop_delivers_one_day_per_batch(spark, tmp_path):
+    """The streaming face of the connector: day-granular offsets, one
+    micro-batch per day, engine-checkpointed — the reference's workflow
+    loop with scraper_state.json replaced by the offset log."""
+    register(spark)
+    stream = (
+        spark.readStream.format(SOURCE_NAME)
+        .option("start", "1994-02-01")
+        .option("end", "1994-02-07")
+        .option("papers", 2)
+        .load()
+    )
+    batches: list[tuple[int, int]] = []
+
+    def sink(batch_df, batch_id):
+        batches.append((batch_id, batch_df.count()))
+
+    # A simple stream reader prefetches one batch per trigger, so
+    # availableNow would stop after a single day; run the query and stop
+    # once the whole range has been delivered.
+    import time
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if sum(n for _, n in batches) >= 7 * 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    delivered = [n for _, n in batches if n > 0]
+    assert sum(delivered) == 7 * 2
+    assert all(n == 2 for n in delivered), f"not day-granular: {batches}"
