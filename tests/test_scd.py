@@ -1,0 +1,71 @@
+"""SCD2 merge invariants: version chains close and open correctly,
+re-delivery is a no-op, point-in-time queries see the right version."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from newspapers_etl_spark.operators.scd import scd2_as_of, scd2_init, scd2_merge
+
+T0, T1, T2 = "2024-01-01", "2024-02-01", "2024-03-01"
+
+
+def _hist0(spark):
+    snap = spark.createDataFrame(
+        [(1, "GOLD", 100.0), (2, "SILVER", 50.0), (3, "BRONZE", 10.0)],
+        "custkey long, segment string, balance double",
+    )
+    return scd2_init(snap, F.lit(T0).cast("timestamp"))
+
+
+def _updates(spark, rows):
+    return spark.createDataFrame(rows, "custkey long, segment string, ts timestamp")
+
+
+def test_merge_closes_and_opens_versions(spark):
+    hist = _hist0(spark)
+    upd = _updates(
+        spark,
+        [
+            (1, "PLATINUM", datetime.fromisoformat(T1)),  # change
+            (2, "SILVER", datetime.fromisoformat(T1)),    # identical → no-op
+            (9, "NEW", datetime.fromisoformat(T1)),       # brand new key
+        ],
+    )
+    merged = scd2_merge(hist, upd, "custkey", ["segment"])
+    rows = {(r.custkey, r.segment, r.is_current): r for r in merged.collect()}
+
+    assert merged.count() == 5  # 3 original (+1 closed variant) +1 new version +1 new key
+    assert (1, "GOLD", False) in rows and (1, "PLATINUM", True) in rows
+    closed = rows[(1, "GOLD", False)]
+    opened = rows[(1, "PLATINUM", True)]
+    assert str(closed.valid_to).startswith(T1) and str(opened.valid_from).startswith(T1)
+    assert (2, "SILVER", True) in rows  # untouched
+    assert (9, "NEW", True) in rows
+    # exactly one current row per key
+    cur = merged.filter("is_current").groupBy("custkey").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_redelivery_is_noop_and_chains_extend(spark):
+    hist = _hist0(spark)
+    upd1 = _updates(spark, [(1, "PLATINUM", datetime.fromisoformat(T1))])
+    h1 = scd2_merge(hist, upd1, "custkey", ["segment"])
+    # re-deliver the same update: attribute-identical → nothing changes
+    h1b = scd2_merge(h1, upd1, "custkey", ["segment"])
+    assert h1b.count() == h1.count()
+    # a second real change extends the chain
+    upd2 = _updates(spark, [(1, "DIAMOND", datetime.fromisoformat(T2))])
+    h2 = scd2_merge(h1, upd2, "custkey", ["segment"])
+    versions = sorted(
+        (str(r.valid_from), str(r.valid_to), r.segment)
+        for r in h2.filter("custkey = 1").collect()
+    )
+    assert [v[2] for v in versions] == ["GOLD", "PLATINUM", "DIAMOND"]
+    # point-in-time: mid-February sees PLATINUM, today sees DIAMOND
+    feb = scd2_as_of(h2, F.lit("2024-02-15").cast("timestamp"))
+    assert feb.filter("custkey = 1").first().segment == "PLATINUM"
+    now = scd2_as_of(h2, F.lit("2024-06-01").cast("timestamp"))
+    assert now.filter("custkey = 1").first().segment == "DIAMOND"
