@@ -40,11 +40,28 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+QUERY_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT", "150"))
+
+
 def run_query(spark, fn, sf_dir: str) -> float:
-    t0 = time.perf_counter()
-    df = fn(spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    """Execute one query to completion under a watchdog: if it exceeds
+    QUERY_TIMEOUT_S the active jobs are cancelled, the query records a
+    failure, and the bench moves on — one pathological query must never
+    cost the whole bench run."""
+    import threading
+
+    timer = threading.Timer(
+        QUERY_TIMEOUT_S, spark.sparkContext.cancelAllJobs
+    )
+    timer.daemon = True
+    timer.start()
+    try:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+    finally:
+        timer.cancel()
 
 
 def main() -> int:
