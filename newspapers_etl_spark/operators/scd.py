@@ -20,8 +20,11 @@ valid_from for time-pruned reads.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.registry import query
 
 OPEN_END = "9999-12-31 23:59:59"  # sentinel for the open version
 
@@ -113,3 +116,110 @@ def scd2_merge(
 def scd2_as_of(history: DataFrame, at: Column) -> DataFrame:
     """Point-in-time view: the version valid at `at` per key."""
     return history.filter((F.col("valid_from") <= at) & (at < F.col("valid_to")))
+
+
+# ---------------------------------------------------------------------------
+# Registered queries: a deterministic CDC batch over the customer dim
+# ---------------------------------------------------------------------------
+
+_BASE_TS = "2024-01-01 00:00:00"
+_UPD_TS = "2024-06-01 00:00:00"
+
+
+def _merged_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap SCD2 history from the customer snapshot, then apply one
+    CDC batch: every customer holding a finished ('F') order churns —
+    their segment changes to CHURNED at _UPD_TS."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    hist0 = scd2_init(cust, F.lit(_BASE_TS).cast("timestamp"))
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .select(
+            "c_custkey",
+            F.lit("CHURNED").alias("c_mktsegment"),
+            F.lit(_UPD_TS).cast("timestamp").alias("ts"),
+        )
+    )
+    return scd2_merge(hist0, updates, key="c_custkey", track_cols=["c_mktsegment"])
+
+
+SCD2_MERGE_ORACLE = f"""
+WITH changed AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       '{_BASE_TS}' AS valid_from,
+       '{OPEN_END}' AS valid_to,
+       TRUE AS is_current
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM changed ch WHERE ch.c_custkey = c.c_custkey)
+UNION ALL
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       '{_BASE_TS}', '{_UPD_TS}', FALSE
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM changed ch WHERE ch.c_custkey = c.c_custkey)
+UNION ALL
+SELECT c.c_custkey, c.c_name, 'CHURNED' AS c_mktsegment,
+       '{_UPD_TS}', '{OPEN_END}', TRUE
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM changed ch WHERE ch.c_custkey = c.c_custkey)
+"""
+
+
+@query("scd2_merge_history", oracle=SCD2_MERGE_ORACLE)
+def scd2_merge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCD2 history after one CDC batch: unchanged open rows, closed
+    prior versions, and newly opened versions, all from a single
+    change-detection join (see module docstring for the scale argument).
+    Mirrors the reference's skip-unchanged/add-new catalog discipline
+    (src/01-scrape-images.py:462-465) with version history retained.
+
+    Validity bounds are projected as formatted strings: the 9999-12-31
+    open-version sentinel is outside Arrow's nanosecond timestamp range,
+    so a timestamp projection would overflow the driver's Arrow-based
+    result compare (pandas ns epoch ends 2262-04-11)."""
+    hist = _merged_customer_history(spark, sf_dir)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return hist.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    )
+
+
+SCD2_AS_OF_ORACLE = """
+WITH changed AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT c_mktsegment, count(*) AS n_customers
+FROM (
+  SELECT CASE WHEN EXISTS (SELECT 1 FROM changed ch WHERE ch.c_custkey = c.c_custkey)
+              THEN 'CHURNED' ELSE c.c_mktsegment END AS c_mktsegment
+  FROM customer c
+) t
+GROUP BY c_mktsegment
+"""
+
+
+@query("scd2_point_in_time", oracle=SCD2_AS_OF_ORACLE)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time segment census AFTER the churn batch: the as-of
+    filter selects exactly one version per key (the one whose validity
+    interval covers the probe ts), then a count per segment.  The as-of
+    predicate is a map-side filter — no window, no join — so a
+    valid_from-partitioned history prunes to the covering partitions."""
+    hist = _merged_customer_history(spark, sf_dir)
+    at = F.lit("2024-07-01 00:00:00").cast("timestamp")
+    return (
+        scd2_as_of(hist, at)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )

@@ -33,6 +33,7 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.events_windows",
     "newspapers_etl_spark.operators.pandas_surface",
     "newspapers_etl_spark.operators.pipeline",
+    "newspapers_etl_spark.operators.scd",
     "newspapers_etl_spark.sinks.verified",
     "newspapers_etl_spark.streaming.incremental_stream",
 )
