@@ -275,6 +275,55 @@ def dedup_minhash_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_VERIFY_THRESHOLD = 0.8
+
+
+@query("dedup_lsh_verified_pairs")  # rows-only: candidate set is hash-derived
+def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE MinHash near-dedup pipeline in one query:
+    shingle → signature → banded buckets → candidate pairs → exact
+    token-set Jaccard verify, emitting every candidate with its verified
+    score and an is_near_dup verdict (unfiltered, so the candidate set
+    itself is observable).  This is the operator a training-data
+    pipeline runs (reference analog: the issue-level skip-if-seen
+    discipline, src/01-scrape-images.py:462-465, generalized to fuzzy
+    identity).
+
+    Scale path: candidates are O(sum of C(bucket,2)), bounded by the
+    banding knobs (see dedup_minhash_lsh_stats for the feedback query);
+    the verify joins shuffle 16-byte ids plus one token array per
+    matched doc — the token re-read is semi-join-pruned to candidate
+    ids, never a second full-corpus pass of pair work."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.array_distinct(words("text")).alias("ts")
+    ).withColumn("n", F.size("ts"))
+    sigs = (
+        d.select("doc_id", words("text").alias("toks"))
+        .select("doc_id", shingles("toks").alias("sh"))
+        .select("doc_id", minhash_signature("sh").alias("sig"))
+    )
+    cands = candidate_pairs(lsh_bands(sigs, "doc_id"), "doc_id")
+    pa = toks.select(
+        F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"), F.col("n").alias("n_a")
+    )
+    pb = toks.select(
+        F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"), F.col("n").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    j = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cands.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(j, 4).alias("jaccard"),
+            (j >= LSH_VERIFY_THRESHOLD).alias("is_near_dup"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup (blocked pair scan)
 # ---------------------------------------------------------------------------
