@@ -19,6 +19,8 @@ Scale design:
 
 from __future__ import annotations
 
+from itertools import combinations
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -89,10 +91,14 @@ GROUP BY source
 
 @query("dedup_ngram_jaccard", oracle=JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard over pairs WITHIN a blocking key (source)
-    — the verify step that runs after LSH candidate generation.  The join
-    is blocked on source so pair count is sum of per-block C(n,2), never
-    the global cross product; at 100 TB the block key is the LSH bucket."""
+    """Exact token-set Jaccard over pairs WITHIN a blocking key (source).
+
+    This registered form is the VERIFY-STAGE DEMO at fixture scale: it
+    blocks on `source` so the oracle can enumerate the same pairs, which
+    is per-block C(n,2) and therefore sf-only — at 100 TB this exact
+    pair scan NEVER runs standalone; it runs over LSH candidates, which
+    is precisely what `dedup_lsh_verified_pairs` registers as the
+    scale-path pipeline (bounded candidates → this same Jaccard math)."""
     d = load_table(spark, sf_dir, "documents")
     # Token-set size is precomputed per ROW; per pair only the intersect
     # runs and |A∪B| comes from inclusion-exclusion (|A|+|B|-|A∩B|) —
@@ -229,8 +235,34 @@ def lsh_bands(df: DataFrame, id_col: str, sig_col: str = "sig") -> DataFrame:
     )
 
 
-def candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
-    """Distinct id pairs sharing any band bucket (the LSH candidate set)."""
+# Mega-bucket guard: a degenerate band bucket (every empty doc, a boiler-
+# plate header shared corpus-wide) makes the per-bucket C(n,2) pair join
+# explode at scale — one 10M-row bucket is 5*10^13 pairs.  Buckets over
+# the cap are excluded from pair generation and surfaced as a metric
+# (dedup_minhash_lsh_stats reports skipped counts with the same cap);
+# members of a capped bucket can still pair through their OTHER bands,
+# so the loss is recall-bounded, not silent row loss.
+MAX_LSH_BUCKET = 200
+
+
+def candidate_pairs(
+    banded: DataFrame, id_col: str, max_bucket: int | None = MAX_LSH_BUCKET
+) -> DataFrame:
+    """Distinct id pairs sharing any band bucket (the LSH candidate set).
+
+    Buckets larger than ``max_bucket`` rows are dropped from the pair
+    join (pass ``None`` to disable).  The size filter is one extra
+    aggregation on the SAME (band_id, band_hash) shuffle key as the pair
+    join itself, so it adds no new exchange at scale."""
+    if max_bucket is not None:
+        sizes = banded.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("_bucket_n")
+        )
+        banded = (
+            banded.join(sizes, ["band_id", "band_hash"])
+            .filter(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -261,6 +293,8 @@ def dedup_minhash_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", minhash_signature("sh").alias("sig"))
     )
     banded = lsh_bands(sigs, "doc_id")
+    over_cap = F.col("bucket_size") > MAX_LSH_BUCKET
+    pair_count = (F.col("bucket_size") * (F.col("bucket_size") - 1)) / 2
     return (
         banded.groupBy("band_id", "band_hash")
         .agg(F.count("*").alias("bucket_size"))
@@ -268,9 +302,15 @@ def dedup_minhash_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_buckets"),
             F.max("bucket_size").alias("max_bucket"),
-            F.sum(
-                (F.col("bucket_size") * (F.col("bucket_size") - 1)) / 2
-            ).cast("long").alias("n_candidate_pairs"),
+            F.sum(F.when(~over_cap, pair_count).otherwise(0))
+            .cast("long")
+            .alias("n_candidate_pairs"),
+            # the guard's footprint: buckets candidate_pairs() would skip
+            # at MAX_LSH_BUCKET, and the pair volume that skip avoids
+            F.sum(over_cap.cast("long")).alias("n_skipped_buckets"),
+            F.sum(F.when(over_cap, pair_count).otherwise(0))
+            .cast("long")
+            .alias("n_skipped_pairs"),
         )
     )
 
@@ -325,10 +365,13 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup (blocked pair scan)
+# Embedding-cosine near-dup (multi-table hyperplane LSH blocking)
 # ---------------------------------------------------------------------------
 
 NEARDUP_COS_THRESHOLD = 0.30
+EMB_LSH_TABLES = 2
+EMB_LSH_BITS = 8
+_EMB_DIM = 64  # fixture embedding width (FIXTURES.md)
 
 # Double-precision fold on the oracle side (DuckDB's list_cosine_similarity
 # accumulates in float32, ~1e-7 off Spark's double path).
@@ -337,54 +380,140 @@ _ORACLE_DOT = (
 )
 _ORACLE_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*x)))"
 
+
+def _rademacher_planes(
+    tables: int = EMB_LSH_TABLES, bits: int = EMB_LSH_BITS, dim: int = _EMB_DIM
+) -> list[list[list[float]]]:
+    """Deterministic ±1 (Rademacher) hyperplanes, planes[table][bit] =
+    dim-wide sign vector from a fixed-seed LCG.  ±1 components make the
+    plane dot an exact sum of (cast-to-double) embedding components, so
+    the SAME literal planes embedded in the DuckDB oracle reproduce the
+    Spark bucket bit-for-bit — the blocking stays value-hash-checkable
+    despite being hash-style LSH."""
+    state = 0x517CC1B727220A95
+    out = []
+    for _ in range(tables):
+        planes = []
+        for _ in range(bits):
+            comps = []
+            for _ in range(dim):
+                state = (
+                    state * 6364136223846793005 + 1442695040888963407
+                ) % (1 << 63)
+                comps.append(1.0 if (state >> 32) & 1 else -1.0)
+            planes.append(comps)
+        out.append(planes)
+    return out
+
+
+_EMB_PLANES = _rademacher_planes()
+
+
+def emb_lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket for one table, as a '0'/'1' string — bit p =
+    [dot(vec, plane_p) > 0].  One dot fold per plane, JVM-side."""
+    return F.concat(
+        *[
+            F.when(
+                dot(vec, F.array(*[F.lit(c) for c in plane])) > 0, F.lit("1")
+            ).otherwise(F.lit("0"))
+            for plane in planes
+        ]
+    )
+
+
+def _sql_bucket(planes: list[list[float]]) -> str:
+    """The identical bucket expression in DuckDB SQL over `embedding`."""
+    bits = []
+    for plane in planes:
+        arr = "[" + ",".join("1.0" if c > 0 else "-1.0" for c in plane) + "]"
+        d = f"list_sum(list_transform(list_zip(embedding, {arr}), z -> CAST(z[1] AS DOUBLE)*z[2]))"
+        bits.append(f"(CASE WHEN {d} > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
 EMBED_NEARDUP_ORACLE = f"""
+WITH bkt AS (
+  SELECT vec_id,
+         {_sql_bucket(_EMB_PLANES[0])} AS bucket_0,
+         {_sql_bucket(_EMB_PLANES[1])} AS bucket_1
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bkt a JOIN bkt b
+    ON a.vec_id < b.vec_id
+   AND (a.bucket_0 = b.bucket_0 OR a.bucket_1 = b.bucket_1)
+)
 SELECT * FROM (
-  SELECT a.label,
-         a.vec_id AS id_a,
-         b.vec_id AS id_b,
+  SELECT c.id_a, c.id_b,
          round(
-           {_ORACLE_DOT.format(a="a.embedding", b="b.embedding")}
-           / ({_ORACLE_NORM.format(a="a.embedding")} * {_ORACLE_NORM.format(a="b.embedding")}),
+           {_ORACLE_DOT.format(a="ea.embedding", b="eb.embedding")}
+           / ({_ORACLE_NORM.format(a="ea.embedding")} * {_ORACLE_NORM.format(a="eb.embedding")}),
            6) AS cos_sim
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
 ) WHERE cos_sim >= {NEARDUP_COS_THRESHOLD}
 """
 
 
 @query("dedup_embedding_neardup", oracle=EMBED_NEARDUP_ORACLE)
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs WITHIN a blocking key
-    (label) — the semantic-dedup verify stage: candidate pairs come from
-    a blocked equi-join (at 100 TB the block key is the LSH bucket from
-    similarity.lsh_bucket, bounding fan-out), each pair scored once with
-    the JVM-side cosine, thresholded.  Never an all-pairs cross join.
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: candidates
+    are pairs colliding in ANY of EMB_LSH_TABLES sign-pattern bucket
+    tables (deterministic Rademacher hyperplanes), then each candidate
+    is verified once with the exact JVM-side cosine and thresholded.
+    Fan-out is bounded by bucket occupancy (expected n/2^bits per
+    table), never a label- or corpus-wide pair join — this is the
+    100 TB semantic-dedup plan, and because the planes are deterministic
+    literals mirrored in the oracle SQL, the whole pipeline stays
+    value-hash-verified (recall vs. an exact blocked scan is separately
+    pytest-checked in tests/test_dedup_recall.py).
 
-    Norms are computed ONCE per row before the join (O(n) per vector),
-    so the per-pair cost is a single dot fold — inlining
-    cosine_similarity in the pair projection would redo both norms per
-    pair.  dot/(na*nb) is arithmetically identical to the oracle's
-    inline form, so rounding stays aligned."""
+    Norms are computed ONCE per row before the verify join; candidates
+    carry only ids, and the embedding re-read is semi-join-pruned to
+    candidate ids — the token-array analog of dedup_lsh_verified_pairs."""
     e = load_table(spark, sf_dir, "embeddings")
-    withnorm = e.select(
-        "vec_id", "label", "embedding", l2_norm("embedding").alias("nrm")
+    withb = e.select(
+        "vec_id",
+        *[
+            emb_lsh_bucket("embedding", _EMB_PLANES[t]).alias(f"bucket_{t}")
+            for t in range(EMB_LSH_TABLES)
+        ],
     )
-    a = withnorm.alias("a")
-    b = withnorm.alias("b")
-    return (
-        a.join(
+    cands = None
+    for t in range(EMB_LSH_TABLES):
+        a = withb.alias("a")
+        b = withb.alias("b")
+        ct = a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col(f"a.bucket_{t}") == F.col(f"b.bucket_{t}"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
         )
+        cands = ct if cands is None else cands.unionByName(ct)
+    cands = cands.distinct()
+    withnorm = e.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
+    pa = withnorm.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    pb = withnorm.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return (
+        cands.join(pa, "id_a")
+        .join(pb, "id_b")
         .select(
-            F.col("a.label").alias("label"),
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round(
-                dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
-                6,
+                dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 6
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= NEARDUP_COS_THRESHOLD)
@@ -449,24 +578,75 @@ def hamming16(a: Column | str, b: Column | str) -> Column:
     return out
 
 
+# --- Manku multi-table blocking (guaranteed recall at Hamming <= d) ---
+#
+# Split the f-bit simhash into m blocks; key each table on the
+# concatenation of a k-subset of blocks.  A pair at Hamming distance
+# <= d has its differing bits inside at most d blocks, so whenever
+# m - k >= d there is at least one k-subset that avoids ALL differing
+# bits — that table's keys match exactly.  This is the Manku/Google
+# near-duplicate scheme (WWW'07): recall at d is GUARANTEED, and each
+# key is sum-of-k block widths long, so buckets stay small (vs. the
+# single short-prefix block, whose 2^4 buckets made the pair join
+# quadratic AND missed pairs whose differing bits fell in the prefix).
+#
+# For the 16-bit hash with d = 3: m = 6 blocks (widths 3,3,3,3,2,2),
+# k = 3 → C(6,3) = 20 tables with 7-9-bit keys (128-512 buckets each).
+# At a real 100 TB corpus simhash widens to 64 bits and the same
+# construction gives ~32-bit keys — the table count stays C(6,3).
+SIMHASH_HAMMING_D = 3
+_SIMHASH_BLOCK_WIDTHS = (3, 3, 3, 3, 2, 2)
+_SIMHASH_BLOCK_STARTS = tuple(
+    sum(_SIMHASH_BLOCK_WIDTHS[:i]) for i in range(len(_SIMHASH_BLOCK_WIDTHS))
+)
+_SIMHASH_TABLES: tuple[tuple[int, ...], ...] = tuple(
+    combinations(range(len(_SIMHASH_BLOCK_WIDTHS)), 3)
+)
+
+
+def simhash_table_keys(sh: Column | str) -> Column:
+    """All table keys for one simhash, as array<struct<table_id,key>> —
+    key = the bit-packed concatenation of that table's block values.
+    Pure literal shift/mask integer arithmetic (widths are compile-time
+    Python ints — F.shiftright needs int bit counts, not Columns)."""
+    h = F.col(sh) if isinstance(sh, str) else sh
+
+    def block(i: int) -> Column:
+        return F.shiftright(h, _SIMHASH_BLOCK_STARTS[i]).bitwiseAND(
+            F.lit((1 << _SIMHASH_BLOCK_WIDTHS[i]) - 1)
+        )
+
+    entries = []
+    for tid, blocks in enumerate(_SIMHASH_TABLES):
+        key = F.lit(0)
+        for i in blocks:
+            key = F.shiftleft(key, _SIMHASH_BLOCK_WIDTHS[i]) + block(i)
+        entries.append(
+            F.struct(F.lit(tid).alias("table_id"), key.alias("key"))
+        )
+    return F.array(*entries)
+
+
 @query("dedup_simhash_neardup_pairs")  # rows-only: hash values are engine-specific
 def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: pairs sharing a 4-bit prefix bucket
-    with Hamming distance <= 3 — prefix blocking bounds the pair join
-    (≈ n²/2^4 per bucket instead of n²), then the cheap popcount verify
-    runs only inside buckets.  At 100 TB use multiple rotated prefix
-    tables to guarantee recall at distance d (the Manku/Google
-    near-duplicate scheme)."""
+    """SimHash near-dup pairs at Hamming distance <= 3 via Manku
+    multi-table blocking: explode each doc's 20 table keys, equi-join on
+    (table_id, key), popcount-verify, distinct.  Recall at d <= 3 is
+    guaranteed by construction (see simhash_table_keys); the pair join
+    is bounded by per-table bucket sizes (hundreds of buckets per
+    table), never the n²/16 of a single 4-bit prefix block."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", simhash("text").alias("sh")).select(
-        "doc_id", "sh", F.shiftright("sh", SIMHASH_BITS - 4).alias("bucket")
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sh = d.select("doc_id", simhash("text").alias("sh"))
+    keyed = sh.select(
+        "doc_id", "sh", F.explode(simhash_table_keys("sh")).alias("t")
+    ).select("doc_id", "sh", F.col("t.table_id").alias("table_id"), F.col("t.key").alias("key"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -474,20 +654,35 @@ def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
             hamming16(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
         )
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_D)
+        .distinct()
     )
 
 
 @query("dedup_simhash_buckets")  # rows-only: hash values are engine-specific
 def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document SimHash plus its 4-bit prefix bucket — the blocking
-    key under which near-dup candidates are compared by Hamming distance
-    at scale (prefix blocks ≈ LSH for Hamming space)."""
+    """Per-table SimHash bucket statistics — the skew/fan-out diagnostic
+    for the Manku multi-table blocking: per table, how many distinct
+    keys, the largest bucket, and the implied pair volume.  This is the
+    feedback query for choosing block widths at scale (wider keys →
+    more buckets → fewer pairs per table)."""
     d = load_table(spark, sf_dir, "documents")
-    # simhash computed once; the prefix derives from the column (a second
-    # simhash() call would re-fold the whole token array).
-    return d.select("doc_id", simhash("text").alias("simhash")).select(
-        "doc_id",
-        "simhash",
-        F.shiftright("simhash", SIMHASH_BITS - 4).alias("prefix_bucket"),
+    # simhash computed once; the table keys derive from the column (a
+    # second simhash() call would re-fold the whole token array).
+    keyed = (
+        d.select("doc_id", simhash("text").alias("sh"))
+        .select("doc_id", F.explode(simhash_table_keys("sh")).alias("t"))
+        .select(F.col("t.table_id").alias("table_id"), F.col("t.key").alias("key"))
+    )
+    return (
+        keyed.groupBy("table_id", "key")
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("table_id")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("bucket_size").alias("max_bucket"),
+            F.sum((F.col("bucket_size") * (F.col("bucket_size") - 1)) / 2)
+            .cast("long")
+            .alias("n_candidate_pairs"),
+        )
     )

@@ -261,13 +261,25 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable partial state, bounded memory per group regardless of
     group size; exact percentiles (agg_percentiles) buffer the group.
     Rows-only because sketch estimates are engine-specific; the exact
-    variant is the accuracy oracle."""
+    variant is the accuracy oracle.  The quantile array is posexploded
+    into one scalar row per (group, quantile) — scalar-only output is
+    the driver's de-facto canonicalization contract (array columns are
+    unhashable in its pandas sort)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75, 0.99], 10_000).alias(
-            "quantiles"
-        ),
+    qs = [0.25, 0.5, 0.75, 0.99]
+    agged = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", qs, 10_000).alias("quantiles"),
         F.count("*").alias("n_rows"),
+    )
+    return agged.select(
+        "l_returnflag",
+        "n_rows",
+        F.posexplode("quantiles").alias("q_idx", "quantile_est"),
+    ).select(
+        "l_returnflag",
+        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("q_idx") + 1).alias("q"),
+        "quantile_est",
+        "n_rows",
     )
 
 

@@ -21,13 +21,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Registration order matters: the driver's correctness harness checks
+# queries in registration order (capped around ~50 per round), so the
+# families with the least oracle-verification history go FIRST.  The
+# relational/extraction families have two full rounds of green
+# CORRECTNESS rows and rotate to the back.
 _OPERATOR_MODULES = (
-    "newspapers_etl_spark.operators.relational",
-    "newspapers_etl_spark.operators.relational_extended",
-    "newspapers_etl_spark.operators.extraction_queries",
-    "newspapers_etl_spark.operators.incremental",
-    "newspapers_etl_spark.operators.dedup",
-    "newspapers_etl_spark.operators.similarity",
     "newspapers_etl_spark.operators.text_analysis",
     "newspapers_etl_spark.operators.multimodal",
     "newspapers_etl_spark.operators.events_windows",
@@ -36,6 +35,12 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.scd",
     "newspapers_etl_spark.sinks.verified",
     "newspapers_etl_spark.streaming.incremental_stream",
+    "newspapers_etl_spark.operators.similarity",
+    "newspapers_etl_spark.operators.dedup",
+    "newspapers_etl_spark.operators.relational_extended",
+    "newspapers_etl_spark.operators.incremental",
+    "newspapers_etl_spark.operators.relational",
+    "newspapers_etl_spark.operators.extraction_queries",
 )
 
 _loaded = False

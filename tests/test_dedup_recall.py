@@ -14,12 +14,15 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.operators.dedup import (
+    _EMB_PLANES,
     candidate_pairs,
+    emb_lsh_bucket,
     hamming16,
     lsh_bands,
     minhash_signature,
     shingles,
     simhash,
+    simhash_table_keys,
 )
 from newspapers_etl_spark.functions.text import words
 
@@ -82,6 +85,109 @@ def test_minhash_signature_similarity_orders_pairs(spark):
     assert agree(0, 1) > agree(0, 2), (
         "signature agreement must rank the planted dup above unrelated text"
     )
+
+
+def test_simhash_multitable_guarantees_recall_at_d3(spark):
+    """The Manku blocking invariant, tested exhaustively: EVERY 16-bit
+    value at Hamming distance exactly 3 from a base value must share at
+    least one (table_id, key) with it — C(16,3) = 560 variants, zero
+    misses allowed.  This is the recall guarantee the docstring claims;
+    the old single-prefix scheme fails this for any triple touching the
+    prefix bits."""
+    from itertools import combinations as _combos
+
+    base = 0b1011_0010_1110_0101
+    variants = [
+        (i + 1, base ^ ((1 << a) | (1 << b) | (1 << c)))
+        for i, (a, b, c) in enumerate(_combos(range(16), 3))
+    ]
+    df = spark.createDataFrame([(0, base)] + variants, ["doc_id", "sh"])
+    keyed = df.select(
+        "doc_id", F.explode(simhash_table_keys("sh")).alias("t")
+    ).select("doc_id", "t.table_id", "t.key")
+    base_keys = keyed.filter(F.col("doc_id") == 0).select("table_id", "key")
+    caught = (
+        keyed.filter(F.col("doc_id") != 0)
+        .join(base_keys, ["table_id", "key"])
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert caught == len(variants), (
+        f"multi-table blocking missed {len(variants) - caught} of "
+        f"{len(variants)} distance-3 variants"
+    )
+
+
+def test_simhash_multitable_bucket_count_exceeds_prefix_scheme(spark, sf_dir):
+    """The pair join must be bounded by many small buckets, not 16 big
+    ones: distinct (table_id, key) count over the fixture corpus must be
+    far above the old scheme's 16."""
+    from newspapers_etl_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n_buckets = (
+        d.select(simhash("text").alias("sh"))
+        .select(F.explode(simhash_table_keys("sh")).alias("t"))
+        .select("t.table_id", "t.key")
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 100, f"expected >>16 blocking buckets, got {n_buckets}"
+
+
+def test_embedding_lsh_planted_neardup_collides(spark):
+    """A near-identical embedding pair must collide in at least one
+    Rademacher table (deterministic planes + deterministic vectors = a
+    fixed property, not a flaky sample), while the blocking must still
+    split the space (an antipodal vector lands in the complement bucket
+    of every table)."""
+    state = 12345
+    v = []
+    for _ in range(64):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        v.append(((state >> 32) % 2001 - 1000) / 1000.0)
+    near = list(v)
+    near[0] += 0.01  # tiny perturbation: cosine ~ 0.9999
+    anti = [-x for x in v]
+    df = spark.createDataFrame(
+        [(0, v), (1, near), (2, anti)], ["vec_id", "embedding"]
+    )
+    buckets = df.select(
+        "vec_id",
+        *[
+            emb_lsh_bucket("embedding", _EMB_PLANES[t]).alias(f"b{t}")
+            for t in range(len(_EMB_PLANES))
+        ],
+    )
+    rows = {r.vec_id: (r.b0, r.b1) for r in buckets.collect()}
+    assert any(rows[0][t] == rows[1][t] for t in range(2)), (
+        "planted near-duplicate must share an LSH bucket in some table"
+    )
+    assert all(rows[0][t] != rows[2][t] for t in range(2)), (
+        "antipodal vector must never share a bucket"
+    )
+
+
+def test_candidate_pairs_mega_bucket_guard(spark):
+    """Adversarial degenerate bucket: 500 identical documents share every
+    band bucket, so without the guard the pair join is C(500,2) per band;
+    with the default cap those buckets are skipped entirely while a
+    planted near-dup pair in its own small buckets is still recalled."""
+    clones = [(i, "identical boilerplate header row " * 8) for i in range(10, 510)]
+    d = spark.createDataFrame([(0, BASE), (1, NEAR)] + clones, ["doc_id", "text"])
+    sigs = (
+        d.select("doc_id", words("text").alias("toks"))
+        .select("doc_id", shingles("toks").alias("sh"))
+        .select("doc_id", minhash_signature("sh").alias("sig"))
+    )
+    banded = lsh_bands(sigs, "doc_id")
+    guarded = candidate_pairs(banded, "doc_id").collect()
+    pairs = {(r.id_a, r.id_b) for r in guarded}
+    assert (0, 1) in pairs, "planted pair must survive the guard"
+    assert len(pairs) <= 2, f"mega-bucket pairs must be skipped, got {len(pairs)}"
+    unguarded = candidate_pairs(banded, "doc_id", max_bucket=None).count()
+    assert unguarded >= 500 * 499 // 2, "cap disabled must regenerate the flood"
 
 
 def test_simhash_hamming_orders_pairs(spark):
