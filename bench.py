@@ -84,17 +84,32 @@ def main() -> int:
             print(f"[bench] {name}: FAILED {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
+    result = {
+        "metric": "total_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    # Full-precision copy on disk for BASELINE.md bookkeeping — the
+    # stdout line is the driver contract, the file is the archive.
+    try:
+        with open(Path(_REPO) / "BENCH_SELF.json", "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError as e:  # read-only checkout must not kill the bench
+        print(f"[bench] BENCH_SELF.json not written: {e}", file=sys.stderr)
+    # The driver captures only the LAST 2000 chars of stdout and parses
+    # the JSON from that window, so the line must stay under 2000 chars:
+    # compact separators, 2-decimal per-query values (query names are
+    # sized so the worst case fits with ~70 chars of headroom).
+    compact = dict(
+        result,
+        queries={n: round(t, 2) for n, t in timings.items()},
     )
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) >= 1990:  # loud, not silent: a too-long line parses as null
+        print(f"[bench] WARNING stdout line {len(line)} chars >= 1990", file=sys.stderr)
+    print(line)
     return 0
 
 

@@ -73,7 +73,7 @@ WHERE NOT EXISTS (
 """
 
 
-@query("flagship_issue_backlog", oracle=FLAGSHIP_ORACLE)
+@query("flagship_backlog", oracle=FLAGSHIP_ORACLE)
 def flagship_issue_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _orders_in_range(spark, sf_dir).select(
         "o_orderkey", F.to_date("o_orderdate").alias("order_date")
@@ -252,7 +252,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+@query("agg_approx_ndv")  # rows-only: HLL estimates are engine-specific
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct — the 100 TB path where exact distinct would
     shuffle every key; HLL sketches merge associatively so this needs one
@@ -274,7 +274,7 @@ GROUP BY o_orderpriority
 """
 
 
-@query("pivot_status_by_priority", oracle=PIVOT_ORACLE)
+@query("pivot_status", oracle=PIVOT_ORACLE)
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with an explicit value list (never let Spark scan for distinct
     pivot values at 100 TB — declare them)."""
@@ -311,7 +311,7 @@ GROUP BY 1, 2
 """
 
 
-@query("join_broadcast_star", oracle=STAR_JOIN_ORACLE)
+@query("join_star", oracle=STAR_JOIN_ORACLE)
 def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join: fact orders against three dims, all broadcast — the fact
     table never shuffles for the join, only for the final small-key agg."""
@@ -341,7 +341,7 @@ WHERE EXISTS (
 """
 
 
-@query("join_semi_active_customers", oracle=SEMI_ORACLE)
+@query("join_semi", oracle=SEMI_ORACLE)
 def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
@@ -357,7 +357,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
-@query("join_anti_inactive_customers", oracle=ANTI_ORACLE)
+@query("join_anti", oracle=ANTI_ORACLE)
 def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's core incremental primitive as a relation op: rows with
     no counterpart in the catalog (J1, src/01-scrape-images.py:181-188)."""
@@ -378,7 +378,7 @@ GROUP BY 1
 """
 
 
-@query("join_left_outer_order_counts", oracle=OUTER_ORACLE)
+@query("join_left_outer", oracle=OUTER_ORACLE)
 def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-before-join: orders is reduced to one row per o_custkey
     BEFORE the join, so the shuffle carries the 1-row-per-key aggregate,
@@ -411,7 +411,7 @@ GROUP BY 1
 """
 
 
-@query("join_range_late_shipments", oracle=RANGE_JOIN_ORACLE)
+@query("join_range", oracle=RANGE_JOIN_ORACLE)
 def join_range_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-join with a range residual (ship > order + 90d) — the equi key
     carries the shuffle, the range predicate evaluates post-match, so this
@@ -444,7 +444,7 @@ WHERE rn = 1
 """
 
 
-@query("window_top_order_per_customer", oracle=TOP_ORDER_ORACLE)
+@query("window_rank_topn", oracle=TOP_ORDER_ORACLE)
 def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-match-wins semantics (reference P1 fallback chains / files[0],
     src/01-scrape-images.py:270-279,146-147) as row_number()==1. Tie-broken
@@ -478,7 +478,7 @@ FROM orders
 """
 
 
-@query("window_running_spend", oracle=RUNNING_ORACLE)
+@query("window_frames", oracle=RUNNING_ORACLE)
 def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic windows: running frame sum, lag delta, rank — one shuffle on
     o_custkey serves all three (same partitioning/ordering)."""
@@ -509,7 +509,7 @@ LIMIT 10
 """
 
 
-@query("topk_net_price_lines", oracle=TOPK_ORACLE)
+@query("topk_lines", oracle=TOPK_ORACLE)
 def topk_net_price_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: Catalyst plans TakeOrderedAndProject — per-partition
     heap of k then a k-row merge on the driver, no global sort at 100 TB."""
@@ -573,7 +573,7 @@ SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
 """
 
 
-@query("distinct_segment_nation", oracle=DISTINCT_ORACLE)
+@query("distinct_dims", oracle=DISTINCT_ORACLE)
 def distinct_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relation-level distinct (A2; reference dedups with list(set(...)),
     src/01-scrape-images.py:299)."""
@@ -595,7 +595,7 @@ GROUP BY l_orderkey
 """
 
 
-@query("agg_collect_per_group", oracle=COLLECT_ORACLE)
+@query("agg_collect", oracle=COLLECT_ORACLE)
 def agg_collect_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group collection (A4; reference accumulates per-issue filename
     lists, src/01-scrape-images.py:330-343).  collect_list is arrival-order
@@ -628,7 +628,7 @@ ASOF LEFT JOIN clicks c
 """
 
 
-@query("join_asof_last_click", oracle=ASOF_ORACLE)
+@query("join_asof", oracle=ASOF_ORACLE)
 def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (most recent prior click per error event), implemented as
     union + single window pass instead of the naive join+re-aggregate:
@@ -671,7 +671,7 @@ HAVING count(*) >= 5
 """
 
 
-@query("explode_word_counts", oracle=EXPLODE_ORACLE)
+@query("explode_words", oracle=EXPLODE_ORACLE)
 def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Issue→files 1:N fan-out (J3, reference download_newspaper_issue
     src/01-scrape-images.py:440-459) as explode + count."""

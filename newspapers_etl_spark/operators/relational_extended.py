@@ -94,7 +94,7 @@ GROUP BY n.n_name
 """
 
 
-@query("q5_local_supplier_volume", oracle=Q5_ORACLE)
+@query("q5_supplier_volume", oracle=Q5_ORACLE)
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with the local-supplier correlation
     (customer nation == supplier nation).  All four dims broadcast —
@@ -145,7 +145,7 @@ FROM wide UNPIVOT (n FOR status IN (n_f, n_o, n_p))
 """
 
 
-@query("agg_unpivot_status", oracle=UNPIVOT_ORACLE)
+@query("unpivot_status", oracle=UNPIVOT_ORACLE)
 def agg_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unpivot/melt: wide per-status count columns back to long form —
     the inverse of the pivot operator.  Map-side row expansion (×3), no
@@ -184,7 +184,7 @@ FROM manifests m LEFT JOIN (
 """
 
 
-@query("explode_outer_empty_manifests", oracle=EXPLODE_OUTER_ORACLE)
+@query("explode_outer", oracle=EXPLODE_OUTER_ORACLE)
 def explode_outer_empty_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode_outer: the issue→files fan-out (J3) that KEEPS issues
     whose manifest has no pages (NULL page row) — a plain explode
