@@ -146,12 +146,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     inference would cost a scan.
 
     ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    reader rejects outright; it is read as raw nanos (legacy conf) and
-    floor-divided to a microsecond timestamp — the same ns→µs truncation
-    DuckDB applies, so oracle comparisons line up exactly."""
+    reader rejects outright; it is read as raw nanos (via the session-wide
+    ``spark.sql.legacy.parquet.nanosAsLong`` set in session.py — see the
+    note there about why it is NOT scoped per-read) and floor-divided to
+    a microsecond timestamp — the same ns→µs truncation DuckDB applies,
+    so oracle comparisons line up exactly."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
+        # Belt-and-braces for sessions not built by get_spark (a bare
+        # SparkSession.builder in a notebook): the conf must be on
+        # before the scan executes, and setting it twice is harmless.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(table_path(sf_dir, name)).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))

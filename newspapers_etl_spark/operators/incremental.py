@@ -182,6 +182,22 @@ def incr_retry_failed_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _read_target(spark: SparkSession, target_dir: str) -> DataFrame | None:
+    """Read the append target, or None ONLY when it genuinely does not
+    exist yet.  Any other read failure (transient FS error, corrupt
+    footer) re-raises — a bare except here would silently fall back to
+    fresh=src and append EVERY row again, breaking the exactly-once
+    claim with duplicates."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(target_dir)
+    except AnalysisException as e:
+        if (e.getCondition() or "") == "PATH_NOT_FOUND":
+            return None
+        raise
+
+
 def incremental_append(
     spark: SparkSession,
     src: DataFrame,
@@ -198,11 +214,11 @@ def incremental_append(
     pruning reaches the parquet scan) and the anti-join shuffles keys,
     not payloads; for a day-partitioned target, read only the partitions
     overlapping src's key range instead of the whole catalog."""
-    try:
-        existing = spark.read.parquet(target_dir).select(*key_cols)
-        fresh = src.join(existing, key_cols, "left_anti")
-    except Exception:  # target does not exist yet: first run writes all
+    target = _read_target(spark, target_dir)
+    if target is None:  # first run writes all
         fresh = src
+    else:
+        fresh = src.join(target.select(*key_cols), key_cols, "left_anti")
     # Two actions (count + write) are fine here: fresh is cheap to
     # recompute and counting after the write would race with readers.
     n = fresh.count()
@@ -228,15 +244,14 @@ def incremental_append_partitioned(
     day-grain batch has a handful, like the reference's one-day unit
     (main.yml:77-95)."""
     values = [r[0] for r in src.select(partition_col).distinct().collect()]
-    try:
-        existing = (
-            spark.read.parquet(target_dir)
-            .filter(F.col(partition_col).isin(values))
-            .select(*key_cols)
-        )
-        fresh = src.join(existing, key_cols, "left_anti")
-    except Exception:  # first run
+    target = _read_target(spark, target_dir)
+    if target is None:  # first run
         fresh = src
+    else:
+        existing = target.filter(
+            F.col(partition_col).isin(values)
+        ).select(*key_cols)
+        fresh = src.join(existing, key_cols, "left_anti")
     n = fresh.count()
     if n:
         fresh.write.mode("append").partitionBy(partition_col).parquet(target_dir)

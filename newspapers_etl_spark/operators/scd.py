@@ -55,12 +55,31 @@ def scd2_merge(
     - changed keys: current version closed at the update ts, new open
       version inserted.
     - new keys: inserted as open versions.
-    Closed history rows pass through untouched."""
+    Closed history rows pass through untouched.
+
+    Duplicate keys WITHIN the batch are collapsed to the latest row per
+    key first (ties broken on the tracked attributes for determinism):
+    without this, each duplicate fans out through the change-detection
+    left join and emits multiple closed versions plus multiple open
+    'current' rows for the same key — corrupted history.  The dedup
+    window shuffles on the same key as the merge join itself, and only
+    over the batch (never the history), so it adds no new exchange
+    shape at scale."""
+    from pyspark.sql import Window
+
     closed_hist = history.filter(~F.col("is_current"))
     current = history.filter(F.col("is_current"))
 
     u = updates.select(
         F.col(key), *[F.col(c) for c in track_cols], F.col(ts_col).alias("_ts")
+    )
+    latest = Window.partitionBy(key).orderBy(
+        F.desc("_ts"), *[F.desc(c) for c in track_cols]
+    )
+    u = (
+        u.withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
     # "changed" = any tracked attribute differs (null-safe OR chain)
     cond = None

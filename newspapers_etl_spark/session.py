@@ -64,6 +64,16 @@ def get_spark(
         # Python Data Source API: let custom connectors receive filters
         # (sources/archive_source.py folds date predicates into the scan).
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # SESSION-WIDE: TIMESTAMP(NANOS) parquet columns (events.ts) read
+        # as raw longs instead of erroring; catalog.load_table converts
+        # to µs timestamps explicitly.  Declared here, at session build,
+        # so the effect is visible and deliberate — a per-read set/restore
+        # is unsafe because Spark consults the conf again at scan
+        # EXECUTION, after a lazy reader would have restored it.  Any
+        # OTHER nanos column a caller reads comes back as a long (never
+        # silently wrong — the type changes), and must convert like
+        # load_table does.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

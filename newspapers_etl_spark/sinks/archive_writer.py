@@ -60,7 +60,23 @@ class ArchiveWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         """Runs only after EVERY task succeeded — publishing the
-        manifest is the atomic 'the dataset exists' event."""
+        manifest is the atomic 'the dataset exists' event.
+
+        Commit also RECONCILES the directory to exactly the committed
+        part set: tasks write into the final path, so a failed or
+        speculative attempt (which never surfaces a commit message) and
+        any prior generation's parts would otherwise linger as orphan
+        .jsonl files that directory-level readers see but the manifest
+        never lists.  Each commit fully defines the dataset (the
+        manifest is rewritten wholesale — overwrite semantics, there is
+        no manifest-merging append), so unlisted parts are deleted."""
+        committed = {m.filename for m in messages}
+        for name in os.listdir(self.path):
+            if name.endswith(".jsonl") and name not in committed:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass  # best-effort; verify_archive flags survivors
         manifest = {
             "files": [
                 {"name": m.filename, "n_rows": m.n_rows, "md5": m.md5}
@@ -86,6 +102,11 @@ class VerifiedArchiveDataSource(DataSource):
         return SINK_NAME
 
     def writer(self, schema, overwrite: bool) -> ArchiveWriter:
+        # The sink has overwrite semantics regardless of the save mode:
+        # every commit rewrites the manifest wholesale and reconciles
+        # the directory to the committed part set (see ArchiveWriter.
+        # commit) — append would require manifest merging, which this
+        # audit format deliberately does not do.
         return ArchiveWriter(dict(self.options))
 
 
@@ -101,6 +122,13 @@ def verify_archive(path: str) -> list[str]:
     with open(os.path.join(path, MANIFEST)) as f:
         manifest = json.load(f)
     problems: list[str] = []
+    # Orphans first: part files on disk the manifest never lists mean a
+    # directory-level reader sees phantom rows while the per-entry audit
+    # below would still report clean.
+    listed = {e["name"] for e in manifest["files"]}
+    for name in sorted(os.listdir(path)):
+        if name.endswith(".jsonl") and name not in listed:
+            problems.append(f"orphan part file not in manifest: {name}")
     total = 0
     for entry in manifest["files"]:
         p = os.path.join(path, entry["name"])

@@ -115,13 +115,23 @@ def compact_partitions(
     swapped in whole: write-aside + rename, the same staging-then-commit
     shape as Spark's own job-commit protocol.  The shuffle key is
     (partition_cols, hash-bucket) so each output partition spreads over
-    at most ``files_per_partition`` write tasks."""
+    at most ``files_per_partition`` write tasks.
+
+    The bucket hashes every DATA COLUMN of the row — a deterministic
+    row attribute — never monotonically_increasing_id(): a
+    nondeterministic repartition expression routes rows differently
+    when a task retries, which is the classic round-robin-repartition
+    lost/duplicated-rows hazard.  Caveat: the two shutil.move renames
+    are local-FS only and leave a short window where ``path`` is
+    absent; on an object store, swap via a catalog pointer (or table
+    format) instead."""
     import shutil
 
     df = spark.read.parquet(path)
     parts = [F.col(c) for c in partition_cols]
+    data_cols = [c for c in df.columns if c not in partition_cols]
     bucket = F.pmod(
-        F.xxhash64(*parts, F.monotonically_increasing_id()),
+        F.xxhash64(*[F.col(c) for c in data_cols]),
         F.lit(files_per_partition),
     )
     staging = path.rstrip("/") + ".compacting"

@@ -42,6 +42,27 @@ def test_commit_writes_verifiable_manifest(spark, sf_dir, tmp_path):
     assert set(back.columns) == {"doc_id", "text", "lang"}
 
 
+def test_audit_flags_orphan_parts_and_commit_reconciles(spark, sf_dir, tmp_path):
+    """A part file on disk that the manifest never lists (failed or
+    speculative task attempt, prior-generation leftovers) must be
+    flagged by the audit, and a re-write over the same path must
+    reconcile the directory so only committed parts remain."""
+    path = str(tmp_path / "arch")
+    _write(spark, sf_dir, path)
+    orphan = os.path.join(path, "part-deadbeef.jsonl")
+    with open(orphan, "w") as f:
+        f.write('{"doc_id": 1, "text": "phantom", "lang": "xx"}\n')
+    problems = verify_archive(path)
+    assert any("orphan part file" in p for p in problems)
+    # second commit over the same path: orphan and prior generation gone
+    _write(spark, sf_dir, path, n=100)
+    assert not os.path.exists(orphan)
+    assert verify_archive(path) == []
+    manifest = json.load(open(os.path.join(path, MANIFEST)))
+    on_disk = {p for p in os.listdir(path) if p.endswith(".jsonl")}
+    assert on_disk == {e["name"] for e in manifest["files"]}
+
+
 def test_audit_detects_tamper_and_loss(spark, sf_dir, tmp_path):
     path = str(tmp_path / "arch")
     _write(spark, sf_dir, path)

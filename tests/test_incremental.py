@@ -18,6 +18,22 @@ def test_second_run_is_noop(spark, sf_dir, tmp_path):
     assert spark.read.parquet(target).count() == batch.count()
 
 
+def test_unreadable_target_raises_instead_of_duplicating(spark, sf_dir, tmp_path):
+    """An EXISTING but unreadable target must raise, never be treated as
+    'first run' — the silent fallback would re-append every row and
+    break exactly-once with duplicates."""
+    import pytest
+
+    target = tmp_path / "sink"
+    target.mkdir()
+    (target / "part-corrupt.parquet").write_bytes(b"this is not parquet")
+    batch = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    with pytest.raises(Exception, match="(?i)parquet|schema"):
+        incremental_append(spark, batch, str(target), ["event_id"])
+    # nothing was appended on the failure path
+    assert list(target.iterdir()) == [target / "part-corrupt.parquet"]
+
+
 def test_operation_lifecycle_start_verify_retry(spark, sf_dir, tmp_path):
     """start → damaged delivery → verify flags it → retry-failed heals →
     verify clean; a second retry is a no-op (idempotent)."""

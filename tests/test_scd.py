@@ -49,6 +49,29 @@ def test_merge_closes_and_opens_versions(spark):
     assert all(r["count"] == 1 for r in cur)
 
 
+def test_duplicate_keys_in_batch_collapse_to_latest(spark):
+    """A batch carrying several updates for the same key must merge as if
+    only the latest row arrived — duplicates fanning out through the
+    change-detection join would emit multiple closed and multiple open
+    versions for one key."""
+    hist = _hist0(spark)
+    upd = _updates(
+        spark,
+        [
+            (1, "PLATINUM", datetime.fromisoformat(T1)),
+            (1, "DIAMOND", datetime.fromisoformat(T2)),  # later: must win
+            (1, "PLATINUM", datetime.fromisoformat(T1)),  # exact dup row
+        ],
+    )
+    merged = scd2_merge(hist, upd, "custkey", ["segment"])
+    k1 = merged.filter("custkey = 1").collect()
+    assert len(k1) == 2, f"expected one closed + one open row, got {len(k1)}"
+    cur = [r for r in k1 if r.is_current]
+    assert len(cur) == 1 and cur[0].segment == "DIAMOND"
+    closed = [r for r in k1 if not r.is_current]
+    assert len(closed) == 1 and str(closed[0].valid_to).startswith(T2)
+
+
 def test_redelivery_is_noop_and_chains_extend(spark):
     hist = _hist0(spark)
     upd1 = _updates(spark, [(1, "PLATINUM", datetime.fromisoformat(T1))])
