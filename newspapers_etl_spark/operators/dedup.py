@@ -630,33 +630,66 @@ def simhash_table_keys(sh: Column | str) -> Column:
 @query("dedup_simhash_neardup_pairs")  # rows-only: hash values are engine-specific
 def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance <= 3 via Manku
-    multi-table blocking: explode each doc's 20 table keys, equi-join on
-    (table_id, key), popcount-verify, distinct.  Recall at d <= 3 is
-    guaranteed by construction (see simhash_table_keys); the pair join
-    is bounded by per-table bucket sizes (hundreds of buckets per
-    table), never the n²/16 of a single 4-bit prefix block."""
+    multi-table blocking with hash-value collapse.
+
+    A near-dup corpus is exactly the input where identical simhashes
+    cluster, and an m-doc identical cluster collides in EVERY table —
+    generating and verifying its C(m,2) pairs 20 times over.  So the
+    table join runs over DISTINCT hash values only (the Manku paper's
+    own prefix-collapse move): explode each distinct hash's 20 table
+    keys, equi-join on (table_id, key), popcount-verify, distinct —
+    recall at d <= 3 is guaranteed by construction (simhash_table_keys).
+    Doc pairs then come from two output-bounded expansions: hash pairs
+    joined back to their member docs (cross-cluster), plus one equi-join
+    on the full 16-bit hash for within-cluster pairs (hamming 0).  Join
+    work is O(distinct-hash bucket pairs); the expansions are sized by
+    the answer itself."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", simhash("text").alias("sh"))
-    keyed = sh.select(
-        "doc_id", "sh", F.explode(simhash_table_keys("sh")).alias("t")
-    ).select("doc_id", "sh", F.col("t.table_id").alias("table_id"), F.col("t.key").alias("key"))
+    # (doc_id, sh) feeds five subplans (distinct, both expansion sides,
+    # both self-join sides); without persist each would re-scan the text
+    # and re-run the simhash fold — the single most expensive expression
+    # here.  The cached relation is two longs per doc.
+    members = d.select("doc_id", simhash("text").alias("sh")).persist()
+    uniq = members.select("sh").distinct()
+    keyed = uniq.select(
+        "sh", F.explode(simhash_table_keys("sh")).alias("t")
+    ).select("sh", F.col("t.table_id").alias("table_id"), F.col("t.key").alias("key"))
     a = keyed.alias("a")
     b = keyed.alias("b")
-    return (
+    hash_pairs = (
         a.join(
             b,
             (F.col("a.table_id") == F.col("b.table_id"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.sh") < F.col("b.sh")),
         )
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
             hamming16(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_D)
         .distinct()
     )
+    ma = members.select(F.col("doc_id").alias("m_a"), F.col("sh").alias("sh_a"))
+    mb = members.select(F.col("doc_id").alias("m_b"), F.col("sh").alias("sh_b"))
+    cross = hash_pairs.join(ma, "sh_a").join(mb, "sh_b").select(
+        F.least("m_a", "m_b").alias("id_a"),
+        F.greatest("m_a", "m_b").alias("id_b"),
+        "hamming",
+    )
+    p = members.alias("p")
+    q = members.alias("q")
+    within = p.join(
+        q,
+        (F.col("p.sh") == F.col("q.sh"))
+        & (F.col("p.doc_id") < F.col("q.doc_id")),
+    ).select(
+        F.col("p.doc_id").alias("id_a"),
+        F.col("q.doc_id").alias("id_b"),
+        F.lit(0).alias("hamming"),
+    )
+    return cross.unionByName(within)
 
 
 @query("dedup_simhash_buckets")  # rows-only: hash values are engine-specific

@@ -272,13 +272,13 @@ def audit_against_target(
     expected = src.groupBy(F.to_date(ts_col).alias("day")).agg(
         F.count("*").alias("n_expected")
     )
-    try:
-        tgt = spark.read.parquet(target_dir)
+    tgt = _read_target(spark, target_dir)
+    if tgt is None:  # no target yet: everything is missing
+        actual = expected.select("day", F.lit(0).cast("long").alias("n_actual")).limit(0)
+    else:
         actual = tgt.groupBy(F.to_date(ts_col).alias("day")).agg(
             F.count("*").alias("n_actual")
         )
-    except Exception:  # no target yet: everything is missing
-        actual = expected.select("day", F.lit(0).cast("long").alias("n_actual")).limit(0)
     joined = expected.join(actual, "day", "left_outer")
     n_actual = F.coalesce("n_actual", F.lit(0))
     return joined.select(
