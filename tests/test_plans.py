@@ -58,6 +58,62 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     )
 
 
+def test_embedding_neardup_blocks_on_lsh_buckets(spark, sf_dir):
+    """The VERDICT r2 scale fix, plan-asserted: the embedding near-dup
+    pair join must block on the Rademacher-LSH bucket columns, never on
+    `label` (the old fixture-key quadratic plan), and must never fall
+    back to a nested-loop/cartesian pair scan."""
+    from newspapers_etl_spark.operators.dedup import dedup_embedding_neardup
+
+    plan = _plan(dedup_embedding_neardup(spark, sf_dir))
+    assert "label" not in plan, "pair generation still touches the label column"
+    assert "bucket_0" in plan and "bucket_1" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_join_on_table_keys(spark, sf_dir):
+    """Manku blocking, plan-asserted: candidate generation is an
+    equi-join on (table_id, key) over the persisted distinct-hash
+    relation — no cartesian fallback, and the (doc_id, sh) relation is
+    served from cache, not recomputed per subplan."""
+    from newspapers_etl_spark.operators.dedup import dedup_simhash_neardup_pairs
+
+    df = dedup_simhash_neardup_pairs(spark, sf_dir)
+    try:
+        plan = _plan(df)
+        assert "table_id" in plan and "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "InMemoryTableScan" in plan, "(doc_id, sh) not served from cache"
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_sampling_scans_prune_text(spark, sf_dir):
+    """sample_strat's membership predicate uses only the key and the
+    stratum column — the scan must not read document text."""
+    from newspapers_etl_spark.operators.sampling import sample_strat
+
+    plan = _plan(sample_strat(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "lang" in read_schema
+    assert "text" not in read_schema, "sampling scan reads text it never uses"
+
+
+def test_pack_seqs_shuffles_only_on_shard_keys(spark, sf_dir):
+    """Shard-local packing must not global-sort: every exchange is a
+    hash partitioning (window by shard, then the rollup), never a
+    rangepartitioning (the global ORDER BY signature)."""
+    from newspapers_etl_spark.operators.sampling import pack_seqs
+
+    plan = _plan(pack_seqs(spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower(), (
+        "global sort in the packing plan"
+    )
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert 1 <= n_exchanges <= 2, f"unexpected exchange count {n_exchanges}"
+
+
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     """SURVEY §4: a partitioned fact joined to a filtered dim plans a
     dynamicpruning subquery — only fact partitions matching the dim
