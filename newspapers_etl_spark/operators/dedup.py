@@ -521,7 +521,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (16-bit, weighted by token occurrence)
+# SimHash (weighted by token occurrence)
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 16
@@ -555,18 +555,22 @@ def simhash(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
             lambda x, y: x + y,
         ),
     )
-    powers = F.array(*[F.lit(1 << b) for b in range(bits)])
+    # Long literals throughout: 1 << 31 no longer fits an INT literal, and
+    # a mixed int/long power array fails type resolution.
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     return F.aggregate(
         F.zip_with(
-            counts, powers, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0))
+            counts,
+            powers,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
         ),
-        F.lit(0),
+        F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
 
 
 def hamming16(a: Column | str, b: Column | str) -> Column:
-    """Hamming distance between two 16-bit simhashes (popcount of XOR),
+    """Hamming distance between two SIMHASH_BITS-wide simhashes (popcount of XOR),
     as a sum of literal bitmask tests — flat integer arithmetic, no
     loops or shifts at runtime."""
     x = F.col(a) if isinstance(a, str) else a
@@ -590,37 +594,42 @@ def hamming16(a: Column | str, b: Column | str) -> Column:
 # single short-prefix block, whose 2^4 buckets made the pair join
 # quadratic AND missed pairs whose differing bits fell in the prefix).
 #
-# For the 16-bit hash with d = 3: m = 6 blocks (widths 3,3,3,3,2,2),
-# k = 3 → C(6,3) = 20 tables with 7-9-bit keys (128-512 buckets each).
-# At a real 100 TB corpus simhash widens to 64 bits and the same
-# construction gives ~32-bit keys — the table count stays C(6,3).
+# For the 16-bit fixture hash with d = 3: m = 6 blocks (widths
+# 3,3,3,3,2,2), k = 3 → C(6,3) = 20 tables with 7-9-bit keys.  The
+# construction is fully parametric in the widths tuple: at corpus scale
+# the hash widens (32/64-bit — the fold cost grows linearly with bits,
+# which is why the FIXTURE queries stay at 16 to keep the bench
+# comparable) and the same C(6,3) tables get 15-32-bit keys; the 32-bit
+# instantiation's recall guarantee is pytest-verified exhaustively in
+# tests/test_dedup_recall.py.
 SIMHASH_HAMMING_D = 3
 _SIMHASH_BLOCK_WIDTHS = (3, 3, 3, 3, 2, 2)
-_SIMHASH_BLOCK_STARTS = tuple(
-    sum(_SIMHASH_BLOCK_WIDTHS[:i]) for i in range(len(_SIMHASH_BLOCK_WIDTHS))
-)
-_SIMHASH_TABLES: tuple[tuple[int, ...], ...] = tuple(
-    combinations(range(len(_SIMHASH_BLOCK_WIDTHS)), 3)
-)
 
 
-def simhash_table_keys(sh: Column | str) -> Column:
+def simhash_table_keys(
+    sh: Column | str, widths: tuple[int, ...] = _SIMHASH_BLOCK_WIDTHS
+) -> Column:
     """All table keys for one simhash, as array<struct<table_id,key>> —
-    key = the bit-packed concatenation of that table's block values.
-    Pure literal shift/mask integer arithmetic (widths are compile-time
-    Python ints — F.shiftright needs int bit counts, not Columns)."""
+    key = the bit-packed concatenation of that table's block values,
+    one table per C(len(widths), 3) block combination.  ``widths`` is
+    the scale knob: it must sum to the hash width, and len(widths)-3
+    >= d guarantees recall at Hamming <= d.  Pure literal shift/mask
+    integer arithmetic (widths are compile-time Python ints —
+    F.shiftright needs int bit counts, not Columns)."""
     h = F.col(sh) if isinstance(sh, str) else sh
+    starts = tuple(sum(widths[:i]) for i in range(len(widths)))
+    tables = tuple(combinations(range(len(widths)), 3))
 
     def block(i: int) -> Column:
-        return F.shiftright(h, _SIMHASH_BLOCK_STARTS[i]).bitwiseAND(
-            F.lit((1 << _SIMHASH_BLOCK_WIDTHS[i]) - 1)
+        return F.shiftright(h, starts[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
         )
 
     entries = []
-    for tid, blocks in enumerate(_SIMHASH_TABLES):
+    for tid, blocks in enumerate(tables):
         key = F.lit(0)
         for i in blocks:
-            key = F.shiftleft(key, _SIMHASH_BLOCK_WIDTHS[i]) + block(i)
+            key = F.shiftleft(key, widths[i]) + block(i)
         entries.append(
             F.struct(F.lit(tid).alias("table_id"), key.alias("key"))
         )
@@ -641,7 +650,7 @@ def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall at d <= 3 is guaranteed by construction (simhash_table_keys).
     Doc pairs then come from two output-bounded expansions: hash pairs
     joined back to their member docs (cross-cluster), plus one equi-join
-    on the full 16-bit hash for within-cluster pairs (hamming 0).  Join
+    on the full hash for within-cluster pairs (hamming 0).  Join
     work is O(distinct-hash bucket pairs); the expansions are sized by
     the answer itself."""
     d = load_table(spark, sf_dir, "documents")

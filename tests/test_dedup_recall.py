@@ -88,35 +88,46 @@ def test_minhash_signature_similarity_orders_pairs(spark):
 
 
 def test_simhash_multitable_guarantees_recall_at_d3(spark):
-    """The Manku blocking invariant, tested exhaustively: EVERY 16-bit
-    value at Hamming distance exactly 3 from a base value must share at
-    least one (table_id, key) with it — C(16,3) = 560 variants, zero
-    misses allowed.  This is the recall guarantee the docstring claims;
-    the old single-prefix scheme fails this for any triple touching the
+    """The Manku blocking invariant, tested exhaustively at BOTH the
+    16-bit fixture width (default widths) and the 32-bit scale
+    instantiation (wider blocks, same C(6,3) tables): EVERY value at
+    Hamming distance exactly 3 from a base value must share at least
+    one (table_id, key) with it — C(bits,3) variants, zero misses
+    allowed.  This is the recall guarantee the docstring claims; the
+    old single-prefix scheme fails this for any triple touching the
     prefix bits."""
     from itertools import combinations as _combos
 
-    base = 0b1011_0010_1110_0101
-    variants = [
-        (i + 1, base ^ ((1 << a) | (1 << b) | (1 << c)))
-        for i, (a, b, c) in enumerate(_combos(range(16), 3))
+    cases = [
+        (0b1011_0010_1110_0101, 16, None),  # fixture default
+        (0b1011_0010_1110_0101_0110_1001_0011_1100, 32, (6, 6, 5, 5, 5, 5)),
     ]
-    df = spark.createDataFrame([(0, base)] + variants, ["doc_id", "sh"])
-    keyed = df.select(
-        "doc_id", F.explode(simhash_table_keys("sh")).alias("t")
-    ).select("doc_id", "t.table_id", "t.key")
-    base_keys = keyed.filter(F.col("doc_id") == 0).select("table_id", "key")
-    caught = (
-        keyed.filter(F.col("doc_id") != 0)
-        .join(base_keys, ["table_id", "key"])
-        .select("doc_id")
-        .distinct()
-        .count()
-    )
-    assert caught == len(variants), (
-        f"multi-table blocking missed {len(variants) - caught} of "
-        f"{len(variants)} distance-3 variants"
-    )
+    for base, bits, widths in cases:
+        variants = [
+            (i + 1, base ^ ((1 << a) | (1 << b) | (1 << c)))
+            for i, (a, b, c) in enumerate(_combos(range(bits), 3))
+        ]
+        df = spark.createDataFrame([(0, base)] + variants, ["doc_id", "sh"])
+        keys = (
+            simhash_table_keys("sh")
+            if widths is None
+            else simhash_table_keys("sh", widths)
+        )
+        keyed = df.select("doc_id", F.explode(keys).alias("t")).select(
+            "doc_id", "t.table_id", "t.key"
+        )
+        base_keys = keyed.filter(F.col("doc_id") == 0).select("table_id", "key")
+        caught = (
+            keyed.filter(F.col("doc_id") != 0)
+            .join(base_keys, ["table_id", "key"])
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        assert caught == len(variants), (
+            f"{bits}-bit blocking missed {len(variants) - caught} of "
+            f"{len(variants)} distance-3 variants"
+        )
 
 
 def test_simhash_multitable_bucket_count_exceeds_prefix_scheme(spark, sf_dir):
