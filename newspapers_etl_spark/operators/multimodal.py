@@ -191,6 +191,64 @@ def decode_image_batches(
         )
 
 
+# ---------------------------------------------------------------------------
+# Video/audio frame sampling: 1→N Arrow fan-out (stub codec)
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 256  # stub container: fixed-size byte windows are "frames"
+FRAME_STRIDE = 4  # keep every 4th frame
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_feature", T.DoubleType()),
+    ]
+)
+
+
+def sample_frame_batches(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker with 1→N fan-out: each (doc_id, content) row
+    yields one output row per SAMPLED frame — the batch shape a real
+    video/audio pipeline has (ffmpeg frame iterators, PCM windows),
+    which the 1→1 image decode above does not exercise.  The "codec" is
+    a stub (fixed-size byte windows, mean-byte feature); the fan-out,
+    schema, and per-batch vectorization are the production plumbing."""
+    for pdf in it:
+        ids, idxs, feats = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+            n_frames = max(1, len(payload) // FRAME_BYTES)
+            for fi in range(0, n_frames, FRAME_STRIDE):
+                window = payload[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                ids.append(doc_id)
+                idxs.append(fi)
+                feats.append(sum(window) / max(1, len(window)))
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": idxs, "frame_feature": feats}
+        )
+
+
+@query("mm_frame_sample")  # rows-only: stub codec, no SQL analog
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample a binary AV column via mapInPandas (stride-4 over
+    fixed-size stub frames) and roll the sampled frames up per doc.
+    The production plan shape: narrow scan → ArrowEvalPython fan-out
+    (one row per sampled frame) → partial agg; frame rows never carry
+    the payload, so the post-fan-out shuffle is skinny.  At 100 TB,
+    repartition upstream so one Arrow batch of containers fits executor
+    memory, exactly as for the image decode."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    frames = payloads.mapInPandas(sample_frame_batches, FRAME_SCHEMA)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_sampled_frames"),
+        F.max("frame_idx").alias("last_frame_idx"),
+        F.round(F.avg("frame_feature"), 4).alias("avg_feature"),
+    )
+
+
 @query("mm_image_decode_stats")  # rows-only: stub decode, no SQL analog
 def mm_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode a binary image column via mapInPandas (stub codec) and

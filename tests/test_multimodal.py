@@ -55,3 +55,36 @@ def test_decode_stub_schema_and_determinism(spark, sf_dir):
     assert r1 == r2
     assert len(r1) == d.count()
     assert all(r.decode_ok for r in r1)
+
+
+def test_frame_sample_fans_out_and_is_deterministic(spark, sf_dir):
+    """The frame sampler's 1→N contract: every doc yields
+    ceil(n_frames / stride) rows (≥1 even for tiny payloads), frame
+    indices step by the stride, and re-running reproduces the exact
+    rows (retry/speculation safety)."""
+    from newspapers_etl_spark.catalog import load_table
+    from newspapers_etl_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_SCHEMA,
+        FRAME_STRIDE,
+        sample_frame_batches,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    )
+    out = d.mapInPandas(sample_frame_batches, FRAME_SCHEMA)
+    assert out.schema == FRAME_SCHEMA
+    rows = sorted(out.collect())
+    assert sorted(d.mapInPandas(sample_frame_batches, FRAME_SCHEMA).collect()) == rows
+    lengths = {r.doc_id: len(bytes(r.content)) for r in d.collect()}
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert set(by_doc) == set(lengths)
+    for doc_id, idxs in by_doc.items():
+        n_frames = max(1, lengths[doc_id] // FRAME_BYTES)
+        expect = list(range(0, n_frames, FRAME_STRIDE))
+        assert sorted(idxs) == expect, f"doc {doc_id}: {idxs} != {expect}"
