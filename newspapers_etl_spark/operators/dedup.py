@@ -48,7 +48,7 @@ GROUP BY fingerprint
 """
 
 
-@query("dedup_exact_fingerprint", oracle=EXACT_DEDUP_ORACLE)
+@query("dedup_exact", oracle=EXACT_DEDUP_ORACLE)
 def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup as hash-groupBy on the order-insensitive content
     fingerprint: keeper = lowest doc_id per group.  The 16-byte key is
@@ -279,7 +279,7 @@ def candidate_pairs(
     )
 
 
-@query("dedup_minhash_lsh_stats")  # rows-only: hash values are engine-specific
+@query("dedup_lsh_stats")  # rows-only: hash values are engine-specific
 def dedup_minhash_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH bucket statistics: per band, how many buckets,
     the largest bucket, and the implied candidate-pair count
@@ -318,7 +318,7 @@ def dedup_minhash_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_VERIFY_THRESHOLD = 0.8
 
 
-@query("dedup_lsh_verified_pairs")  # rows-only: candidate set is hash-derived
+@query("dedup_lsh_verify")  # rows-only: candidate set is hash-derived
 def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE MinHash near-dedup pipeline in one query:
     shingle → signature → banded buckets → candidate pairs → exact
@@ -458,7 +458,7 @@ SELECT * FROM (
 """
 
 
-@query("dedup_embedding_neardup", oracle=EMBED_NEARDUP_ORACLE)
+@query("dedup_emb_neardup", oracle=EMBED_NEARDUP_ORACLE)
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: candidates
     are pairs colliding in ANY of EMB_LSH_TABLES sign-pattern bucket
@@ -636,7 +636,7 @@ def simhash_table_keys(
     return F.array(*entries)
 
 
-@query("dedup_simhash_neardup_pairs")  # rows-only: hash values are engine-specific
+@query("dedup_simhash_pairs")  # rows-only: hash values are engine-specific
 def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance <= 3 via Manku
     multi-table blocking with hash-value collapse.

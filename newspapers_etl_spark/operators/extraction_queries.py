@@ -172,7 +172,7 @@ FROM html
 """
 
 
-@query("extract_filenames_findall", oracle=FINDALL_ORACLE)
+@query("extract_findall", oracle=FINDALL_ORACLE)
 def extract_filenames_findall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: findall + set-dedup (reference re.findall + list(set(...)),
     src/01-scrape-images.py:296-299) as

@@ -249,7 +249,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_image_decode_stats")  # rows-only: stub decode, no SQL analog
+@query("mm_image_decode")  # rows-only: stub decode, no SQL analog
 def mm_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode a binary image column via mapInPandas (stub codec) and
     aggregate the decoded dimensions.  The plan is the production plan:

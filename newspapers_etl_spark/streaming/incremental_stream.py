@@ -157,7 +157,7 @@ GROUP BY 1, 2
 """
 
 
-@query("stream_tumbling_hourly", oracle=STREAM_TUMBLING_ORACLE)
+@query("stream_tumbling", oracle=STREAM_TUMBLING_ORACLE)
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The watermarked tumbling aggregation executed BY THE STREAMING
     ENGINE (AvailableNow over the events parquet, complete-mode memory

@@ -67,3 +67,30 @@ def test_observe_collects_metrics_in_one_pass(spark, sf_dir):
     assert got["rows_seen"] == load_table(spark, sf_dir, "orders").count()
     assert got["rows_seen"] >= kept
     assert got["value_seen"] > 0
+
+
+def test_bench_stdout_line_fits_capture_window():
+    """The driver keeps only the last 2000 chars of bench stdout and
+    parses the JSON line from that window (BENCH_r02 lost its head at
+    2470 chars).  Recompute the worst-case line length from the live
+    registry — 5-char values per query ("99.99") — so adding a query
+    that would push the line past the window fails HERE, not in the
+    next round's bench capture."""
+    import json
+
+    from newspapers_etl_spark.registry import all_queries
+
+    worst = json.dumps(
+        {
+            "metric": "total_query_wall",
+            "value": 999.999,
+            "unit": "sec",
+            "queries": {n: 99.99 for n in sorted(all_queries())},
+            "sf": 0.01,
+        },
+        separators=(",", ":"),
+    )
+    assert len(worst) < 1990, (
+        f"bench line worst case {len(worst)} chars >= 1990: shorten query "
+        "names (see BASELINE.md rename table) before registering more"
+    )
