@@ -728,3 +728,84 @@ def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_candidate_pairs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against a held-out set)
+# ---------------------------------------------------------------------------
+
+DECONTAM_NGRAM = 8
+# Deterministic in-fixture "benchmark" split: every 17th doc plays the
+# held-out eval set; the rest is the training corpus to be scrubbed.
+DECONTAM_BENCH_MOD = 17
+
+DECONTAM_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(
+           CASE WHEN len(ts) >= {DECONTAM_NGRAM}
+                THEN list_distinct([array_to_string(ts[i:i+{DECONTAM_NGRAM - 1}], ' ')
+                                    FOR i IN range(1, len(ts) - {DECONTAM_NGRAM - 2})])
+                ELSE [] END) AS g
+  FROM toks
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+hits AS (
+  SELECT c.doc_id, CAST(count(*) AS INT) AS n_hit_grams
+  FROM grams c JOIN bench USING (g)
+  WHERE c.doc_id % {DECONTAM_BENCH_MOD} <> 0
+  GROUP BY c.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+       CAST(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_clean
+FROM toks t LEFT JOIN hits h USING (doc_id)
+WHERE t.doc_id % {DECONTAM_BENCH_MOD} <> 0
+"""
+
+
+@query("decontam", oracle=DECONTAM_ORACLE)
+def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training doc that shares an
+    8-gram with the held-out benchmark set (the GPT-3/Llama eval-overlap
+    scrub).  The reference's analog is its existence anti-join (skip
+    files already present, reference src/01-scrape-images.py:357-359) —
+    here the existence test is membership of any document n-gram in the
+    benchmark n-gram set.
+
+    Scale shape: benchmark sets are tiny (eval suites, ~1e6 grams) next
+    to a 100 TB corpus, so the distinct benchmark grams BROADCAST; the
+    corpus side computes per-doc distinct grams with ONE map-side
+    `transform`, explodes, and probes the broadcast hash table — the
+    corpus text itself is never shuffled.  Only matching (doc_id, gram)
+    rows reach the count shuffle, and partial aggregation collapses
+    those to one row per contaminated doc.  The final verdict join is
+    corpus-ids against the tiny hit relation (broadcast again)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", words("text").alias("ts"))
+    gs = F.when(
+        F.size("ts") >= DECONTAM_NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - (DECONTAM_NGRAM - 1)),
+                lambda i: F.array_join(F.slice("ts", i, DECONTAM_NGRAM), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("doc_id", F.explode(gs).alias("g"))
+    is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
+    bench = grams.filter(is_bench).select("g").distinct()
+    hits = (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_hit_grams"))
+    )
+    corpus = toks.filter(~is_bench).select("doc_id")
+    return corpus.join(F.broadcast(hits), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hit_grams", F.lit(0)).cast("int").alias("n_hit_grams"),
+        F.when(F.col("n_hit_grams").isNull(), 1).otherwise(0).cast("int").alias("is_clean"),
+    )

@@ -64,7 +64,7 @@ FROM html
 """
 
 
-@query("extract_manifest_fallback", oracle=MANIFEST_FALLBACK_ORACLE)
+@query("extract_fallback", oracle=MANIFEST_FALLBACK_ORACLE)
 def extract_manifest_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: first-pattern-wins fallback chain (reference tries data-src=
     then src=, src/01-scrape-images.py:270-279)."""
@@ -124,7 +124,7 @@ FROM named
 """
 
 
-@query("extract_date_recompose", oracle=DATE_RECOMPOSE_ORACLE)
+@query("extract_date", oracle=DATE_RECOMPOSE_ORACLE)
 def extract_date_recompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 pattern 3: rebuild YYYY-MM-DD from archive-filename digit groups
     (reference src/01-scrape-images.py:290-293), with the zero-padded
@@ -217,7 +217,7 @@ FROM raw
 """
 
 
-@query("extract_sanitize_sentinel", oracle=SANITIZE_ORACLE)
+@query("extract_sanitize", oracle=SANITIZE_ORACLE)
 def extract_sanitize_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: strip punctuation + trim + '/'→'-' + NULL→'Unknown' sentinel
     (reference process_search_result, src/01-scrape-images.py:413-420)."""

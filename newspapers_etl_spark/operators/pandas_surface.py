@@ -69,7 +69,7 @@ GROUP BY lang
 """
 
 
-@query("pd_grouped_robust_stats", oracle=ROBUST_ORACLE)
+@query("pd_robust_stats", oracle=ROBUST_ORACLE)
 def pd_grouped_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median + MAD of document length per language via applyInPandas —
     order statistics that need the whole group materialized (exactly the

@@ -121,3 +121,45 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_tokens").cast("long")).alias("total_doc_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII masking (privacy scrub stage of the corpus pipeline)
+# ---------------------------------------------------------------------------
+
+PII_MASK_ORACLE = """
+SELECT c_custkey,
+       regexp_replace(substr(c_name, 1, length(c_name) - 4),
+                      '[0-9]', '*', 'g')
+         || substr(c_name, length(c_name) - 3, 4)        AS name_masked,
+       md5(c_name)                                       AS name_token,
+       CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) - 4 AS INT)
+                                                         AS n_digits_masked
+FROM customer
+"""
+
+
+@query("pii_mask", oracle=PII_MASK_ORACLE)
+def pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction as a pure projection: star out every digit of the
+    identifier run except the last four (the phone/account-number scrub
+    pattern, applied to the fixtures' one digit-bearing identity column)
+    and emit a stable md5 pseudonym (joinable token, no cleartext).
+    Same sanitizing-projection shape as the reference's filename scrub
+    (reference src/01-scrape-images.py:286-296, underscore substitution)
+    — the training-data version scrubs people instead of paths.
+
+    Scale shape: zero shuffles, whole-stage-codegen regex over one scan;
+    the masked projection reads only the 2 columns it emits (column
+    pruning reaches the parquet scan)."""
+    c = load_table(spark, sf_dir, "customer")
+    head = F.expr("substring(c_name, 1, length(c_name) - 4)")
+    tail = F.expr("substring(c_name, length(c_name) - 3, 4)")
+    return c.select(
+        "c_custkey",
+        F.concat(F.regexp_replace(head, "[0-9]", "*"), tail).alias("name_masked"),
+        F.md5("c_name").alias("name_token"),
+        (F.length(F.regexp_replace("c_name", "[^0-9]", "")) - 4)
+        .cast("int")
+        .alias("n_digits_masked"),
+    )

@@ -263,3 +263,69 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_token_hash"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition ratio (Gopher-style quality filter)
+# ---------------------------------------------------------------------------
+
+REP_NGRAM = 3
+
+REPETITION_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(text, '\s+') AS ts FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         CASE WHEN len(ts) >= {REP_NGRAM}
+              THEN [array_to_string(ts[i:i+{REP_NGRAM - 1}], ' ')
+                    FOR i IN range(1, len(ts) - {REP_NGRAM - 2})]
+              ELSE [] END AS gs,
+         greatest(len(ts) - {REP_NGRAM - 1}, 0) AS n_grams
+  FROM toks
+)
+SELECT doc_id, source,
+       CAST(n_grams AS INT) AS n_grams,
+       round(CASE WHEN n_grams > 0
+             THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / n_grams
+             ELSE 0.0 END, 6) AS rep_ratio
+FROM grams
+"""
+
+
+@query("text_rep", oracle=REPETITION_ORACLE)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram fraction per document (1 - distinct/total
+    trigrams) — the Gopher/RefinedWeb repetition filter that catches
+    boilerplate and degenerate loops exact-dedup misses.  The reference
+    has no text-quality notion (its nearest analog is the duplicate-
+    filename skip, reference src/01-scrape-images.py:357-359); this is
+    north-star corpus-cleaning surface.
+
+    Scale shape: the gram array is built ONCE per row by a single
+    `transform` (the gram COUNT is closed-form `size(ts) - n + 1`, so
+    no second HOF evaluation — Catalyst does not CSE higher-order
+    subtrees), everything stays map-side, and the operator adds zero
+    shuffles: one linear scan of the text bytes at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", words("text").alias("ts"))
+    gs = F.when(
+        F.size("ts") >= REP_NGRAM,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - (REP_NGRAM - 1)),
+            lambda i: F.array_join(F.slice("ts", i, REP_NGRAM), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.greatest(F.size("ts") - (REP_NGRAM - 1), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "source",
+        n_grams.cast("int").alias("n_grams"),
+        F.round(
+            F.when(
+                n_grams > 0,
+                F.lit(1.0) - F.size(F.array_distinct(gs)).cast("double") / n_grams,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rep_ratio"),
+    )

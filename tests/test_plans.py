@@ -168,3 +168,35 @@ def test_bucketed_join_elides_shuffle(spark, sf_dir):
     finally:
         for name in ("bt_orders", "bt_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_decontam_broadcasts_benchmark_grams(spark, sf_dir):
+    """Decontamination's scale contract: the tiny benchmark gram set and
+    the hit relation broadcast (the 100 TB corpus is never shuffled),
+    and both modulo split predicates reach the parquet scan."""
+    from newspapers_etl_spark.operators.dedup import (
+        decontaminate_against_benchmark,
+    )
+
+    plan = _plan(decontaminate_against_benchmark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2, plan[:1500]
+    assert "SortMergeJoin" not in plan
+    assert "% 17" in plan  # split predicate pushed into DataFilters
+
+
+def test_scan_only_projections_add_no_exchange(spark, sf_dir):
+    """text_rep and pii_mask are pure map-side projections: one pruned
+    scan, zero shuffles — the shape that costs exactly one linear pass
+    at 100 TB."""
+    from newspapers_etl_spark.operators.pipeline import pii_mask
+    from newspapers_etl_spark.operators.text_analysis import (
+        text_repetition_ratio,
+    )
+
+    rep_plan = _plan(text_repetition_ratio(spark, sf_dir))
+    assert "Exchange" not in rep_plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in rep_plan
+
+    pii_plan = _plan(pii_mask(spark, sf_dir))
+    assert "Exchange" not in pii_plan
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string>" in pii_plan

@@ -57,6 +57,44 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
         )
 
 
+def test_percentile_approx_within_rank_error_bound(spark, sf_dir):
+    """The GK-sketch estimate has no cross-engine oracle (DuckDB's
+    approx_quantile is a t-digest), but it DOES have an accuracy
+    contract: each estimate's RANK within its group is within
+    n/accuracy of the requested quantile's rank (accuracy=10000 in the
+    registered query)."""
+    from pyspark.sql import functions as F
+
+    from newspapers_etl_spark.catalog import load_table
+    from newspapers_etl_spark.operators.relational_extended import (
+        agg_percentile_approx,
+    )
+
+    rows = agg_percentile_approx(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = {
+        flag: sorted(
+            r.l_quantity for r in li.filter(F.col("l_returnflag") == flag).collect()
+        )
+        for flag in {r.l_returnflag for r in rows}
+    }
+    for r in rows:
+        group = vals[r.l_returnflag]
+        n = len(group)
+        assert r.n_rows == n
+        # rank of the estimate in the sorted group (range covers ties)
+        import bisect
+
+        lo = bisect.bisect_left(group, r.quantile_est)
+        hi = bisect.bisect_right(group, r.quantile_est)
+        target = r.q * (n - 1)
+        tol = max(1.0, n / 10_000)
+        assert lo - tol <= target <= hi + tol, (
+            f"{r.l_returnflag} q={r.q}: est {r.quantile_est} rank "
+            f"[{lo},{hi}] vs target {target:.1f} (n={n})"
+        )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
