@@ -809,3 +809,132 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
         F.coalesce("n_hit_grams", F.lit(0)).cast("int").alias("n_hit_grams"),
         F.when(F.col("n_hit_grams").isNull(), 1).otherwise(0).cast("int").alias("is_clean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate cluster resolution (connected components over the
+# verified pair graph) — the final stage of the dedup pipeline
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 15
+
+CLUSTERS_ORACLE = f"""
+WITH RECURSIVE prs AS ({EMBED_NEARDUP_ORACLE}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION
+  SELECT id_b, id_a FROM prs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+lab AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT vec_id,
+       cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS INT) AS is_keeper
+FROM lab
+"""
+
+
+@query("dedup_clusters", oracle=CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-duplicate pair graph
+    (pairs from dedup_emb_neardup, whose LSH planes are oracle-mirrored)
+    — the stage that turns pairwise matches into keep/drop decisions:
+    cluster_id = min member id, keeper = that member, everything else in
+    the cluster is droppable.  The reference's nearest analog is its
+    duplicate-filename collapse (reference src/01-scrape-images.py:345-
+    349, one keeper per name); this is the graph generalization a corpus
+    dedup needs because near-duplication is transitive only through the
+    cluster.
+
+    Implementation is min-label propagation WITH pointer jumping (the
+    hash-to-min family — Rastogi et al., "Finding Connected Components
+    in Map-Reduce in Logarithmic Rounds"): each round every node takes
+    the smallest label among itself and its neighbors, then chases that
+    label one hop through the label table (label-of-label), so label
+    depth halves per round and convergence is O(log diameter) rounds,
+    not O(diameter) — the near-dup graph at sf0.1 has an 11-hop chain
+    component, which plain propagation walks one hop per round.  Each
+    round's update is ONE materializing job; lineage is truncated every
+    round with localCheckpoint (on a cluster: checkpoint to reliable
+    storage), because an iterative plan that only persist()s still
+    re-analyzes its ENTIRE accumulated tree each round — with two
+    label-table references per round the logical plan grows ~4× per
+    round and Catalyst optimization time explodes exponentially
+    (measured: rounds of 2.3 s → 4.6 s → 17.3 s on a 26-edge fixture
+    graph; flat ~1 s with checkpointing).  The convergence check is a
+    trivial count over the just-checkpointed leaf.  The per-round
+    scalar reaching the driver is iteration control only (same
+    justification as the IVF Lloyd loop); node/edge data never leaves
+    the cluster.  Equi-joins use a shared column name throughout —
+    labels derives from edges, and column-object join conditions
+    across shared lineage resolve ambiguously (the classic
+    derived-self-join trap).  The recursive-CTE oracle computes full
+    transitive closure — fine at fixture scale, exactly what the Spark
+    side avoids at 100 TB."""
+    prs = dedup_embedding_neardup(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        prs.unionByName(
+            prs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr = (
+            edges.select(F.col("dst").alias("node"), "src")
+            .join(labels, "node")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("src", "node")
+        )
+        cand = (
+            labels.withColumnRenamed("label", "old")
+            .join(nbr, "node", "left")
+            .select(
+                "node",
+                "old",
+                F.least(F.col("old"), F.coalesce("nbr_min", "old")).alias("mid"),
+            )
+        )
+        # pointer jump: mid is itself a node id — adopt ITS candidate
+        # label too, halving label-chain depth every round
+        jump = cand.select(
+            F.col("node").alias("mid_key"), F.col("mid").alias("mid_label")
+        )
+        upd = (
+            cand.withColumnRenamed("mid", "mid_key")
+            .join(jump, "mid_key", "left")
+            .select(
+                "node",
+                "old",
+                F.least(
+                    F.col("mid_key"), F.coalesce("mid_label", "mid_key")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = upd.filter(F.col("label") < F.col("old")).count()
+        labels = upd.select("node", "label")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(F.broadcast(sizes), "label").select(
+        F.col("node").alias("vec_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("node") == F.col("label")).cast("int").alias("is_keeper"),
+    )

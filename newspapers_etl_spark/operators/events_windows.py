@@ -141,7 +141,7 @@ GROUP BY user_id, sess_id
 """
 
 
-@query("events_session_windows", oracle=SESSION_ORACLE)
+@query("events_sessions", oracle=SESSION_ORACLE)
 def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a {gap} inactivity gap — the
     native `session_window` operator; the oracle rebuilds it as

@@ -85,7 +85,7 @@ FROM feats
 """
 
 
-@query("text_quality_scores", oracle=QUALITY_ORACLE)
+@query("text_quality", oracle=QUALITY_ORACLE)
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Features (token count, punct ratio, stopword ratio) are computed
     in their own projection and REFERENCED by the derived columns —

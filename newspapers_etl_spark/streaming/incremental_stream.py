@@ -179,7 +179,7 @@ GROUP BY event_type
 """
 
 
-@query("stream_dedup_watermark", oracle=STREAM_DEDUP_ORACLE)
+@query("stream_dedup", oracle=STREAM_DEDUP_ORACLE)
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark over the event stream, then a
     per-type count of survivors.  The fixture has unique event_ids, so
