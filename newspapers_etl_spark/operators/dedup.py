@@ -636,7 +636,7 @@ def simhash_table_keys(
     return F.array(*entries)
 
 
-@query("dedup_simhash_pairs")  # rows-only: hash values are engine-specific
+@query("dedup_sh_pairs")  # rows-only: hash values are engine-specific
 def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance <= 3 via Manku
     multi-table blocking with hash-value collapse.
@@ -701,7 +701,7 @@ def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(within)
 
 
-@query("dedup_simhash_buckets")  # rows-only: hash values are engine-specific
+@query("dedup_sh_buckets")  # rows-only: hash values are engine-specific
 def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-table SimHash bucket statistics — the skew/fan-out diagnostic
     for the Manku multi-table blocking: per table, how many distinct

@@ -48,7 +48,7 @@ GROUP BY 1, 2
 """
 
 
-@query("events_tumbling_hourly", oracle=TUMBLING_ORACLE)
+@query("events_tumbling", oracle=TUMBLING_ORACLE)
 def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour count/sum per event type.  `window()` is
     epoch-aligned, matching DuckDB's time_bucket origin for sub-day

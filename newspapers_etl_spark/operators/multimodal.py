@@ -51,7 +51,7 @@ WHERE o.o_orderkey % 100 = 0
 """
 
 
-@query("mm_manifest_flatten", oracle=MANIFEST_FLATTEN_ORACLE)
+@query("mm_manifest", oracle=MANIFEST_FLATTEN_ORACLE)
 def mm_manifest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build IIIF-shaped manifest JSON documents (one per order, pages
     from its lineitems), then flatten them back with from_json + chained

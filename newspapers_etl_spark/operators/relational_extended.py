@@ -43,7 +43,7 @@ LIMIT 10
 """
 
 
-@query("q3_shipping_priority", oracle=Q3_ORACLE)
+@query("q3_shipping", oracle=Q3_ORACLE)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment-filtered customers ⋈ date-filtered orders
     ⋈ lineitem, revenue per order, top 10.  Both date predicates push to
@@ -255,7 +255,7 @@ GROUP BY l_returnflag
 """
 
 
-@query("agg_percentile_approx")  # rows-only: t-digest estimates are engine-specific
+@query("agg_pctl_approx")  # rows-only: t-digest estimates are engine-specific
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile path: percentile_approx (t-digest sketch) —
     mergeable partial state, bounded memory per group regardless of

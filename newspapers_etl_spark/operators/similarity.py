@@ -352,7 +352,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_lsh_bucket_stats")  # rows-only: bucket ids are hash-derived
+@query("sim_lsh_stats")  # rows-only: bucket ids are hash-derived
 def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket-occupancy histogram — the skew diagnostic for the ANN
     path: bucket count, mean/max occupancy.  At 100 TB this is the query

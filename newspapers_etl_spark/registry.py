@@ -27,6 +27,7 @@ ORACLE: dict[str, str] = {}
 # relational/extraction families have two full rounds of green
 # CORRECTNESS rows and rotate to the back.
 _OPERATOR_MODULES = (
+    "newspapers_etl_spark.operators.corpus",
     "newspapers_etl_spark.operators.sampling",
     "newspapers_etl_spark.operators.text_analysis",
     "newspapers_etl_spark.operators.multimodal",
