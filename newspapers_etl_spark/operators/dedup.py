@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from itertools import combinations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
@@ -818,6 +818,72 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
 
 CC_MAX_ITERS = 15
 
+
+def star_connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Connected components via the two-phase large-star / small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — O(log n) rounds, each phase ONE window-min shuffle on
+    the node key plus one distinct.  See dedup_clusters for the full
+    design discussion.  ``edges`` is any (u, v) pair DataFrame;
+    returns (labels, iterations): labels has one (node, cluster_id)
+    row per distinct endpoint with cluster_id = component minimum."""
+    edges = edges.toDF("u", "v").filter("u != v").distinct().localCheckpoint()
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev: tuple | None = None
+    iters = 0
+    for _ in range(CC_MAX_ITERS):
+        iters += 1
+        for large in (True, False):
+            adj = edges.unionByName(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            adj = adj.withColumn(
+                "m", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+            )
+            if large:
+                emitted = adj.filter(F.col("v") > F.col("u")).select(
+                    F.col("v").alias("u"), F.col("m").alias("v")
+                )
+            else:
+                emitted = adj.filter(F.col("v") <= F.col("u")).select(
+                    F.col("v").alias("u"), F.col("m").alias("v")
+                ).unionByName(adj.select("u", F.col("m").alias("v")))
+            edges = (
+                emitted.filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint()
+            )
+        row = (
+            edges.select(
+                F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+            )
+            .distinct()
+            .agg(
+                F.count("*").alias("n"),
+                # bit_xor: order-insensitive and overflow-free under ANSI
+                # mode (sum(hash) throws ARITHMETIC_OVERFLOW)
+                F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias(
+                    "h"
+                ),
+            )
+            .first()
+        )
+        checksum = (row["n"], row["h"])
+        if checksum == prev:
+            break
+        prev = checksum
+    roots = edges.groupBy("u").agg(F.min("v").alias("root"))
+    labels = nodes.join(
+        roots, nodes["node"] == roots["u"], "left"
+    ).select("node", F.coalesce("root", "node").alias("cluster_id"))
+    return labels, iters
+
+
 CLUSTERS_ORACLE = f"""
 WITH RECURSIVE prs AS ({EMBED_NEARDUP_ORACLE}),
 edges AS (
@@ -854,87 +920,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup needs because near-duplication is transitive only through the
     cluster.
 
-    Implementation is min-label propagation WITH pointer jumping (the
-    hash-to-min family — Rastogi et al., "Finding Connected Components
-    in Map-Reduce in Logarithmic Rounds"): each round every node takes
-    the smallest label among itself and its neighbors, then chases that
-    label one hop through the label table (label-of-label), so label
-    depth halves per round and convergence is O(log diameter) rounds,
-    not O(diameter) — the near-dup graph at sf0.1 has an 11-hop chain
-    component, which plain propagation walks one hop per round.  Each
-    round's update is ONE materializing job; lineage is truncated every
-    round with localCheckpoint (on a cluster: checkpoint to reliable
-    storage), because an iterative plan that only persist()s still
-    re-analyzes its ENTIRE accumulated tree each round — with two
-    label-table references per round the logical plan grows ~4× per
-    round and Catalyst optimization time explodes exponentially
+    Implementation is the two-phase large-star / small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"), which rewires EDGES toward component minima rather
+    than propagating labels: large-star connects every
+    strictly-larger neighbor of a node to the minimum of its
+    neighborhood; small-star connects the smaller neighbors (and the
+    node) to that minimum.  Alternating the two provably converges in
+    O(log n) rounds to one star per component centered on its minimum
+    — label propagation, by contrast, moves the minimum ONE edge-hop
+    per round and is O(diameter): the near-dup graph at sf0.1 has an
+    11-hop chain component that costs label-prop 9 materializing
+    rounds vs 4 here (measured).  Each phase is one window-min over
+    the adjacency (a single shuffle on the node key — no join: the
+    neighborhood minimum rides the same partitioning the emit needs)
+    plus one distinct to collapse re-emitted edges.  Lineage is
+    truncated every phase with localCheckpoint (on a cluster:
+    checkpoint to reliable storage), because an iterative plan that
+    only persist()s still re-analyzes its ENTIRE accumulated tree each
+    round and Catalyst optimization time explodes geometrically
     (measured: rounds of 2.3 s → 4.6 s → 17.3 s on a 26-edge fixture
-    graph; flat ~1 s with checkpointing).  The convergence check is a
-    trivial count over the just-checkpointed leaf.  The per-round
-    scalar reaching the driver is iteration control only (same
-    justification as the IVF Lloyd loop); node/edge data never leaves
-    the cluster.  Equi-joins use a shared column name throughout —
-    labels derives from edges, and column-object join conditions
-    across shared lineage resolve ambiguously (the classic
-    derived-self-join trap).  The recursive-CTE oracle computes full
-    transitive closure — fine at fixture scale, exactly what the Spark
-    side avoids at 100 TB."""
+    graph; flat ~1 s with checkpointing).  Convergence is detected by
+    an order-insensitive checksum (count + bit_xor of xxhash64) of the
+    canonical undirected edge set — one scalar aggregate per
+    iteration; the phases are deterministic functions of that set, so
+    an unchanged checksum is a fixed point (and the paper's potential
+    argument rules out cycles).  Only that scalar reaches the driver
+    (same justification as the IVF Lloyd loop); edge data never
+    leaves the cluster.  The recursive-CTE oracle computes full
+    transitive closure — fine at fixture scale, exactly what the
+    Spark side avoids at 100 TB."""
     prs = dedup_embedding_neardup(spark, sf_dir).select("id_a", "id_b")
-    edges = (
-        prs.unionByName(
-            prs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-        )
-        .toDF("src", "dst")
-        .localCheckpoint()
+    labels, _ = star_connected_components(prs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    for _ in range(CC_MAX_ITERS):
-        nbr = (
-            edges.select(F.col("dst").alias("node"), "src")
-            .join(labels, "node")
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
-            .withColumnRenamed("src", "node")
-        )
-        cand = (
-            labels.withColumnRenamed("label", "old")
-            .join(nbr, "node", "left")
-            .select(
-                "node",
-                "old",
-                F.least(F.col("old"), F.coalesce("nbr_min", "old")).alias("mid"),
-            )
-        )
-        # pointer jump: mid is itself a node id — adopt ITS candidate
-        # label too, halving label-chain depth every round
-        jump = cand.select(
-            F.col("node").alias("mid_key"), F.col("mid").alias("mid_label")
-        )
-        upd = (
-            cand.withColumnRenamed("mid", "mid_key")
-            .join(jump, "mid_key", "left")
-            .select(
-                "node",
-                "old",
-                F.least(
-                    F.col("mid_key"), F.coalesce("mid_label", "mid_key")
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = upd.filter(F.col("label") < F.col("old")).count()
-        labels = upd.select("node", "label")
-        if changed == 0:
-            break
-    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return labels.join(F.broadcast(sizes), "label").select(
+    return labels.join(F.broadcast(sizes), "cluster_id").select(
         F.col("node").alias("vec_id"),
-        F.col("label").alias("cluster_id"),
+        "cluster_id",
         "cluster_size",
-        (F.col("node") == F.col("label")).cast("int").alias("is_keeper"),
+        (F.col("node") == F.col("cluster_id")).cast("int").alias("is_keeper"),
     )

@@ -218,3 +218,33 @@ def test_simhash_hamming_orders_pairs(spark):
         "near-dup must be closer in Hamming space than unrelated text"
     )
     assert dist[(0, 1)] <= 3, "two-word edit should move at most a few bits"
+
+
+def test_star_cc_chain_converges_in_log_rounds(spark):
+    """The large-star/small-star alternation must resolve a 64-node
+    path graph — the worst case for label propagation, which needs
+    O(diameter)=63 rounds — in O(log n) iterations, and label every
+    node with the component minimum."""
+    from newspapers_etl_spark.operators.dedup import star_connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "u long, v long"
+    )
+    labels, iters = star_connected_components(chain)
+    got = {r.node: r.cluster_id for r in labels.collect()}
+    assert got == {i: 0 for i in range(64)}, "chain must collapse to min=0"
+    assert iters <= 8, f"star CC took {iters} iterations on a 64-path"
+
+
+def test_star_cc_disjoint_components(spark):
+    """Two components + node-id gaps: each cluster labels with its own
+    minimum, nothing bleeds across."""
+    from newspapers_etl_spark.operators.dedup import star_connected_components
+
+    edges = spark.createDataFrame(
+        [(10, 30), (30, 20), (100, 200), (200, 150), (150, 100)],
+        "u long, v long",
+    )
+    labels, _ = star_connected_components(edges)
+    got = {r.node: r.cluster_id for r in labels.collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 100: 100, 150: 100, 200: 100}

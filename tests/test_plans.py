@@ -200,3 +200,46 @@ def test_scan_only_projections_add_no_exchange(spark, sf_dir):
     pii_plan = _plan(pii_mask(spark, sf_dir))
     assert "Exchange" not in pii_plan
     assert "ReadSchema: struct<c_custkey:bigint,c_name:string>" in pii_plan
+
+
+def test_quality_clf_single_exchange_partial_agg(spark, sf_dir):
+    """The classifier fold is map-side: the plan must be scan → project
+    (one F.aggregate expression) → partial agg → ONE exchange on source
+    → final agg, reading only (text, source)."""
+    from newspapers_etl_spark.operators.corpus import quality_classifier
+
+    plan = _plan(quality_classifier(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert "partial_count" in plan, "no map-side combine before the exchange"
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "source" in read_schema
+    assert "doc_id" not in read_schema, "classifier scan reads unused columns"
+
+
+def test_dedup_incr_joins_on_fingerprint_only(spark, sf_dir):
+    """The incremental-dedup join must carry the 16-byte fingerprint,
+    never document text: no exchange may list the text column, and the
+    history side must be distinct-aggregated before the join."""
+    from newspapers_etl_spark.operators.corpus import dedup_incremental
+
+    plan = _plan(dedup_incremental(spark, sf_dir))
+    for i, chunk in enumerate(plan.split("Exchange ")[1:]):
+        partitioning = chunk.splitlines()[0]
+        assert "text" not in partitioning, (
+            f"exchange {i} shuffles document text: {partitioning}"
+        )
+    assert "HashAggregate" in plan.split("Join")[-1] or plan.count(
+        "HashAggregate"
+    ) >= 3, "history fingerprints not pre-distinct"
+
+
+def test_split_3way_membership_is_map_side(spark, sf_dir):
+    """Split membership must be an expression over the scan (one
+    exchange for the 3-group rollup, one for the unbounded window on
+    the aggregate) — no join, no extra corpus shuffle."""
+    from newspapers_etl_spark.operators.corpus import split_3way
+
+    plan = _plan(split_3way(spark, sf_dir))
+    assert "Join" not in plan, "split should not join"
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 2, f"unexpected exchange count {n_exchanges}"
