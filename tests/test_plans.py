@@ -243,3 +243,35 @@ def test_split_3way_membership_is_map_side(spark, sf_dir):
     assert "Join" not in plan, "split should not join"
     n_exchanges = plan.count("Exchange ")
     assert n_exchanges <= 2, f"unexpected exchange count {n_exchanges}"
+
+
+def test_bucketed_history_dedup_elides_history_shuffle(spark, sf_dir):
+    """The steady-state layout for incremental dedup at 100 TB
+    (SCALING.md corpus row): the accumulated history fingerprint table
+    is bucketed by fingerprint, so each daily batch's join reads
+    history in place — only the (much smaller) batch side shuffles to
+    meet the bucketing."""
+    from newspapers_etl_spark.functions.text import doc_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+    hist = fps.filter(F.col("doc_id") % 2 == 0).select("fingerprint").distinct()
+    batch = fps.filter(F.col("doc_id") % 2 == 1)
+    spark.sql("DROP TABLE IF EXISTS bt_hist_fps")
+    try:
+        hist.write.bucketBy(8, "fingerprint").sortBy("fingerprint").saveAsTable(
+            "bt_hist_fps"
+        )
+        joined = batch.hint("merge").join(
+            spark.table("bt_hist_fps"), "fingerprint", "left_semi"
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        # exactly one exchange: the batch side aligning to the buckets;
+        # the history scan must feed the join with no exchange above it
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+        hist_side = plan.split("Scan")[-1]
+        assert "bt_hist_fps" in hist_side, "history must be the last scan leaf"
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_hist_fps")
