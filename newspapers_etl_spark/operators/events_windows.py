@@ -26,7 +26,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
@@ -196,4 +196,96 @@ def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("k"), 4).alias("avg_k"),
             F.max("k").alias("max_k"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: strictly-ordered step conversion per user
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+FUNNEL_ORACLE = """
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM w1
+),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM w2
+)
+SELECT 1 AS step, 'view' AS step_name,
+       CAST(count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS BIGINT) AS n_users
+FROM w3
+UNION ALL
+SELECT 2, 'view>click',
+       CAST(count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS BIGINT)
+FROM w3
+UNION ALL
+SELECT 3, 'view>click>purchase',
+       CAST(count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS BIGINT)
+FROM w3
+"""
+
+
+@query("events_funnel", oracle=FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel conversion (view → click → purchase):
+    a user converts step N only with an event AFTER their first
+    step-N-1 event — the sequence-matching analytics op the reference's
+    serial day loop has no analog for.  The three conditional minima
+    are STACKED window projections over the SAME partitioning spec
+    (user), so Catalyst plans ONE exchange + one sort shared by all
+    three Window operators — never one shuffle per step; the final
+    rollup is a single aggregate of conditional distinct counts.  All
+    outputs are integers, so the oracle compare is exact.  At 100 TB
+    the shuffle carries (user, ts, type) only; per-user state is the
+    hottest user's event run, same bound as the session windows
+    above."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1, s2, s3 = FUNNEL_STEPS
+    staged = (
+        e.select("user_id", "ts", "event_type")
+        .withColumn(
+            "t1", F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == s2) & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == s3) & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    counts = staged.agg(
+        *[
+            F.count_distinct(
+                F.when(F.col(t).isNotNull(), F.col("user_id"))
+            ).alias(n)
+            for t, n in (("t1", "n1"), ("t2", "n2"), ("t3", "n3"))
+        ]
+    )
+    return counts.selectExpr(
+        "stack(3, 1, 'view', n1, 2, 'view>click', n2, "
+        "3, 'view>click>purchase', n3) AS (step, step_name, n_users)"
     )

@@ -190,7 +190,7 @@ WHERE EXISTS (SELECT 1 FROM changed ch WHERE ch.c_custkey = c.c_custkey)
 """
 
 
-@query("scd2_merge_history", oracle=SCD2_MERGE_ORACLE)
+@query("scd2_merge", oracle=SCD2_MERGE_ORACLE)
 def scd2_merge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full SCD2 history after one CDC batch: unchanged open rows, closed
     prior versions, and newly opened versions, all from a single

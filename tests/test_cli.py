@@ -32,7 +32,7 @@ def test_parser_requires_operation_arguments():
 def test_list_prints_registry(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
-    assert "q1_pricing_summary\toracle" in out
+    assert "q1_pricing\toracle" in out
     assert len(out.strip().splitlines()) >= 70
 
 
