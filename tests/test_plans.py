@@ -275,3 +275,19 @@ def test_bucketed_history_dedup_elides_history_shuffle(spark, sf_dir):
         assert joined.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_hist_fps")
+
+
+def test_funnel_windows_share_one_shuffle(spark, sf_dir):
+    """The three funnel-step conditional minima are stacked Window
+    operators over the same user partitioning: exactly one sort and
+    one user_id exchange serve all three — never a shuffle per step."""
+    from newspapers_etl_spark.operators.events_windows import events_funnel
+
+    plan = _plan(events_funnel(spark, sf_dir))
+    assert plan.count("Window") == 3
+    assert plan.count("Sort") == 1, "stacked windows must share one sort"
+    user_exchanges = [
+        c for c in plan.split("Exchange ")[1:]
+        if c.splitlines()[0].startswith("hashpartitioning(user_id")
+    ]
+    assert len(user_exchanges) == 1, plan[:1500]
