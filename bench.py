@@ -3,7 +3,7 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints exactly ONE JSON line on stdout:
-  {"metric": "total_query_wall", "value": <sum sec>, "unit": "sec",
+  {"metric": "wall", "value": <sum sec>, "unit": "sec",
    "queries": {"q1": sec, ...}, "sf": 0.1}
 All logging goes to stderr so the driver's JSON parse never breaks.
 
@@ -85,7 +85,7 @@ def main() -> int:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     result = {
-        "metric": "total_query_wall",
+        "metric": "wall",
         "value": total,
         "unit": "sec",
         "queries": timings,

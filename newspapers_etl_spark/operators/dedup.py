@@ -89,7 +89,7 @@ GROUP BY source
 """
 
 
-@query("dedup_ngram_jaccard", oracle=JACCARD_ORACLE)
+@query("dedup_jaccard", oracle=JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard over pairs WITHIN a blocking key (source).
 
@@ -458,7 +458,7 @@ SELECT * FROM (
 """
 
 
-@query("dedup_emb_neardup", oracle=EMBED_NEARDUP_ORACLE)
+@query("dedup_emb", oracle=EMBED_NEARDUP_ORACLE)
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: candidates
     are pairs colliding in ANY of EMB_LSH_TABLES sign-pattern bucket

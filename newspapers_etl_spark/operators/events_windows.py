@@ -179,7 +179,7 @@ GROUP BY event_type
 """
 
 
-@query("events_json_stats", oracle=PROPS_ORACLE)
+@query("events_json", oracle=PROPS_ORACLE)
 def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`from_json` with a DECLARED schema over the props column (never
     schema inference — at 100 TB that is a full extra pass), then plain

@@ -267,7 +267,7 @@ GROUP BY lang
 """
 
 
-@query("filter_rlike_dates", oracle=RLIKE_ORACLE)
+@query("filter_rlike", oracle=RLIKE_ORACLE)
 def filter_rlike_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6: reject rows whose date doesn't match ^\\d{4}-\\d{2}-\\d{2}$
     (reference scrape_by_date_range validation,
@@ -315,7 +315,7 @@ GROUP BY 1
 """
 
 
-@query("extract_mime_class", oracle=MIME_ORACLE)
+@query("extract_mime", oracle=MIME_ORACLE)
 def extract_mime_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9: extension→MIME dispatch with default (reference
     src/01-scrape-images.py:110-116); the .JP2 branch exercises the
@@ -353,7 +353,7 @@ FROM urls
 """
 
 
-@query("extract_url_basename", oracle=URL_ORACLE)
+@query("extract_basename", oracle=URL_ORACLE)
 def extract_url_basename(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9/F10: percent-decode then take the last path segment (reference
     unquote + Path(...).name, src/01-scrape-images.py:458)."""
@@ -382,7 +382,7 @@ FROM documents
 """
 
 
-@query("extract_md5_digest", oracle=MD5_ORACLE)
+@query("extract_md5", oracle=MD5_ORACLE)
 def extract_md5_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F15: content digest (reference compute_md5,
     src/01-scrape-images.py:78-83) — the integrity-audit primitive the

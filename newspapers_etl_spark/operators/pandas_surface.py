@@ -123,7 +123,7 @@ FROM toks,
 """
 
 
-@query("pd_udtf_doc_chunks", oracle=CHUNK_ORACLE)
+@query("pd_udtf_chunks", oracle=CHUNK_ORACLE)
 def pd_udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk every document via the Python UDTF in a LATERAL join.
     Arrow-optimized UDTF execution is enabled so chunk rows stream back

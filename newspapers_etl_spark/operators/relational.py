@@ -153,7 +153,7 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
-@query("agg_rollup_returns", oracle=ROLLUP_ORACLE)
+@query("agg_rollup", oracle=ROLLUP_ORACLE)
 def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (absent from the reference — SURVEY §2.4 lists
     grouping sets as a built-in the rebuild exposes)."""
@@ -210,7 +210,7 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
 
 
-@query("agg_grouping_sets", oracle=GROUPING_SETS_ORACLE)
+@query("agg_gsets", oracle=GROUPING_SETS_ORACLE)
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via DataFrame.groupingSets (Spark 4.x) — no temp-view
     side effect on the shared session (a createOrReplaceTempView here would

@@ -66,7 +66,7 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
-@query("sim_topk_bruteforce", oracle=TOPK_ORACLE)
+@query("sim_topk_bf", oracle=TOPK_ORACLE)
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k per probe: broadcast the probe set, score the
     whole corpus once, keep k per probe via a bounded window.  Ranking is

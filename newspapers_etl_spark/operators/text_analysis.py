@@ -45,7 +45,7 @@ FROM documents
 """
 
 
-@query("text_token_counts", oracle=TOKEN_COUNT_ORACLE)
+@query("text_tokens", oracle=TOKEN_COUNT_ORACLE)
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -249,7 +249,7 @@ FROM documents
 """
 
 
-@query("text_fingerprints", oracle=FINGERPRINT_ORACLE)
+@query("text_fp", oracle=FINGERPRINT_ORACLE)
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint (dedup key) + the k=1 minhash
     (min over per-token hashes) — the primitive the MinHash-LSH dedup

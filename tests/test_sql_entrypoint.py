@@ -82,7 +82,7 @@ def test_bench_stdout_line_fits_capture_window():
 
     worst = json.dumps(
         {
-            "metric": "total_query_wall",
+            "metric": "wall",
             "value": 999.999,
             "unit": "sec",
             "queries": {n: 99.99 for n in sorted(all_queries())},
