@@ -289,3 +289,69 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 1, 'view', n1, 2, 'view>click', n2, "
         "3, 'view>click>purchase', n3) AS (step, step_name, n_users)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: first-activity cohorts × day offsets
+# ---------------------------------------------------------------------------
+
+RETENTION_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+cohort AS (
+  SELECT user_id, min(d) AS cohort_day FROM activity GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_day, count(*) AS cohort_size FROM cohort GROUP BY cohort_day
+),
+joined AS (
+  SELECT c.cohort_day, CAST(a.d - c.cohort_day AS INT) AS day_offset
+  FROM activity a JOIN cohort c USING (user_id)
+)
+SELECT j.cohort_day,
+       j.day_offset,
+       CAST(count(*) AS BIGINT) AS n_active,
+       round(count(*) * 1.0 / s.cohort_size, 4) AS retention
+FROM joined j JOIN sizes s USING (cohort_day)
+GROUP BY j.cohort_day, j.day_offset, s.cohort_size
+"""
+
+
+@query("events_retention", oracle=RETENTION_ORACLE)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the event stream: users are cohorted
+    by their first active day, and each (cohort_day, day_offset) cell
+    counts how many of them were active again ``offset`` days later,
+    with the retained fraction.  This is the day-grain generalization of
+    the reference's month-verify accounting (reference
+    .github/workflows/main.yml:23: did every expected day actually
+    happen?) applied to users instead of partitions — and the standard
+    engagement query any event warehouse must answer.
+
+    Scale shape: two aggregations and one join, ALL keyed on user_id
+    until the final cell rollup — the distinct, the per-user min, and
+    the activity⋈cohort join share one hash partitioning, so Catalyst
+    plans a single user_id exchange feeding all three (no re-shuffle
+    between them); the final groupBy re-keys on the (cohort, offset)
+    cell, whose cardinality is bounded by days² regardless of corpus
+    size.  Cohort sizes are a days-sized relation, hence broadcast to
+    the cells rather than shuffled."""
+    e = load_table(spark, sf_dir, "events")
+    activity = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    sizes = cohort.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    cells = (
+        activity.join(cohort, "user_id")
+        .select(
+            "cohort_day", F.datediff("d", "cohort_day").alias("day_offset")
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
+    )
