@@ -145,12 +145,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     exists for documentation and for the streaming/JSON paths where
     inference would cost a scan.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    reader rejects outright; it is read as raw nanos (via the session-wide
-    ``spark.sql.legacy.parquet.nanosAsLong`` set in session.py — see the
-    note there about why it is NOT scoped per-read) and floor-divided to
-    a microsecond timestamp — the same ns→µs truncation DuckDB applies,
-    so oracle comparisons line up exactly."""
+    ``events.ts`` has shipped in two fixture encodings across driver
+    generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects outright — read as raw nanos via the session-wide
+    ``spark.sql.legacy.parquet.nanosAsLong`` set in session.py, then
+    floor-divided to microseconds, the same ns→µs truncation DuckDB
+    applies) and plain ``timestamp[us]`` with isAdjustedToUTC=false
+    (which Spark reads as TIMESTAMP_NTZ).  Both normalize to session-tz
+    TimestampType here, branching on the footer-derived dtype, so every
+    downstream operator sees one stable schema."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
@@ -158,9 +161,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # SparkSession.builder in a notebook): the conf must be on
         # before the scan executes, and setting it twice is harmless.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(table_path(sf_dir, name)).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(table_path(sf_dir, name))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):  # legacy TIMESTAMP(NANOS)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):  # TIMESTAMP_NTZ
+            # Session tz is UTC (session.py), so the cast is a pure
+            # re-tag: identical wall values, identical DuckDB naive
+            # semantics on the oracle side.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

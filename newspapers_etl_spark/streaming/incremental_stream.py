@@ -53,13 +53,43 @@ EVENTS_SCHEMA = T.StructType(
     ]
 )
 
-# The driver fixtures store ts as TIMESTAMP(NANOS), which Spark's reader
-# rejects as TimestampType; mirror catalog.load_table: declare the column
-# as raw nanos and floor-divide to microseconds (same truncation DuckDB
-# applies, so oracle comparisons line up).
+# The driver fixtures have shipped ts as TIMESTAMP(NANOS) (older
+# generations — Spark's reader rejects it as TimestampType; declare raw
+# nanos and floor-divide to microseconds, the same truncation DuckDB
+# applies) and as timestamp[us] isAdjustedToUTC=false (current — reads
+# as TIMESTAMP_NTZ, re-tagged to session-tz TimestampType like
+# catalog.load_table).  A streaming source must declare its schema up
+# front, so the encoding is sniffed from one parquet footer.
 EVENTS_SCHEMA_NANOS = T.StructType(
     [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENTS_SCHEMA]
 )
+EVENTS_SCHEMA_NTZ = T.StructType(
+    [
+        f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+        for f in EVENTS_SCHEMA
+    ]
+)
+
+
+def _peek_ts_encoding(src_dir: str, glob: str | None) -> str:
+    """Sniff the events ts encoding from the first matching file's parquet
+    footer (footer-only read, no data pages): 'nanos' | 'ntz' | 'tz'."""
+    import glob as globmod
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pattern = os.path.join(src_dir, glob or "*.parquet")
+    files = sorted(globmod.glob(pattern))
+    if not files:
+        return "tz"
+    t = pq.read_schema(files[0]).field("ts").type
+    if pa.types.is_int64(t) or (pa.types.is_timestamp(t) and t.unit == "ns"):
+        return "nanos"
+    if pa.types.is_timestamp(t) and t.tz is None:
+        return "ntz"
+    return "tz"
 
 # Late-data horizon.  The fixture is a bounded replay (ts spans one
 # month), so a generous watermark keeps every window open for the whole
@@ -73,17 +103,24 @@ def read_events_stream(
     src_dir: str,
     glob: str | None = None,
     max_files_per_trigger: int | None = None,
-    nanos: bool = False,
+    ts_encoding: str = "tz",
 ) -> DataFrame:
     """File-source stream over a directory of events-shaped parquet
     (optionally narrowed by a ``pathGlobFilter`` — the streaming source
     requires a directory, so single-file fixtures are selected by glob).
     With ``max_files_per_trigger`` set, each micro-batch consumes at most
     that many files — the day-loop pacing knob (main.yml:94) done by the
-    engine instead of `sleep 5`.  ``nanos=True`` reads driver fixtures
-    whose ts is parquet TIMESTAMP(NANOS)."""
-    schema = EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA
-    if nanos:
+    engine instead of `sleep 5`.  ``ts_encoding``: 'tz' for Spark-written
+    TIMESTAMP micros (the default for engine-internal handoffs), 'auto'
+    to sniff driver fixtures whose encoding varies by generation."""
+    if ts_encoding == "auto":
+        ts_encoding = _peek_ts_encoding(src_dir, glob)
+    schema = {
+        "nanos": EVENTS_SCHEMA_NANOS,
+        "ntz": EVENTS_SCHEMA_NTZ,
+        "tz": EVENTS_SCHEMA,
+    }[ts_encoding]
+    if ts_encoding == "nanos":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader: DataStreamReader = spark.readStream.schema(schema)
     if glob is not None:
@@ -91,8 +128,10 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     out = reader.parquet(src_dir)
-    if nanos:
+    if ts_encoding == "nanos":
         out = out.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_encoding == "ntz":
+        out = out.withColumn("ts", F.col("ts").cast("timestamp"))
     return out
 
 
@@ -163,7 +202,7 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ENGINE (AvailableNow over the events parquet, complete-mode memory
     sink).  Matching the batch oracle proves micro-batch execution
     converges to the batch answer on bounded input."""
-    stream = read_events_stream(spark, sf_dir, glob="events.parquet", nanos=True)
+    stream = read_events_stream(spark, sf_dir, glob="events.parquet", ts_encoding="auto")
     ckpt = tempfile.mkdtemp(prefix="ckpt_tumbling_")
     return run_available_now(
         tumbling_counts(stream), "stream_tumbling_hourly_sink", ckpt, "complete"
@@ -187,7 +226,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     dedup must preserve (no drops, no double-delivery); the duplicate-
     collapsing path is exercised with planted dupes in
     tests/test_streaming.py."""
-    stream = read_events_stream(spark, sf_dir, glob="events.parquet", nanos=True)
+    stream = read_events_stream(spark, sf_dir, glob="events.parquet", ts_encoding="auto")
     ckpt = tempfile.mkdtemp(prefix="ckpt_dedup_")
     deduped = deduped_stream(stream)
     # No distinct aggregates on streams; count+sum over the deduped rows
