@@ -99,16 +99,37 @@ def main() -> int:
     except OSError as e:  # read-only checkout must not kill the bench
         print(f"[bench] BENCH_SELF.json not written: {e}", file=sys.stderr)
     # The driver captures only the LAST 2000 chars of stdout and parses
-    # the JSON from that window, so the line must stay under 2000 chars:
-    # compact separators, 2-decimal per-query values (query names are
-    # sized so the worst case fits with ~70 chars of headroom).
-    compact = dict(
-        result,
-        queries={n: round(t, 2) for n, t in timings.items()},
-    )
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) >= 1990:  # loud, not silent: a too-long line parses as null
-        print(f"[bench] WARNING stdout line {len(line)} chars >= 1990", file=sys.stderr)
+    # the JSON from that window, so the line must stay under 2000 chars.
+    # Degrade gracefully instead of overflowing: full 2-decimal per-query
+    # map first; if the registry has grown past what fits, drop to
+    # 1-decimal; as a last resort keep only the slowest queries and count
+    # the rest in "queries_omitted" (full precision always lives in
+    # BENCH_SELF.json — overflow must never zero the whole capture).
+    def _line(queries: dict, omitted: int) -> str:
+        compact = dict(result, queries=queries)
+        if omitted:
+            compact["queries_omitted"] = omitted
+        return json.dumps(compact, separators=(",", ":"))
+
+    line = _line({n: round(t, 2) for n, t in timings.items()}, 0)
+    if len(line) >= 1990:
+        line = _line({n: round(t, 1) for n, t in timings.items()}, 0)
+    if len(line) >= 1990:
+        by_cost = sorted(timings, key=lambda n: -timings[n])
+        keep = len(by_cost)
+        while keep > 0:
+            line = _line(
+                {n: round(timings[n], 1) for n in by_cost[:keep]},
+                len(by_cost) - keep,
+            )
+            if len(line) < 1990:
+                break
+            keep -= 10
+        print(
+            f"[bench] stdout overflow: kept slowest {keep}/{len(by_cost)} "
+            "queries; full timings in BENCH_SELF.json",
+            file=sys.stderr,
+        )
     print(line)
     return 0
 

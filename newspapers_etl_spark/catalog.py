@@ -165,11 +165,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):  # legacy TIMESTAMP(NANOS)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif not isinstance(ts_type, T.TimestampType):  # TIMESTAMP_NTZ
+        elif isinstance(ts_type, T.TimestampNTZType):
             # Session tz is UTC (session.py), so the cast is a pure
             # re-tag: identical wall values, identical DuckDB naive
             # semantics on the oracle side.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif not isinstance(ts_type, T.TimestampType):
+            # Anything else (e.g. StringType from a corrupt fixture) is
+            # a broken input: fail loudly instead of casting to nulls.
+            raise TypeError(
+                f"events.ts has unsupported dtype {ts_type}; expected "
+                "TIMESTAMP, TIMESTAMP_NTZ, or legacy nanos (int64)"
+            )
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

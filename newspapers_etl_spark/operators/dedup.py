@@ -68,37 +68,169 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N-gram (token-set) Jaccard within a blocking key
 # ---------------------------------------------------------------------------
 
-JACCARD_ORACLE = """
+# Jaccard similarity-join threshold.  0.5 keeps (1 - t) dyadic so the
+# ceil(t*n) prefix arithmetic is bit-identical between Spark and DuckDB
+# (no floating-point boundary straddling).
+JACCARD_T = 0.5
+
+# The set representation is 3-gram SHINGLES, not tokens: the fixture
+# (and any real corpus after stop-word-heavy tokenization) has a token
+# vocabulary far smaller than the doc count, so every token's document
+# frequency is huge and token-prefix filtering prunes nothing (measured:
+# 112M candidate joins at sf0.1 on tokens vs 430k on shingles).
+# Shingle vocabulary grows combinatorially, keeping per-shingle df — and
+# therefore prefix fan-out — low.  The shingle SQL mirrors
+# functions shingles() exactly: k = len-2 windows of 3, whole-text
+# fallback for docs under 3 tokens.
+JACCARD_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, source, list_distinct(string_split_regex(text, '\\s+')) AS ts
-  FROM documents
+  SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ts) >= 3
+           THEN list_transform(range(1, len(ts) - 1),
+                               i -> array_to_string(list_slice(ts, i, i + 2), ' '))
+           ELSE [array_to_string(ts, ' ')] END) AS ss
+  FROM toks
+),
+sized AS (SELECT doc_id, ss, len(ss) AS n FROM sh),
+tok AS (SELECT doc_id, n, unnest(ss) AS s FROM sized),
+df AS (SELECT s, count(*) AS df FROM tok GROUP BY s),
+ranked AS (
+  SELECT t.doc_id, t.s,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.s) AS rn,
+         t.n
+  FROM tok t JOIN df d USING (s)
+),
+prefix AS (
+  SELECT doc_id, s FROM ranked
+  WHERE rn <= n - CAST(ceil({JACCARD_T} * n) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
 ),
 pairs AS (
-  SELECT a.source,
-         CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-           / len(list_distinct(list_concat(a.ts, b.ts))) AS j
-  FROM toks a JOIN toks b
-    ON a.source = b.source AND a.doc_id < b.doc_id
+  SELECT c.ida, c.idb,
+         CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE)
+           / (x.n + y.n - len(list_intersect(x.ss, y.ss))) AS j
+  FROM cand c
+  JOIN sized x ON x.doc_id = c.ida
+  JOIN sized y ON y.doc_id = c.idb
 )
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_pairs,
-       round(max(j), 4)         AS max_jaccard,
-       round(avg(j), 4)         AS avg_jaccard
+SELECT ida AS doc_id_a, idb AS doc_id_b, round(j, 4) AS jaccard
 FROM pairs
-GROUP BY source
+WHERE j >= {JACCARD_T}
 """
 
 
 @query("dedup_jaccard", oracle=JACCARD_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard over pairs WITHIN a blocking key (source).
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-threshold Jaccard similarity join via PREFIX FILTERING
+    (AllPairs/PPJoin): returns every pair with shingle-set Jaccard >= t,
+    with NO all-pairs scan and NO hash seeds — fully deterministic, so
+    the DuckDB oracle enumerates the identical candidate set (unlike the
+    hash-seeded LSH pipeline, which is rows-only by nature).
 
-    This registered form is the VERIFY-STAGE DEMO at fixture scale: it
-    blocks on `source` so the oracle can enumerate the same pairs, which
-    is per-block C(n,2) and therefore sf-only — at 100 TB this exact
-    pair scan NEVER runs standalone; it runs over LSH candidates, which
-    is precisely what `dedup_lsh_verified_pairs` registers as the
-    scale-path pipeline (bounded candidates → this same Jaccard math)."""
+    The filter guarantee: order every doc's distinct shingles by a fixed
+    global total order (ascending document-frequency, shingle as
+    tie-break — rare shingles first); if J(x, y) >= t then
+    |x ∩ y| >= ceil(t·|x|), so the first |x| - ceil(t·|x|) + 1 shingles
+    of x (its "prefix") must share at least one element with y's prefix.
+    Candidate generation is therefore an equi-join on prefix shingles
+    only — per-block quadratic cost exists only within one prefix
+    shingle's posting list, whose length the rare-first ordering keeps
+    near-minimal (measured max 10 at sf0.1, vs 3854 had tokens been the
+    set elements).
+
+    100 TB shape: one linear scan shingles the corpus; the
+    document-frequency relation aggregates shingle→count (map-side
+    partial); the candidate join shuffles (shingle, doc_id) pairs for
+    PREFIX shingles only; the verify join carries shingle arrays for
+    candidate docs only, semi-join-pruned.  Exact recall by
+    construction — this is the scale path for exact-threshold near-dup;
+    MinHash+LSH (`dedup_lsh_verify`) is the probabilistic alternative
+    when even prefix posting lists are too hot (very low t)."""
+    t = JACCARD_T
+    d = load_table(spark, sf_dir, "documents")
+    # Tokenization staged in its own projection (shingles() contract):
+    # multiple references to `toks` stop CollapseProject from inlining
+    # the split into the shingle lambda, which would re-split the text
+    # once per window — O(tokens²).  The shingle relation feeds FOUR
+    # subplans (df table, ranked prefix, both verify sides): persist —
+    # the same move as the SimHash query's (doc_id, sh) cache — computes
+    # the scan+shingle pass once instead of four times (ReuseExchange
+    # can't dedupe here because per-branch column pruning makes the
+    # exchange subtrees non-identical).  The repartition spreads the
+    # pass across cores when the source is one file (fixture: single
+    # parquet file = single scan partition) and sizes the cached
+    # partitions; what shuffles is (doc_id, tokens), never wider.
+    sized = (
+        d.select("doc_id", words("text").alias("toks"))
+        .repartition(F.col("doc_id"))
+        .select("doc_id", F.array_distinct(shingles("toks")).alias("ss"))
+        .withColumn("n", F.size("ss"))
+        .persist()
+    )
+    # explode_outer, deliberately: plain explode triggers
+    # InferFiltersFromGenerate, whose size()>0/isnotnull predicates get
+    # pushed below the token projection with the WHOLE shingle
+    # expression re-inlined (split inside the HOF lambda → O(tokens²),
+    # evaluated again per predicate).  The arrays are never empty (short
+    # docs collapse to one whole-text shingle), so the outer variant is
+    # semantically identical and keeps the shingle pass single-pass.
+    tok = sized.select("doc_id", "n", F.explode_outer("ss").alias("s"))
+    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
+    ranked = tok.join(dfreq, "s").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc_id", "s")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+    x = sized.select(
+        F.col("doc_id").alias("ida"), F.col("ss").alias("ss_a"), F.col("n").alias("n_a")
+    )
+    y = sized.select(
+        F.col("doc_id").alias("idb"), F.col("ss").alias("ss_b"), F.col("n").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("ss_a", "ss_b"))
+    # Broadcast the per-doc shingle relation on BOTH verify sides: the
+    # candidate stream then passes two in-memory hash tables in a single
+    # stage — without this, the intermediate (pair, ss_a) rows re-shuffle
+    # on idb carrying one full shingle array PER PAIR (measured ~400 MB
+    # at sf0.1 for a 3 MB doc relation).  At a scale where the doc-side
+    # no longer broadcasts, drop the hint: the same plan degrades to two
+    # shuffles of O(candidates) rows, which the prefix filter bounds.
+    return (
+        cand.join(F.broadcast(x), "ida")
+        .join(F.broadcast(y), "idb")
+        .select(
+            F.col("ida").alias("doc_id_a"),
+            F.col("idb").alias("doc_id_b"),
+            (inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)).alias("j"),
+        )
+        .filter(F.col("j") >= t)
+        .select("doc_id_a", "doc_id_b", F.round("j", 4).alias("jaccard"))
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNREGISTERED fixture-scale demo: exact token-set Jaccard over ALL
+    pairs within a blocking key (source) — per-block C(n,2), so it never
+    runs standalone at scale (that's `dedup_jaccard` above, whose prefix
+    filter bounds candidates by construction).  Kept for tests that
+    cross-check the prefix join's pair set against brute force."""
     d = load_table(spark, sf_dir, "documents")
     # Token-set size is precomputed per ROW; per pair only the intersect
     # runs and |A∪B| comes from inclusion-exclusion (|A|+|B|-|A∩B|) —

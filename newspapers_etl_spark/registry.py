@@ -23,10 +23,29 @@ ORACLE: dict[str, str] = {}
 
 # Registration order matters: the driver's correctness harness checks
 # queries in registration order (capped around ~50 per round), so the
-# families with the least oracle-verification history go FIRST.  The
-# relational/extraction families have two full rounds of green
-# CORRECTNESS rows and rotate to the back.
+# families with the least oracle-verification history go FIRST.
+#
+# ROTATION POLICY (one line per round, newest first):
+#   r4: relational + extraction (green r1/r2 only — oldest history) and
+#       similarity (sim_lsh_stats never yet inside any window) lead;
+#       dedup follows (dedup_jaccard re-registered scale-true this
+#       round, needs a fresh hash row); the whole r3-green family
+#       (corpus/sampling/text/multimodal/events/pandas/pipeline/scd/
+#       sinks/streaming) rotates to the back.
+#   r3: corpus..streaming (new that round) + relational_extended
+#       (agg_pctl_approx fix) + dedup (decontam/clusters new) led;
+#       relational/extraction rode on r1/r2 green history.
+# Rule of thumb: families whose last green hash row is oldest — or
+# that contain a query never checked in ANY window — go first; a query
+# changed in the current round must sit inside the first ~50.
 _OPERATOR_MODULES = (
+    "newspapers_etl_spark.operators.relational",          # 21  last hashed r1/r2
+    "newspapers_etl_spark.operators.extraction_queries",  # 8   last hashed r2
+    "newspapers_etl_spark.operators.similarity",          # 5   sim_lsh_stats never checked
+    "newspapers_etl_spark.operators.dedup",               # 9   dedup_jaccard changed r4
+    "newspapers_etl_spark.operators.incremental",         # 3   last hashed r2
+    "newspapers_etl_spark.operators.relational_extended", # 7   green r3 (window edge)
+    # ---- ~53 queries above: the driver's ~50-query window ends here ----
     "newspapers_etl_spark.operators.corpus",
     "newspapers_etl_spark.operators.sampling",
     "newspapers_etl_spark.operators.text_analysis",
@@ -37,17 +56,6 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.scd",
     "newspapers_etl_spark.sinks.verified",
     "newspapers_etl_spark.streaming.incremental_stream",
-    # relational_extended next: agg_pctl_approx is the r02 FAIL whose fix
-    # must land inside the driver's ~50-query correctness window; dedup
-    # follows because decontam/dedup_clusters are new this round.  The
-    # similarity tail that falls just outside the window (ann ivf/lsh
-    # stats) is rows-only-by-design either way.
-    "newspapers_etl_spark.operators.relational_extended",
-    "newspapers_etl_spark.operators.dedup",
-    "newspapers_etl_spark.operators.similarity",
-    "newspapers_etl_spark.operators.incremental",
-    "newspapers_etl_spark.operators.relational",
-    "newspapers_etl_spark.operators.extraction_queries",
 )
 
 _loaded = False

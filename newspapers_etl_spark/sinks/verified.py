@@ -61,10 +61,17 @@ def write_partitioned(
     ``sort_cols`` sorts WITHIN each write task before encoding
     (sortWithinPartitions — no global shuffle): clustered values compress
     better and give parquet row-group min/max statistics real selectivity,
-    so later range predicates skip row groups, not just directories."""
+    so later range predicates skip row groups, not just directories.
+
+    Writes resolve through the generation pointer (see
+    ``compact_partitions``): on a compacted table, appends land in the
+    LIVE generation, so readers going through ``read_current`` see
+    them."""
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
-    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(
+        current_data_path(path)
+    )
 
 
 def verify_partitioned_write(
@@ -84,7 +91,7 @@ def verify_partitioned_write(
         F.col("combined_digest").alias("expected_digest"),
     )
     actual = partition_manifest(
-        spark.read.parquet(path), partition_cols, content_col
+        read_current(spark, path), partition_cols, content_col
     ).select(
         *partition_cols,
         F.col("n_docs").alias("n_actual"),
@@ -99,52 +106,138 @@ def verify_partitioned_write(
     )
 
 
+# --- Generation-pointer layout -------------------------------------------
+#
+# A compacted table root holds:
+#   path/_CURRENT            tiny JSON pointer {"generation": N, "dir": ...}
+#   path/_gen-0000000N/      the live generation (Hive-partitioned parquet)
+#   path/_gen-0000000M/      older generations pending retention cleanup
+# plus, before the first compaction, legacy root-level Hive dirs/files.
+#
+# The underscore prefix is load-bearing: Hadoop/Spark file listing skips
+# paths starting with '_' or '.', so generation dirs and the pointer are
+# INVISIBLE to a plain ``spark.read.parquet(path)`` of the root — the
+# legacy layout and the generation layout coexist during migration
+# without double-reads.  Readers go through ``read_current``.
+
+CURRENT_PTR = "_CURRENT"
+_GEN_PREFIX = "_gen-"
+
+
+def _read_pointer(path: str) -> dict | None:
+    """The current-generation pointer, or None for a legacy root-layout
+    table (data files directly under ``path``)."""
+    import json
+    import os
+
+    p = os.path.join(path, CURRENT_PTR)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def current_data_path(path: str) -> str:
+    """Resolve the directory readers should scan: the pointed-to
+    generation, or the root itself before any compaction has run."""
+    import os
+
+    ptr = _read_pointer(path)
+    if ptr is None:
+        return path
+    return os.path.join(path, ptr["dir"])
+
+
+def read_current(spark: SparkSession, path: str) -> DataFrame:
+    """Read the live generation of a (possibly compacted) table."""
+    return spark.read.parquet(current_data_path(path))
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
     partition_cols: list[str],
     files_per_partition: int = 1,
-) -> None:
+    keep_old_generation: bool = False,
+) -> str:
     """Small-file compaction: rewrite each Hive partition into at most
     ``files_per_partition`` files.  Streaming/incremental sinks accrete
     one file per micro-batch per partition; at 100 TB that's millions of
     tiny files — listing cost alone dominates reads.
 
-    Spark refuses to overwrite a path it is reading (correctly — the
-    scan is lazy), so the rewrite lands in a sibling staging dir and is
-    swapped in whole: write-aside + rename, the same staging-then-commit
-    shape as Spark's own job-commit protocol.  The shuffle key is
-    (partition_cols, hash-bucket) so each output partition spreads over
-    at most ``files_per_partition`` write tasks.
+    The swap is a GENERATION-POINTER publish, not a directory rename:
+    the rewrite lands fully in a fresh ``_gen-N`` dir under the table
+    root, then ``_CURRENT`` is atomically replaced (write-temp +
+    ``os.replace`` locally; on an object store the same single-key PUT
+    of the pointer object).  A reader resolving through
+    ``read_current`` therefore sees either the old generation or the
+    new one at every instant — there is no window where ``path`` is
+    absent, which the previous double-``shutil.move`` swap had.
 
+    The previous generation is deleted after the publish unless
+    ``keep_old_generation``; a reader that resolved the pointer just
+    before the swap may still be scanning those files, so a deployment
+    with long-running concurrent readers keeps N old generations and
+    reaps them after its max-query-runtime grace period (that is
+    exactly the retention knob table formats expose).
+
+    The shuffle key is (partition_cols, hash-bucket) so each output
+    partition spreads over at most ``files_per_partition`` write tasks.
     The bucket hashes every DATA COLUMN of the row — a deterministic
     row attribute — never monotonically_increasing_id(): a
     nondeterministic repartition expression routes rows differently
     when a task retries, which is the classic round-robin-repartition
-    lost/duplicated-rows hazard.  Caveat: the two shutil.move renames
-    are local-FS only and leave a short window where ``path`` is
-    absent; on an object store, swap via a catalog pointer (or table
-    format) instead."""
-    import shutil
+    lost/duplicated-rows hazard.
 
-    df = spark.read.parquet(path)
+    Returns the new generation's data directory."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    ptr = _read_pointer(path)
+    gen_no = 1 if ptr is None else int(ptr["generation"]) + 1
+    old_dir = current_data_path(path)
+    new_name = f"{_GEN_PREFIX}{gen_no:08d}"
+    new_dir = os.path.join(path, new_name)
+
+    df = spark.read.parquet(old_dir)
     parts = [F.col(c) for c in partition_cols]
     data_cols = [c for c in df.columns if c not in partition_cols]
     bucket = F.pmod(
         F.xxhash64(*[F.col(c) for c in data_cols]),
         F.lit(files_per_partition),
     )
-    staging = path.rstrip("/") + ".compacting"
     (
         df.repartition(*parts, bucket.alias("_b"))
         .write.mode("overwrite")
         .partitionBy(*partition_cols)
-        .parquet(staging)
+        .parquet(new_dir)
     )
-    old = path.rstrip("/") + ".pre_compact"
-    shutil.move(path, old)
-    shutil.move(staging, path)
-    shutil.rmtree(old)
+
+    # Atomic publish: temp file + rename within the same directory.
+    tmp = os.path.join(path, f".{CURRENT_PTR}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"generation": gen_no, "dir": new_name}, f)
+    os.replace(tmp, os.path.join(path, CURRENT_PTR))
+
+    if not keep_old_generation:
+        if ptr is None:
+            # Legacy root layout: reap root-level data entries only —
+            # underscore/dot entries (the pointer, generations, _SUCCESS)
+            # stay.
+            for name in os.listdir(path):
+                if name.startswith(("_", ".")):
+                    continue
+                entry = os.path.join(path, name)
+                if os.path.isdir(entry):
+                    shutil.rmtree(entry)
+                else:
+                    os.remove(entry)
+        else:
+            shutil.rmtree(old_dir, ignore_errors=True)
+    return new_dir
 
 
 # ---------------------------------------------------------------------------

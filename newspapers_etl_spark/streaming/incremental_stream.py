@@ -80,10 +80,18 @@ def _peek_ts_encoding(src_dir: str, glob: str | None) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pattern = os.path.join(src_dir, glob or "*.parquet")
-    files = sorted(globmod.glob(pattern))
+    # Recursive: the streaming file source lists src_dir recursively, so
+    # the sniff must see nested/partitioned layouts too.  No match is an
+    # error — defaulting to 'tz' would declare a schema that nanos files
+    # arriving later could not be read with.
+    pattern = os.path.join(src_dir, "**", glob or "*.parquet")
+    files = sorted(globmod.glob(pattern, recursive=True))
     if not files:
-        return "tz"
+        raise FileNotFoundError(
+            f"ts_encoding='auto' found no parquet under {src_dir!r} "
+            f"(glob {glob or '*.parquet'!r}); pass ts_encoding explicitly "
+            "for a not-yet-populated source directory"
+        )
     t = pq.read_schema(files[0]).field("ts").type
     if pa.types.is_int64(t) or (pa.types.is_timestamp(t) and t.unit == "ns"):
         return "nanos"
@@ -240,4 +248,51 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     # watermark context; complete mode emits the converged totals.
     return run_available_now(
         counted, "stream_dedup_sink", ckpt, "complete"
+    )
+
+
+def session_counts(stream: DataFrame) -> DataFrame:
+    """St5 sessions ON THE STREAM: the same ``session_window`` shape as
+    the batch query (operators/events_windows.py:events_session_windows),
+    executed by the streaming engine with gap-merge state.  Grouping is
+    (user_id, session_window) — session windows on streams require a
+    non-window grouping column, and update mode is unsupported, so the
+    registered runner uses complete mode."""
+    from newspapers_etl_spark.operators.events_windows import SESSION_GAP
+
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def _session_oracle() -> str:
+    from newspapers_etl_spark.operators.events_windows import SESSION_ORACLE
+
+    return SESSION_ORACLE
+
+
+@query("stream_sessions", oracle=_session_oracle())
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows executed BY THE STREAMING ENGINE (AvailableNow,
+    complete-mode memory sink) over the events parquet; the oracle is
+    the identical gaps-and-islands SQL the batch query uses, so a match
+    proves the engine's incremental session-merge state converges to
+    the batch answer on bounded input.  Checkpoint-resume behavior for
+    this exact shape is asserted in tests/test_streaming.py."""
+    stream = read_events_stream(spark, sf_dir, glob="events.parquet", ts_encoding="auto")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sessions_")
+    return run_available_now(
+        session_counts(stream), "stream_sessions_sink", ckpt, "complete"
     )

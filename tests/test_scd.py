@@ -92,3 +92,68 @@ def test_redelivery_is_noop_and_chains_extend(spark):
     assert feb.filter("custkey = 1").first().segment == "PLATINUM"
     now = scd2_as_of(h2, F.lit("2024-06-01").cast("timestamp"))
     assert now.filter("custkey = 1").first().segment == "DIAMOND"
+
+
+def test_five_sequential_batches_version_chains_and_pit(spark):
+    """Depth test (cost-independence claim at scale needs the semantics
+    to hold at depth): 5 sequential CDC batches build correct version
+    chains — contiguous validity intervals, exactly one current row per
+    key, and point-in-time answers correct at every probe between
+    batches."""
+    from datetime import datetime
+
+    B = [f"2024-0{i}-01" for i in range(1, 7)]  # T0 + 5 batch timestamps
+
+    hist = _hist0(spark)
+    # key 1 churns every batch; key 2 on batches 2 and 4; key 3 never;
+    # key 7 appears at batch 3 and churns at batch 5.
+    plan = {
+        1: {1: "G1", 2: "G2", 3: "G3", 4: "G4", 5: "G5"},
+        2: {2: "S2", 4: "S4"},
+        7: {3: "N0", 5: "N5"},
+    }
+    for b in range(1, 6):
+        rows = [
+            (k, seg, datetime.fromisoformat(B[b]))
+            for k, batches in plan.items()
+            for bb, seg in batches.items()
+            if bb == b
+        ]
+        if rows:
+            hist = scd2_merge(hist, _updates(spark, rows), "custkey", ["segment"])
+
+    rows = hist.collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.custkey, []).append(r)
+
+    # chain lengths: 1 initial + one version per change
+    assert len(by_key[1]) == 6
+    assert len(by_key[2]) == 3
+    assert len(by_key[3]) == 1
+    assert len(by_key[7]) == 2
+
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: str(r.valid_from))
+        # exactly one current, and it is the last version
+        assert [r.is_current for r in versions] == [False] * (len(versions) - 1) + [True]
+        # contiguous intervals: each close ts is the next open ts
+        for a, b_ in zip(versions, versions[1:]):
+            assert a.valid_to == b_.valid_from, (k, a, b_)
+        assert str(versions[-1].valid_to).startswith("9999-12-31")
+
+    # point-in-time sweep: mid-month probes between every pair of batches
+    expect = {
+        "2024-01-15": {1: "GOLD", 2: "SILVER", 3: "BRONZE"},
+        "2024-02-15": {1: "G1", 2: "SILVER", 3: "BRONZE"},
+        "2024-03-15": {1: "G2", 2: "S2", 3: "BRONZE"},
+        "2024-04-15": {1: "G3", 2: "S2", 3: "BRONZE", 7: "N0"},
+        "2024-05-15": {1: "G4", 2: "S4", 3: "BRONZE", 7: "N0"},
+        "2024-06-15": {1: "G5", 2: "S4", 3: "BRONZE", 7: "N5"},
+    }
+    for probe, want in expect.items():
+        got = {
+            r.custkey: r.segment
+            for r in scd2_as_of(hist, F.lit(probe).cast("timestamp")).collect()
+        }
+        assert got == want, f"as-of {probe}: {got} != {want}"

@@ -69,8 +69,24 @@ def test_sorted_write_layout_and_schema_evolution(spark, sf_dir, tmp_path):
     assert merged.filter(F.col("ocr_confidence").isNull()).count() == src.count()
 
 
+def _files_per_lang(p):
+    import os
+
+    out = {}
+    for d in os.listdir(p):
+        if d.startswith("lang="):
+            out[d] = len(
+                [f for f in os.listdir(os.path.join(p, d)) if f.endswith(".parquet")]
+            )
+    return out
+
+
 def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
-    from newspapers_etl_spark.sinks.verified import compact_partitions
+    from newspapers_etl_spark.sinks.verified import (
+        compact_partitions,
+        current_data_path,
+        read_current,
+    )
 
     target = str(tmp_path / "sink")
     src = load_table(spark, sf_dir, "documents")
@@ -79,24 +95,66 @@ def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
         write_partitioned(
             src.filter(F.col("doc_id") % 5 == i), target, ["lang"], mode="append"
         )
-    before = sorted(map(tuple, spark.read.parquet(target).collect()))
+    before = sorted(map(tuple, read_current(spark, target).collect()))
 
-    def files_per_lang(p):
-        import os
-
-        out = {}
-        for d in os.listdir(p):
-            if d.startswith("lang="):
-                out[d] = len(
-                    [f for f in os.listdir(os.path.join(p, d)) if f.endswith(".parquet")]
-                )
-        return out
-
-    assert all(n >= 5 for n in files_per_lang(target).values())
+    assert all(n >= 5 for n in _files_per_lang(current_data_path(target)).values())
     compact_partitions(spark, target, ["lang"], files_per_partition=1)
-    assert all(n <= 1 for n in files_per_lang(target).values())
-    after = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert all(n <= 1 for n in _files_per_lang(current_data_path(target)).values())
+    after = sorted(map(tuple, read_current(spark, target).collect()))
     assert after == before
+    # second compaction bumps the generation and still round-trips
+    compact_partitions(spark, target, ["lang"], files_per_partition=2)
+    assert sorted(map(tuple, read_current(spark, target).collect())) == before
+
+
+def test_compaction_swap_is_atomic_for_readers(spark, sf_dir, tmp_path):
+    """Readers resolving through the generation pointer see either the
+    old generation or the new one at every instant — never an absent
+    path.  Verified by (a) interposing on the pointer publish to read
+    mid-swap, and (b) keep_old_generation leaving a pre-swap reader's
+    resolved path intact after the swap."""
+    import os
+    from unittest import mock
+
+    from newspapers_etl_spark.sinks.verified import (
+        compact_partitions,
+        current_data_path,
+        read_current,
+    )
+
+    target = str(tmp_path / "sink")
+    src = load_table(spark, sf_dir, "documents").limit(50)
+    for i in range(2):
+        write_partitioned(
+            src.filter(F.col("doc_id") % 2 == i), target, ["lang"], mode="append"
+        )
+    expected = sorted(map(tuple, read_current(spark, target).collect()))
+
+    observed = []  # (phase, rows) snapshots taken around the publish
+    real_replace = os.replace
+
+    def spying_replace(a, b):
+        if not str(b).endswith("_CURRENT"):  # unrelated os.replace traffic
+            return real_replace(a, b)
+        # Immediately BEFORE the pointer lands: a reader must still see
+        # the complete old generation.
+        observed.append(sorted(map(tuple, read_current(spark, target).collect())))
+        real_replace(a, b)
+        # Immediately AFTER: the new generation, also complete.
+        observed.append(sorted(map(tuple, read_current(spark, target).collect())))
+
+    with mock.patch("os.replace", side_effect=spying_replace):
+        compact_partitions(
+            spark, target, ["lang"], files_per_partition=1, keep_old_generation=True
+        )
+    assert observed == [expected, expected]
+
+    # keep_old_generation: a reader that resolved before the swap keeps a
+    # valid path (the retention grace period readers rely on).
+    old_resolved = target  # legacy root layout was the pre-swap generation
+    assert sorted(map(tuple, spark.read.parquet(old_resolved).collect())) == expected
+    # and the live pointer now names generation 1
+    assert current_data_path(target).endswith("_gen-00000001")
 
 
 def test_manifest_digest_is_order_insensitive(spark, sf_dir):
