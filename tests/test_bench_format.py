@@ -1,0 +1,67 @@
+"""bench.py stdout contract: the JSON line must parse and fit the
+driver's 2000-char capture window at ANY registry size, degrading
+per-query precision and then coverage rather than overflowing (the r3
+failure class: 70 query renames were needed because the full map
+outgrew the window)."""
+
+from __future__ import annotations
+
+import json
+
+from bench import format_stdout_line
+
+RESULT = {"metric": "wall", "value": 12.3, "unit": "sec", "sf": 0.1}
+
+
+def _timings(n):
+    return {f"query_with_a_rather_long_name_{i:04d}": i * 0.137 for i in range(n)}
+
+
+def test_small_registry_keeps_full_two_decimal_map():
+    t = _timings(20)
+    line = format_stdout_line(RESULT, t)
+    parsed = json.loads(line)
+    assert parsed["queries"] == {n: round(v, 2) for n, v in t.items()}
+    assert "queries_omitted" not in parsed
+
+
+def test_one_decimal_band_keeps_every_query():
+    # Self-calibrating: find a size whose 2-decimal line overflows the
+    # cap but whose 1-decimal line fits — the degradation must keep the
+    # FULL query set there (omission is the last resort, not the first).
+    for n in range(10, 200):
+        t = _timings(n)
+        two = json.dumps(
+            dict(RESULT, queries={k: round(v, 2) for k, v in t.items()}),
+            separators=(",", ":"),
+        )
+        one = json.dumps(
+            dict(RESULT, queries={k: round(v, 1) for k, v in t.items()}),
+            separators=(",", ":"),
+        )
+        if len(two) >= 1990 > len(one):
+            parsed = json.loads(format_stdout_line(RESULT, t, cap=1990))
+            assert set(parsed["queries"]) == set(t)
+            assert "queries_omitted" not in parsed
+            return
+    # No such band for these name lengths — the invariant is vacuous,
+    # but the other tests still cover both neighbouring regimes.
+
+
+def test_huge_registry_keeps_slowest_and_counts_omitted():
+    t = _timings(500)
+    line = format_stdout_line(RESULT, t, cap=1990)
+    parsed = json.loads(line)
+    assert len(line) < 1990
+    kept = parsed["queries"]
+    assert parsed["queries_omitted"] == len(t) - len(kept)
+    # kept set must be the slowest ones
+    slowest = sorted(t, key=lambda n: -t[n])[: len(kept)]
+    assert set(kept) == set(slowest)
+
+
+def test_line_always_under_cap():
+    for n in (0, 1, 10, 60, 100, 300, 1000):
+        line = format_stdout_line(RESULT, _timings(n), cap=1990)
+        assert len(line) < 1990, n
+        json.loads(line)
