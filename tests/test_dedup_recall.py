@@ -248,3 +248,63 @@ def test_star_cc_disjoint_components(spark):
     labels, _ = star_connected_components(edges)
     got = {r.node: r.cluster_id for r in labels.collect()}
     assert got == {10: 10, 20: 10, 30: 10, 100: 100, 150: 100, 200: 100}
+
+
+def test_prefix_join_pairs_equal_bruteforce(spark, sf_dir):
+    """EXACT recall+precision of the prefix-filtered Jaccard join
+    (dedup_jaccard): its pair set must equal the all-pairs brute force
+    at the same threshold.  This is the check the DuckDB oracle CANNOT
+    provide — the oracle mirrors the same prefix algorithm, so a filter
+    bug that drops a true pair on both sides would still hash-match;
+    only an independent enumeration proves the prefix-length lemma is
+    applied correctly."""
+    from pyspark.sql import functions as F
+
+    from newspapers_etl_spark.catalog import load_table
+    from newspapers_etl_spark.functions.text import words
+    from newspapers_etl_spark.operators.dedup import (
+        JACCARD_T,
+        dedup_jaccard_prefix_join,
+        shingles,
+    )
+
+    try:
+        got = {
+            (r.doc_id_a, r.doc_id_b): r.jaccard
+            for r in dedup_jaccard_prefix_join(spark, sf_dir).collect()
+        }
+    finally:
+        spark.catalog.clearCache()
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = (
+        d.select("doc_id", words("text").alias("toks"))
+        .select("doc_id", F.array_distinct(shingles("toks")).alias("ss"))
+        .withColumn("n", F.size("ss"))
+    )
+    a = sized.select(
+        F.col("doc_id").alias("ida"), F.col("ss").alias("ss_a"), F.col("n").alias("n_a")
+    )
+    b = sized.select(
+        F.col("doc_id").alias("idb"), F.col("ss").alias("ss_b"), F.col("n").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("ss_a", "ss_b"))
+    brute = {
+        (r.ida, r.idb): r.j
+        for r in a.crossJoin(b)
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            F.round(
+                inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter), 4
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= JACCARD_T)
+        .collect()
+    }
+    assert got == brute, (
+        f"prefix join diverges from brute force: "
+        f"missing={set(brute) - set(got)} extra={set(got) - set(brute)}"
+    )
+    assert brute, "fixture planted no near-dup pairs at this threshold"

@@ -350,3 +350,39 @@ def test_connected_components_log_rounds(spark, plan_sf_dir):
     assert all(r.cluster_id in nodes for r in got), (
         "cluster_id must itself be a member node"
     )
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, plan_sf_dir):
+    """The third join-pruning lever alongside broadcast and DPP: with a
+    selective filter on one side of a shuffle join, Spark injects a
+    bloom-filter aggregate on that side and a might_contain probe on
+    the fact scan, so most fact rows drop BEFORE the exchange — at
+    100 TB that is the difference between shuffling the table and
+    shuffling the matches.  Thresholds are conf-gated for real sizes;
+    the test lowers them to fixture scale and restores."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, plan_sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, plan_sf_dir, "lineitem")
+        joined = li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).groupBy("o_orderpriority").agg(F.sum("l_quantity").alias("qty"))
+        plan = _plan(joined).lower()
+        assert "might_contain" in plan, f"no bloom probe injected:\n{plan[:1500]}"
+        assert "bloom_filter_agg" in plan or "bloomfilter" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
