@@ -251,6 +251,48 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+STREAM_JOIN_WITHIN = "6 hours"
+
+STREAM_JOIN_ORACLE = f"""
+SELECT l.user_id                                          AS user_id,
+       l.ts                                               AS left_ts,
+       r.ts                                               AS right_ts,
+       l.value                                            AS left_value,
+       r.value                                            AS right_value,
+       CAST(date_diff('second', l.ts, r.ts) AS BIGINT)    AS lag_seconds
+FROM events l
+JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click'
+ AND r.event_type = 'purchase'
+ AND r.ts >= l.ts
+ AND r.ts <= l.ts + INTERVAL {STREAM_JOIN_WITHIN}
+"""
+
+
+@query("stream_join", oracle=STREAM_JOIN_ORACLE)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join executed BY THE STREAMING
+    ENGINE (clicks ⋈ purchases within {within} on user_id, AvailableNow,
+    append-mode memory sink) against the plain batch SQL join as oracle:
+    a hash match proves the engine's state-buffered micro-batch join
+    emits exactly the batch answer — and the interval bound is what
+    keeps that buffered state expirable at scale (see
+    streaming/stream_joins.py)."""
+    from newspapers_etl_spark.streaming.stream_joins import interval_join
+
+    stream = read_events_stream(spark, sf_dir, glob="events.parquet", ts_encoding="auto")
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ssjoin_")
+    return run_available_now(
+        interval_join(clicks, purchases, "user_id", within=STREAM_JOIN_WITHIN),
+        "stream_join_sink",
+        ckpt,
+        "append",
+    )
+
+
 def session_counts(stream: DataFrame) -> DataFrame:
     """St5 sessions ON THE STREAM: the same ``session_window`` shape as
     the batch query (operators/events_windows.py:events_session_windows),
