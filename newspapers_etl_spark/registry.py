@@ -26,6 +26,11 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
+#   r5 (planned): rotate the back half forward — corpus..streaming
+#       carry r3 green rows, and streaming gained THREE queries with no
+#       window history (stream_sessions, stream_join registered r4);
+#       streaming should lead, relational/extraction (re-hashed r4)
+#       rotate to the back.
 #   r4: relational + extraction (green r1/r2 only — oldest history) and
 #       similarity (sim_lsh_stats never yet inside any window) lead;
 #       dedup follows (dedup_jaccard re-registered scale-true this

@@ -82,3 +82,45 @@ def test_exact_dedup_fingerprint_is_order_insensitive(spark, xs):
                 assert got[i] == got[j], f"same token set, different fp: {i},{j}"
             else:
                 assert got[i] != got[j], f"collision: {xs[i]!r} vs {xs[j]!r}"
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=12), min_size=1, max_size=12
+        ).map(lambda xs: frozenset(xs)),
+        min_size=2,
+        max_size=12,
+    ),
+    t_pct=st.sampled_from([50, 75, 80]),
+)
+@settings(max_examples=200, deadline=None)
+def test_prefix_filter_lemma_never_drops_a_true_pair(docs, t_pct):
+    """The recall guarantee dedup_jaccard rests on, checked in pure
+    Python against its EXACT ordering semantics (ascending document
+    frequency, element as tie-break; prefix length n - ceil(t*n) + 1):
+    every pair with Jaccard >= t must share at least one PREFIX element.
+    A tiny alphabet makes collisions and df ties (the adversarial cases)
+    dense."""
+    import math
+
+    t = t_pct / 100
+    df: dict[int, int] = {}
+    for s in docs:
+        for x in s:
+            df[x] = df.get(x, 0) + 1
+
+    def prefix(s):
+        ordered = sorted(s, key=lambda x: (df[x], x))
+        n = len(ordered)
+        return set(ordered[: n - math.ceil(t * n) + 1])
+
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = docs[i], docs[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                assert prefix(a) & prefix(b), (
+                    f"true pair (J={jac:.3f} >= {t}) with disjoint prefixes: "
+                    f"{sorted(a)} / {sorted(b)}"
+                )
