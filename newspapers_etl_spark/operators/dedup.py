@@ -258,6 +258,99 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Repeated-span detection (ExactSubstr-style): per-document duplication
+# ratio over k-token windows
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # window width in tokens; ExactSubstr uses ~50 BPE tokens at
+# corpus scale — 8 fits the fixture's ~23-token documents while keeping
+# the window specific enough that cross-doc repeats mean real copying.
+
+SPANS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM documents
+),
+eligible AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= {SPAN_K}),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts) - {SPAN_K} + 2),
+                i -> md5(array_to_string(list_slice(ts, i, i + {SPAN_K} - 1), ' ')))) AS h
+  FROM eligible
+),
+rep AS (
+  SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) > 1
+),
+dup AS (
+  SELECT w.doc_id, count(*) AS nd
+  FROM w JOIN rep ON w.h = rep.h
+  GROUP BY w.doc_id
+),
+perdoc AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id)
+SELECT p.doc_id,
+       CAST(p.nw AS BIGINT)               AS n_windows,
+       CAST(coalesce(d.nd, 0) AS BIGINT)  AS n_dup_windows,
+       round(coalesce(d.nd, 0) * 1.0 / p.nw, 4) AS dup_ratio
+FROM perdoc p LEFT JOIN dup d ON p.doc_id = d.doc_id
+"""
+
+
+@query("dedup_spans", oracle=SPANS_ORACLE)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication ratio over k-token rolling windows — the
+    ExactSubstr signal (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): a window repeated in ANOTHER document is
+    copied text, and the fraction of a doc's windows that are repeated
+    is the keep/trim/drop decision input.  Complements set-level Jaccard
+    (`dedup_jaccard`): span repetition catches partial copying (quoted
+    paragraphs, boilerplate) that whole-document similarity dilutes.
+
+    Spans are keyed by md5 of the window STRING — engine-portable, so
+    the DuckDB oracle hash-matches end to end (xxhash64 would differ per
+    engine).  100 TB shape: one linear scan windows the corpus; the
+    repeated-span relation is ONE shuffle on the 16-byte span key with
+    map-side partial counts; the per-doc rollup joins the window stream
+    against the (small) repeated set on that same key.  At true scale
+    the suffix-array ExactSubstr is replaced by exactly this windowed
+    relation plus a Bloom-filter prepass on the span key to skip the
+    singleton majority before the shuffle."""
+    k = SPAN_K
+    d = load_table(spark, sf_dir, "documents")
+    # Tokens staged (HOF contract, see shingles()); explode_outer skips
+    # InferFiltersFromGenerate's pushdown re-inlining of the window
+    # expression (the size filter already guarantees non-empty arrays).
+    toks = d.select("doc_id", words("text").alias("ts")).filter(
+        F.size("ts") >= k
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - k + 1),
+                lambda i: F.md5(F.array_join(F.slice("ts", i, k), " ")),
+            )
+        ).alias("h"),
+    )
+    rep = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("h")
+    )
+    dup = (
+        wins.join(rep, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nd"))
+    )
+    perdoc = wins.groupBy("doc_id").agg(F.count("*").alias("nw"))
+    return perdoc.join(dup, "doc_id", "left").select(
+        "doc_id",
+        F.col("nw").alias("n_windows"),
+        F.coalesce("nd", F.lit(0)).alias("n_dup_windows"),
+        F.round(F.coalesce("nd", F.lit(0)) / F.col("nw"), 4).alias("dup_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH banding (library functions + rows-only query)
 # ---------------------------------------------------------------------------
 
