@@ -321,15 +321,21 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", words("text").alias("ts")).filter(
         F.size("ts") >= k
     )
+    # unhex(md5): the span key that shuffles is the raw 16 bytes, not
+    # the 32-char hex string (same injective grouping, half the shuffle
+    # bytes; the oracle's hex form groups identically and the key never
+    # reaches the output).  The window relation feeds THREE subplans
+    # (repeated-set agg, dup counts, per-doc totals): persist computes
+    # the scan+window pass once — the dedup_jaccard/SimHash move.
     wins = toks.select(
         "doc_id",
         F.explode_outer(
             F.transform(
                 F.sequence(F.lit(1), F.size("ts") - k + 1),
-                lambda i: F.md5(F.array_join(F.slice("ts", i, k), " ")),
+                lambda i: F.unhex(F.md5(F.array_join(F.slice("ts", i, k), " "))),
             )
         ).alias("h"),
-    )
+    ).persist()
     rep = (
         wins.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("n_docs"))

@@ -386,3 +386,22 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, plan_sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_spans_shuffles_keys_only_and_caches_windows(spark, plan_sf_dir):
+    """dedup_spans' scale contract: the window relation is served from
+    cache (it feeds three subplans), every exchange carries span-key /
+    doc-id columns — never document text — and the repeated-span set
+    reaches the per-doc join as a broadcast."""
+    from newspapers_etl_spark.operators.dedup import dedup_repeated_spans
+
+    try:
+        plan = _plan(dedup_repeated_spans(spark, plan_sf_dir))
+        assert "InMemoryTableScan" in plan, "window relation not cached"
+        for i, chunk in enumerate(plan.split("Exchange ")[1:]):
+            head = chunk.splitlines()[0]
+            assert "text" not in head, f"exchange {i} shuffles text: {head}"
+        assert "BroadcastHashJoin" in plan, "repeated-span set not broadcast"
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.catalog.clearCache()
