@@ -86,21 +86,31 @@ def main() -> int:
 
     # The host shows INTERMITTENT multi-minute noise windows (measured:
     # the same code, same idle machine, runs 76s or 127s wall with
-    # per-query inflation up to 4x concentrated in whichever queries ran
+    # per-query inflation up to 7x concentrated in whichever queries ran
     # during the window — order-reversal experiments rule out session
-    # aging and self-inflicted load).  Defense: any query slower than
-    # 2x its best-known time re-runs ONCE and keeps the min.  Transient
-    # noise recovers; a genuine regression is still slow on the retry
-    # and is still reported.
+    # aging and self-inflicted load).  Two-layer defense:
+    # 1. INLINE retry: any query slower than 2x its best-known time
+    #    re-runs once, min kept — catches sub-second blips.
+    # 2. DEFERRED sweep: a retry INSIDE a multi-minute window stays slow
+    #    (measured: dedup_jaccard 20.5s -> retry 19.0s mid-window, while
+    #    the same query runs 2.1s minutes later), so queries still over
+    #    threshold after the full pass re-run again at the END, up to
+    #    two sweeps, by which time the window has usually passed.
+    # Transient noise recovers; a genuine regression is slow in every
+    # pass and is still reported.
+    def over_threshold(name: str, sec: float) -> bool:
+        best = ref.get(name)
+        return best is not None and sec > max(2.0 * best, best + 0.5)
+
+    bench_start = time.monotonic()
     timings: dict[str, float] = {}
     for name in sorted(queries):
         try:
             sec = run_query(spark, queries[name], SF_DIR)
-            best = ref.get(name)
-            if best is not None and sec > max(2.0 * best, best + 0.5):
+            if over_threshold(name, sec):
                 retry = run_query(spark, queries[name], SF_DIR)
                 print(
-                    f"[bench] {name}: {sec:.3f}s > 2x ref {best:.3f}s — "
+                    f"[bench] {name}: {sec:.3f}s > 2x ref {ref[name]:.3f}s — "
                     f"retried: {retry:.3f}s",
                     file=sys.stderr,
                 )
@@ -110,6 +120,35 @@ def main() -> int:
         except Exception as e:  # one broken query must not zero the bench
             timings[name] = -1.0
             print(f"[bench] {name}: FAILED {e}", file=sys.stderr)
+
+    deadline = bench_start + float(
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420")
+    )
+    for sweep in range(2):
+        offenders = [
+            n for n, t in timings.items() if t >= 0 and over_threshold(n, t)
+        ]
+        if not offenders or time.monotonic() > deadline:
+            break
+        print(
+            f"[bench] sweep {sweep + 1}: re-running {len(offenders)} "
+            f"still-over-threshold queries: {offenders}",
+            file=sys.stderr,
+        )
+        for name in offenders:
+            if time.monotonic() > deadline:
+                break
+            try:
+                sec = run_query(spark, queries[name], SF_DIR)
+            except Exception as e:
+                print(f"[bench] sweep {name}: FAILED {e}", file=sys.stderr)
+                continue
+            if sec < timings[name]:
+                print(
+                    f"[bench] sweep {name}: {timings[name]:.3f}s -> {sec:.3f}s",
+                    file=sys.stderr,
+                )
+                timings[name] = round(sec, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     result = {

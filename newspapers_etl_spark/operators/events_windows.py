@@ -30,9 +30,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.operators.sessions_shared import (
+    SESSION_GAP,
+    SESSION_ORACLE,
+)
 from newspapers_etl_spark.registry import query
-
-SESSION_GAP = "3 hours"
 
 # ---------------------------------------------------------------------------
 # Tumbling window (St5): 1-hour buckets per event type
@@ -114,31 +116,8 @@ def events_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Session window (St5): per-user activity sessions, 3-hour inactivity gap
 # ---------------------------------------------------------------------------
 
-# Gaps-and-islands reformulation: a session break is a >gap jump from the
-# previous event (or the first event); session id = running break count;
-# session end = last event + gap (Spark's session_window end semantics).
-SESSION_ORACLE = f"""
-WITH deltas AS (
-  SELECT user_id, ts, value,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP}
-              THEN 1 ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-),
-sessions AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS UNBOUNDED PRECEDING) AS sess_id
-  FROM deltas
-)
-SELECT user_id,
-       min(ts)                            AS session_start,
-       max(ts) + INTERVAL {SESSION_GAP}   AS session_end,
-       CAST(count(*) AS BIGINT)           AS n_events,
-       round(sum(value), 2)               AS total_value
-FROM sessions
-GROUP BY user_id, sess_id
-"""
+# SESSION_ORACLE comes from sessions_shared (shared with the
+# streaming twin, stream_sessions — see that module's docstring).
 
 
 @query("events_sessions", oracle=SESSION_ORACLE)

