@@ -160,8 +160,13 @@ def main() -> int:
     }
     # Full-precision copy on disk for BASELINE.md bookkeeping — the
     # stdout line is the driver contract, the file is the archive.
+    # Only the canonical sf0.1 run owns BENCH_SELF.json; other scale
+    # factors (verify runs at sf0.01) get a suffixed file so they can
+    # never silently replace the committed baseline snapshot.
+    sf = _sf_from_dir(SF_DIR)
+    self_name = "BENCH_SELF.json" if sf == 0.1 else f"BENCH_SELF_sf{sf}.json"
     try:
-        with open(Path(_REPO) / "BENCH_SELF.json", "w") as f:
+        with open(Path(_REPO) / self_name, "w") as f:
             json.dump(result, f, indent=1)
     except OSError as e:  # read-only checkout must not kill the bench
         print(f"[bench] BENCH_SELF.json not written: {e}", file=sys.stderr)
