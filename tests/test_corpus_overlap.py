@@ -15,6 +15,16 @@ from newspapers_etl_spark.operators.corpus_overlap import (
 )
 
 
+@pytest.fixture(
+    params=["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
+    ids=["sf0.001", "sf0.01"],
+)
+def plan_sf_dir(request) -> str:
+    # Same two-SF parametrization as tests/test_plans.py: physical
+    # shapes are AQE/size-dependent, one SF is not a scale claim.
+    return request.param
+
+
 def _write_documents(spark, tmp_path, rows):
     """Materialize a documents-shaped parquet dir usable as sf_dir."""
     df = spark.createDataFrame(
@@ -80,12 +90,56 @@ def test_source_overlap_matches_brute_force(spark, tmp_path):
     assert row["jaccard"] == pytest.approx(expected, abs=1e-6)
 
 
-def test_chunk_text_never_enters_an_exchange(spark, sf_dir):
+def test_chunk_text_never_enters_an_exchange(spark, plan_sf_dir):
     # 100 TB shape: every exchange carries only doc_id / 16-byte hash /
-    # aggregation buffers — never the chunk (or document) text.
-    plan = dedup_chunks(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # aggregation buffers — never the chunk (or document) text.  Both
+    # SFs, so an AQE strategy flip with input size can't silently
+    # change the claim.
+    plan = (
+        dedup_chunks(spark, plan_sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     for i, chunk in enumerate(plan.split("Exchange ")[1:]):
         header = chunk.splitlines()[0]
         assert "chunk" not in header and "text" not in header, (
             f"exchange {i} carries text: {header}"
         )
+
+
+def test_chunking_is_lossless_at_boundaries(spark, tmp_path):
+    """Property: the chunks partition the token sequence exactly —
+    total chunked tokens equal the document's token count for every
+    boundary-straddling size (0 handled by the size>0 guard)."""
+    from pyspark.sql import functions as F
+    from newspapers_etl_spark.functions.text import words
+
+    sizes = [1, CHUNK_TOKENS - 1, CHUNK_TOKENS, CHUNK_TOKENS + 1,
+             2 * CHUNK_TOKENS, 2 * CHUNK_TOKENS + 7]
+    rows = [
+        (i, _tokens(f"d{i}x", n), "en", "s", 0) for i, n in enumerate(sizes)
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ts = F.col("ts")
+    n_chunks = F.ceil(F.size(ts) / F.lit(CHUNK_TOKENS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(ts, i * CHUNK_TOKENS + 1, F.lit(CHUNK_TOKENS)),
+    )
+    got = (
+        docs.select("doc_id", words("text").alias("ts"))
+        .select(
+            "doc_id",
+            F.size(ts).alias("n_tokens"),
+            F.size(F.flatten(chunks)).alias("n_chunked"),
+            F.aggregate(
+                chunks, F.lit(0), lambda acc, c: acc + F.size(c)
+            ).alias("n_summed"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert r["n_chunked"] == r["n_tokens"], r
+        assert r["n_summed"] == r["n_tokens"], r
