@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--limit", type=int, default=20)
 
     sub.add_parser("list", help="list registered query names")
+
+    ex = sub.add_parser(
+        "explain",
+        help="plan audit for one registered query: formatted plan, "
+        "shuffle count, exchange partitionings, pushed filters, "
+        "read schemas",
+    )
+    ex.add_argument("--name", required=True)
     return p
 
 
@@ -80,6 +88,24 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
             return 2
         queries[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+        return 0
+
+    if args.command == "explain":
+        from newspapers_etl_spark import plans
+
+        queries = registry.all_queries()
+        if args.name not in queries:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        df = queries[args.name](spark, args.sf_dir)
+        print(plans.formatted(df))
+        print(f"shuffles (hash exchanges): {plans.shuffle_count(df)}")
+        for h in plans.exchange_headers(df):
+            print(f"  exchange: {h}")
+        for f in plans.pushed_filters(df):
+            print(f"  {f}")
+        for s in plans.read_schemas(df):
+            print(f"  {s}")
         return 0
 
     # command == "run": date-ranged events batch through one operation.

@@ -12,9 +12,14 @@ are hot and HOW hot before they're worth their overhead.
 Scale design: the per-key count is a partial-aggregable groupBy — the
 map side collapses every partition's slice of a hot key to one row, so
 the profile itself is immune to the skew it measures; the top-k is
-TakeOrderedAndProject (no global sort), and the grand total derives
-from the count relation (no second scan) and joins back as a 1-row
-broadcast."""
+TakeOrderedAndProject (no global sort).  The grand total is declared
+over the same count relation; physically Spark executes it as a second
+single-column scan + partial count (Catalyst's exchange reuse does not
+fire across the TakeOrdered/aggregate consumer split — verified
+empirically), which is the right trade anyway: both branches scan ONLY
+the key column, and the alternative — an unpartitioned window over the
+counts — would pull every distinct key through one task.  The 1-row
+total then joins back as a broadcast."""
 
 from __future__ import annotations
 

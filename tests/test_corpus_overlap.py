@@ -95,17 +95,11 @@ def test_chunk_text_never_enters_an_exchange(spark, plan_sf_dir):
     # aggregation buffers — never the chunk (or document) text.  Both
     # SFs, so an AQE strategy flip with input size can't silently
     # change the claim.
-    plan = (
-        dedup_chunks(spark, plan_sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+    from newspapers_etl_spark.plans import assert_exchanges_narrow
+
+    assert_exchanges_narrow(
+        dedup_chunks(spark, plan_sf_dir), forbidden=("chunk", "text")
     )
-    for i, chunk in enumerate(plan.split("Exchange ")[1:]):
-        header = chunk.splitlines()[0]
-        assert "chunk" not in header and "text" not in header, (
-            f"exchange {i} carries text: {header}"
-        )
 
 
 def test_chunking_is_lossless_at_boundaries(spark, tmp_path):
