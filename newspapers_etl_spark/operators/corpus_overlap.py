@@ -29,13 +29,17 @@ Scale design (100 TB):
   operators/dedup.py exact dedup); first-occurrence attribution is a
   single window-min over that key, and the per-doc rollup re-shuffles
   just (doc_id, flag) pairs.  Two narrow shuffles total.
-- The overlap matrix self-joins the DISTINCT (source, shingle-hash)
-  relation on the hash.  Per-hash fan-out is bounded by the number of
-  sources carrying that shingle (≤ n_sources, here 20), so the join
-  output is at most C(n_sources, 2) rows per shingle — this op is for
-  source-level overlap (dozens..thousands of groups); per-document
-  overlap at corpus scale belongs to MinHash/LSH (dedup.py), not to
-  this join.  Source cardinalities broadcast (n_sources rows).
+- The overlap matrix is an INVERTED INDEX, not a self-join: the
+  DISTINCT (source, shingle-hash) relation groups by hash into the
+  (sorted) set of sources carrying that shingle, and the pair list is
+  generated INSIDE each bucket by a nested ``transform`` — at most
+  C(n_sources, 2) pairs per shingle, no join, no broadcast of the gram
+  relation (an earlier self-join formulation broadcast the full distinct
+  gram set — fine under fixture stats, catastrophic at corpus scale).
+  This op is for source-level overlap (dozens..thousands of groups);
+  per-document overlap at corpus scale belongs to MinHash/LSH
+  (dedup.py).  Source cardinalities are a separate O(sources)-row
+  branch that joins back as a broadcast.
 """
 
 from __future__ import annotations
@@ -139,9 +143,10 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes, and the Jaccard coefficient.  Surfaces mirrored/syndicated
     feeds (the fixture plants hot pairs at 2-4x the background
     overlap) so the corpus-mix stage can collapse them before
-    weighting.  The self-join key is the 16-byte shingle md5 with
-    per-key fan-out bounded by the source count; cardinalities join
-    back via broadcast."""
+    weighting.  Inverted-index shape: shingles group by 16-byte md5,
+    source pairs generate inside each bucket (sorted set, so src_a <
+    src_b by construction) — no self-join; cardinalities join back via
+    broadcast."""
     d = load_table(spark, sf_dir, "documents")
     ts = F.col("ts")
     shingles = F.transform(
@@ -156,13 +161,23 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
-    inter = (
-        a.join(b, "h")
-        .where(F.col("a.source") < F.col("b.source"))
-        .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+    srcs = F.col("srcs")
+    pair_structs = F.flatten(
+        F.transform(
+            srcs,
+            lambda a, i: F.transform(
+                F.slice(srcs, i + 2, F.size(srcs)),
+                lambda b: F.struct(a.alias("src_a"), b.alias("src_b")),
+            ),
         )
+    )
+    inter = (
+        grams.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .where(F.size(srcs) >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("n_shared"))
     )
     return (
