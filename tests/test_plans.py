@@ -19,8 +19,7 @@ from newspapers_etl_spark.operators.relational import (
 )
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from newspapers_etl_spark.plans import executed_plan as _plan  # noqa: E402
 
 
 # The dedup/CC/funnel assertions run at TWO scale factors: broadcast
