@@ -88,6 +88,45 @@ def flatten_manifests(
     )
 
 
+def manifest_parse_audit(
+    df: DataFrame, key_col: str, json_col: str
+) -> DataFrame:
+    """Per-manifest parse accounting: PERMISSIVE ``from_json`` turns
+    malformed JSON into a struct of NULL fields (not a null struct!),
+    and the chained explodes in :func:`flatten_manifests` then drop
+    those rows SILENTLY.  This is the anti-silent-loss companion the
+    reference implements as try/except-with-counters around its
+    manifest fetch (reference src/01-scrape-images.py:319-351,
+    456-477): one row per manifest with its parse status and canvas
+    count, so a pipeline can alert on ``parsed = false`` instead of
+    discovering missing pages in the sink audit.  Malformed input is
+    detected the supported way — a ``columnNameOfCorruptRecord`` field
+    appended to the parse schema, which from_json populates with the
+    raw text exactly when parsing failed.  Pure map-side expression —
+    no shuffle; at 100 TB the rollup over it is one partial-aggregable
+    groupBy."""
+    audit_schema = T.StructType(
+        list(MANIFEST_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = df.select(
+        F.col(key_col).alias("manifest_key"),
+        F.col(json_col).alias("raw"),
+        F.from_json(
+            json_col,
+            audit_schema,
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("m"),
+    )
+    return parsed.select(
+        "manifest_key",
+        (
+            F.col("raw").isNotNull() & F.col("m._corrupt_record").isNull()
+        ).alias("parsed"),
+        F.coalesce(F.size("m.items"), F.lit(0)).alias("n_canvases"),
+    )
+
+
 def read_manifest_json(spark: SparkSession, path: str) -> DataFrame:
     """Read a directory of manifest JSON documents (one per line/file)
     with the declared schema — the batch ingestion path for pre-fetched

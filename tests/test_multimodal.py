@@ -88,3 +88,34 @@ def test_frame_sample_fans_out_and_is_deterministic(spark, sf_dir):
         n_frames = max(1, lengths[doc_id] // FRAME_BYTES)
         expect = list(range(0, n_frames, FRAME_STRIDE))
         assert sorted(idxs) == expect, f"doc {doc_id}: {idxs} != {expect}"
+
+
+def test_manifest_parse_audit_surfaces_malformed_json(spark):
+    """from_json is PERMISSIVE: malformed manifests become NULL structs
+    and the flatten drops them SILENTLY — the audit must retain one row
+    per manifest with the parse status so nothing is lost unseen."""
+    from newspapers_etl_spark.sources.manifest import (
+        flatten_manifests,
+        manifest_parse_audit,
+    )
+
+    good = (
+        '{"items":[{"id":"c1","items":[{"items":'
+        '[{"body":{"id":"page1.jp2"}}]}]}]}'
+    )
+    rows = [("m-good", good), ("m-bad", "{not json"), ("m-null", None)]
+    df = spark.createDataFrame(rows, "mkey string, manifest string")
+
+    audit = {
+        r["manifest_key"]: (r["parsed"], r["n_canvases"])
+        for r in manifest_parse_audit(df, "mkey", "manifest").collect()
+    }
+    assert audit == {
+        "m-good": (True, 1),
+        "m-bad": (False, 0),
+        "m-null": (False, 0),
+    }
+
+    flat = flatten_manifests(df, "mkey", "manifest").collect()
+    assert [r["manifest_key"] for r in flat] == ["m-good"]
+    assert flat[0]["jp2_url"] == "page1.jp2"
