@@ -111,3 +111,36 @@ def test_bench_stdout_line_fits_capture_window():
     wline = format_stdout_line(dict(result, queries=worst), worst, cap=1990)
     assert len(wline) < 1990
     json.loads(wline)
+
+
+def test_registry_registration_order_is_contiguous_per_module():
+    """The driver's correctness window is the FIRST ~50 registered
+    queries, so rotation only works if each module's queries register
+    contiguously.  A module imported transitively DURING another
+    module's registration splices its queries into the wrong slot
+    (this happened in r4: stream_sessions' decorator imported
+    events_windows, injecting 6 events_* queries into the streaming
+    slot and pushing the round's new queries out of the window)."""
+    from newspapers_etl_spark import registry
+
+    queries = registry.all_queries()
+    names = list(queries)
+    mods = [queries[n].__module__ for n in names]
+    seen: set[str] = set()
+    prev = None
+    for m in mods:
+        if m != prev:
+            assert m not in seen, (
+                f"{m} registers non-contiguously — a transitive import "
+                "during another module's registration is splicing it"
+            )
+            seen.add(m)
+            prev = m
+    # And the r4 window design holds: the round's new/rotated families
+    # sit inside the first 50 (the driver's check window).
+    window = set(names[:50])
+    for required in (
+        "sim_lsh_stats", "stream_sessions", "stream_join",
+        "dedup_jaccard", "dedup_spans", "dedup_chunks", "source_overlap",
+    ):
+        assert required in window, f"{required} fell out of the window"
