@@ -120,12 +120,34 @@ def test_registry_registration_order_is_contiguous_per_module():
     module's registration splices its queries into the wrong slot
     (this happened in r4: stream_sessions' decorator imported
     events_windows, injecting 6 events_* queries into the streaming
-    slot and pushing the round's new queries out of the window)."""
-    from newspapers_etl_spark import registry
+    slot and pushing the round's new queries out of the window).
 
-    queries = registry.all_queries()
-    names = list(queries)
-    mods = [queries[n].__module__ for n in names]
+    Checked in a FRESH interpreter: inside pytest, collection imports
+    operator modules in test-file order, which scrambles registration
+    order for this process — the driver imports __spark_entry__ into a
+    clean process, and that is the order that matters."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    code = (
+        "import json\n"
+        "from newspapers_etl_spark import registry\n"
+        "qs = registry.all_queries()\n"
+        "print(json.dumps([[n, qs[n].__module__] for n in qs]))\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=str(Path(__file__).resolve().parent.parent),
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    pairs = json.loads(proc.stdout.strip().splitlines()[-1])
+    names = [n for n, _ in pairs]
+    mods = [m for _, m in pairs]
     seen: set[str] = set()
     prev = None
     for m in mods:
