@@ -74,6 +74,81 @@ def _load_reference() -> dict[str, float]:
         return {}
 
 
+def run_all(
+    names,
+    runner,
+    ref: dict[str, float],
+    budget_s: float,
+    now=time.monotonic,
+    log=lambda msg: print(msg, file=sys.stderr),
+) -> dict[str, float]:
+    """The measurement loop, pure of Spark so the retry/sweep policy is
+    unit-testable (tests/test_bench_format.py).
+
+    The host shows INTERMITTENT multi-minute noise windows (measured:
+    the same code, same idle machine, runs 76s or 127s wall with
+    per-query inflation up to 7x concentrated in whichever queries ran
+    during the window — order-reversal experiments rule out session
+    aging and self-inflicted load).  Two-layer defense:
+    1. INLINE retry: any query slower than 2x its best-known time
+       re-runs once, min kept — catches sub-second blips.
+    2. DEFERRED sweep: a retry INSIDE a multi-minute window stays slow
+       (measured: dedup_jaccard 20.5s -> retry 19.0s mid-window, while
+       the same query runs 2.1s minutes later), so queries still over
+       threshold after the full pass re-run again at the END, up to
+       two sweeps within ``budget_s``, by which time the window has
+       usually passed.
+    Transient noise recovers; a genuine regression is slow in every
+    pass and is still reported.  A query that raises records -1.0 and
+    never breaks the run."""
+
+    def over_threshold(name: str, sec: float) -> bool:
+        best = ref.get(name)
+        return best is not None and sec > max(2.0 * best, best + 0.5)
+
+    bench_start = now()
+    timings: dict[str, float] = {}
+    for name in sorted(names):
+        try:
+            sec = runner(name)
+            if over_threshold(name, sec):
+                retry = runner(name)
+                log(
+                    f"[bench] {name}: {sec:.3f}s > 2x ref {ref[name]:.3f}s — "
+                    f"retried: {retry:.3f}s"
+                )
+                sec = min(sec, retry)
+            timings[name] = round(sec, 3)
+            log(f"[bench] {name}: {sec:.3f}s")
+        except Exception as e:  # one broken query must not zero the bench
+            timings[name] = -1.0
+            log(f"[bench] {name}: FAILED {e}")
+
+    deadline = bench_start + budget_s
+    for sweep in range(2):
+        offenders = [
+            n for n, t in timings.items() if t >= 0 and over_threshold(n, t)
+        ]
+        if not offenders or now() > deadline:
+            break
+        log(
+            f"[bench] sweep {sweep + 1}: re-running {len(offenders)} "
+            f"still-over-threshold queries: {offenders}"
+        )
+        for name in offenders:
+            if now() > deadline:
+                break
+            try:
+                sec = runner(name)
+            except Exception as e:
+                log(f"[bench] sweep {name}: FAILED {e}")
+                continue
+            if sec < timings[name]:
+                log(f"[bench] sweep {name}: {timings[name]:.3f}s -> {sec:.3f}s")
+                timings[name] = round(sec, 3)
+    return timings
+
+
 def main() -> int:
     spark = get_spark("newspapers_etl_spark_bench")
     queries = registry.all_queries()
@@ -84,71 +159,12 @@ def main() -> int:
         "overwrite"
     ).save()
 
-    # The host shows INTERMITTENT multi-minute noise windows (measured:
-    # the same code, same idle machine, runs 76s or 127s wall with
-    # per-query inflation up to 7x concentrated in whichever queries ran
-    # during the window — order-reversal experiments rule out session
-    # aging and self-inflicted load).  Two-layer defense:
-    # 1. INLINE retry: any query slower than 2x its best-known time
-    #    re-runs once, min kept — catches sub-second blips.
-    # 2. DEFERRED sweep: a retry INSIDE a multi-minute window stays slow
-    #    (measured: dedup_jaccard 20.5s -> retry 19.0s mid-window, while
-    #    the same query runs 2.1s minutes later), so queries still over
-    #    threshold after the full pass re-run again at the END, up to
-    #    two sweeps, by which time the window has usually passed.
-    # Transient noise recovers; a genuine regression is slow in every
-    # pass and is still reported.
-    def over_threshold(name: str, sec: float) -> bool:
-        best = ref.get(name)
-        return best is not None and sec > max(2.0 * best, best + 0.5)
-
-    bench_start = time.monotonic()
-    timings: dict[str, float] = {}
-    for name in sorted(queries):
-        try:
-            sec = run_query(spark, queries[name], SF_DIR)
-            if over_threshold(name, sec):
-                retry = run_query(spark, queries[name], SF_DIR)
-                print(
-                    f"[bench] {name}: {sec:.3f}s > 2x ref {ref[name]:.3f}s — "
-                    f"retried: {retry:.3f}s",
-                    file=sys.stderr,
-                )
-                sec = min(sec, retry)
-            timings[name] = round(sec, 3)
-            print(f"[bench] {name}: {sec:.3f}s", file=sys.stderr)
-        except Exception as e:  # one broken query must not zero the bench
-            timings[name] = -1.0
-            print(f"[bench] {name}: FAILED {e}", file=sys.stderr)
-
-    deadline = bench_start + float(
-        os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420")
+    timings = run_all(
+        list(queries),
+        lambda name: run_query(spark, queries[name], SF_DIR),
+        ref,
+        budget_s=float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420")),
     )
-    for sweep in range(2):
-        offenders = [
-            n for n, t in timings.items() if t >= 0 and over_threshold(n, t)
-        ]
-        if not offenders or time.monotonic() > deadline:
-            break
-        print(
-            f"[bench] sweep {sweep + 1}: re-running {len(offenders)} "
-            f"still-over-threshold queries: {offenders}",
-            file=sys.stderr,
-        )
-        for name in offenders:
-            if time.monotonic() > deadline:
-                break
-            try:
-                sec = run_query(spark, queries[name], SF_DIR)
-            except Exception as e:
-                print(f"[bench] sweep {name}: FAILED {e}", file=sys.stderr)
-                continue
-            if sec < timings[name]:
-                print(
-                    f"[bench] sweep {name}: {timings[name]:.3f}s -> {sec:.3f}s",
-                    file=sys.stderr,
-                )
-                timings[name] = round(sec, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     result = {

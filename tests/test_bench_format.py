@@ -65,3 +65,92 @@ def test_line_always_under_cap():
         line = format_stdout_line(RESULT, _timings(n), cap=1990)
         assert len(line) < 1990, n
         json.loads(line)
+
+
+# ---------------------------------------------------------------------------
+# run_all: the inline-retry + deferred-sweep policy (noise-window defense)
+# ---------------------------------------------------------------------------
+
+
+def _scripted_runner(script):
+    """runner(name) that pops the next value for the name; raises if the
+    value is an Exception instance."""
+    calls = {}
+
+    def run(name):
+        i = calls.get(name, 0)
+        calls[name] = i + 1
+        v = script[name][min(i, len(script[name]) - 1)]
+        if isinstance(v, Exception):
+            raise v
+        return v
+
+    run.calls = calls
+    return run
+
+
+def test_run_all_inline_retry_keeps_min():
+    from bench import run_all
+
+    ref = {"q": 1.0}
+    runner = _scripted_runner({"q": [5.0, 1.1]})
+    t = run_all(["q"], runner, ref, budget_s=1e9, log=lambda m: None)
+    assert t == {"q": 1.1}
+    assert runner.calls["q"] == 2
+
+
+def test_run_all_deferred_sweep_recovers_noise_window():
+    # Both attempts slow (inside the window); the END-of-run sweep sees
+    # the quiet machine and recovers the real number.
+    from bench import run_all
+
+    ref = {"q": 1.0, "ok": 1.0}
+    runner = _scripted_runner({"q": [9.0, 8.5, 1.2], "ok": [1.0]})
+    t = run_all(["q", "ok"], runner, ref, budget_s=1e9, log=lambda m: None)
+    assert t == {"q": 1.2, "ok": 1.0}
+    assert runner.calls["q"] == 3  # inline pair + one sweep pass
+
+
+def test_run_all_genuine_regression_stays_reported():
+    from bench import run_all
+
+    ref = {"q": 1.0}
+    runner = _scripted_runner({"q": [9.0]})  # slow on every attempt
+    t = run_all(["q"], runner, ref, budget_s=1e9, log=lambda m: None)
+    assert t == {"q": 9.0}
+    assert runner.calls["q"] == 4  # inline pair + two sweeps
+
+
+def test_run_all_budget_stops_sweeping():
+    from bench import run_all
+
+    clock = {"t": 0.0}
+
+    def now():
+        clock["t"] += 10.0
+        return clock["t"]
+
+    ref = {"q": 1.0}
+    runner = _scripted_runner({"q": [9.0]})
+    t = run_all(["q"], runner, ref, budget_s=15.0, now=now, log=lambda m: None)
+    assert t == {"q": 9.0}
+    # inline pair only — the deadline had passed before any sweep ran
+    assert runner.calls["q"] == 2
+
+
+def test_run_all_failure_records_sentinel_and_continues():
+    from bench import run_all
+
+    ref = {}
+    runner = _scripted_runner({"bad": [RuntimeError("boom")], "ok": [0.5]})
+    t = run_all(["bad", "ok"], runner, ref, budget_s=1e9, log=lambda m: None)
+    assert t == {"bad": -1.0, "ok": 0.5}
+
+
+def test_run_all_no_ref_means_no_retry():
+    from bench import run_all
+
+    runner = _scripted_runner({"new_query": [7.0]})
+    t = run_all(["new_query"], runner, {}, budget_s=1e9, log=lambda m: None)
+    assert t == {"new_query": 7.0}
+    assert runner.calls["new_query"] == 1
