@@ -26,11 +26,12 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
-#   r5 (planned): diagnostics LEADS (skew_profile registered late in r4,
-#       position 51 — no hash row yet), then incremental (last hashed
-#       r2) and relational_extended (r3), then the r3-green back half
-#       (corpus..scd, sinks); relational/extraction/similarity/
-#       streaming/dedup/corpus_overlap (all re-hashed r4) go to the back.
+#   r5 (planned): diagnostics + url_ops LEAD (skew_profile and
+#       url_canon registered late in r4, positions 51-52 — no hash row
+#       yet), then incremental (last hashed r2) and relational_extended
+#       (r3), then the r3-green back half (corpus..scd, sinks);
+#       relational/extraction/similarity/streaming/dedup/corpus_overlap
+#       (all re-hashed r4) go to the back.
 #   r4: relational + extraction (green r1/r2 only — oldest history) and
 #       similarity (sim_lsh_stats never yet inside any window) lead;
 #       streaming moves up because stream_sessions/stream_join were
@@ -55,6 +56,7 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.corpus_overlap",      # 2   new r4
     # ---- exactly 50 queries above: the driver's window ends here ----
     "newspapers_etl_spark.operators.diagnostics",         # 1   new r4 LATE — window-lead in r5
+    "newspapers_etl_spark.operators.url_ops",             # 1   new r4 LATE — window-lead in r5
     "newspapers_etl_spark.operators.incremental",         # 3   green r2, unchanged
     "newspapers_etl_spark.operators.relational_extended", # 7   green r3
     "newspapers_etl_spark.operators.corpus",
