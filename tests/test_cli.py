@@ -53,3 +53,15 @@ def test_start_then_verify_roundtrip(spark, sf_dir, tmp_path, capsys):
 
 def test_unknown_query_fails_cleanly(spark):
     assert main(["query", "--name", "no_such_query"]) == 2
+
+
+def test_explain_prints_plan_audit(spark, sf_dir, capsys):
+    assert main(["--sf-dir", sf_dir, "explain", "--name", "skew_profile"]) == 0
+    out = capsys.readouterr().out
+    assert "shuffles (hash exchanges):" in out
+    assert "PushedFilters" in out or "exchange:" in out
+    assert "ReadSchema" in out
+
+
+def test_explain_unknown_query_fails_cleanly(spark):
+    assert main(["explain", "--name", "no_such_query"]) == 2

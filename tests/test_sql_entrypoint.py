@@ -85,8 +85,8 @@ def test_bench_stdout_line_fits_capture_window():
     names = sorted(all_queries())
     # Realistic worst case: every query at single-digit seconds ("9.99"
     # = 4 chars — true of all committed BENCH_REF values bar a handful
-    # under 21s).  The full map must fit WITHOUT precision loss.  At 90
-    # queries the real 2-decimal line runs ~1860/1990 chars: ~3 more
+    # under 21s).  The full map must fit WITHOUT precision loss.  At 92
+    # queries the real 2-decimal line runs ~1938/1990 chars: ~2 more
     # registrations of headroom at 2 decimals, ~8 in the 1-decimal
     # band — shorten names (BASELINE.md rename table) past that.
     timings = {n: 9.99 for n in names}
