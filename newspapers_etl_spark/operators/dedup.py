@@ -125,7 +125,7 @@ WHERE j >= {JACCARD_T}
 """
 
 
-@query("dedup_jaccard", oracle=JACCARD_ORACLE)
+@query("jaccard", oracle=JACCARD_ORACLE)
 def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-threshold Jaccard similarity join via PREFIX FILTERING
     (AllPairs/PPJoin): returns every pair with shingle-set Jaccard >= t,
@@ -510,7 +510,7 @@ def candidate_pairs(
     )
 
 
-@query("dedup_lsh_stats")  # rows-only: hash values are engine-specific
+@query("lsh_stats")  # rows-only: hash values are engine-specific
 def dedup_minhash_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH bucket statistics: per band, how many buckets,
     the largest bucket, and the implied candidate-pair count
@@ -549,7 +549,7 @@ def dedup_minhash_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_VERIFY_THRESHOLD = 0.8
 
 
-@query("dedup_lsh_verify")  # rows-only: candidate set is hash-derived
+@query("lsh_verify")  # rows-only: candidate set is hash-derived
 def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE MinHash near-dedup pipeline in one query:
     shingle → signature → banded buckets → candidate pairs → exact
@@ -867,7 +867,7 @@ def simhash_table_keys(
     return F.array(*entries)
 
 
-@query("dedup_sh_pairs")  # rows-only: hash values are engine-specific
+@query("sh_pairs")  # rows-only: hash values are engine-specific
 def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance <= 3 via Manku
     multi-table blocking with hash-value collapse.
@@ -932,7 +932,7 @@ def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(within)
 
 
-@query("dedup_sh_buckets")  # rows-only: hash values are engine-specific
+@query("sh_buckets")  # rows-only: hash values are engine-specific
 def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-table SimHash bucket statistics — the skew/fan-out diagnostic
     for the Manku multi-table blocking: per table, how many distinct
@@ -1139,7 +1139,7 @@ FROM lab
 """
 
 
-@query("dedup_clusters", oracle=CLUSTERS_ORACLE)
+@query("cc_clusters", oracle=CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified near-duplicate pair graph
     (pairs from dedup_emb_neardup, whose LSH planes are oracle-mirrored)

@@ -50,7 +50,7 @@ GROUP BY 1, 2
 """
 
 
-@query("events_tumbling", oracle=TUMBLING_ORACLE)
+@query("ev_tumble", oracle=TUMBLING_ORACLE)
 def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour count/sum per event type.  `window()` is
     epoch-aligned, matching DuckDB's time_bucket origin for sub-day
@@ -90,7 +90,7 @@ GROUP BY 1
 """
 
 
-@query("events_sliding", oracle=SLIDING_ORACLE)
+@query("ev_slide", oracle=SLIDING_ORACLE)
 def events_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping window: 1-hour windows every 30 minutes.  Spark expands
     each row into length/slide = 2 window assignments map-side, then
@@ -120,7 +120,7 @@ def events_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming twin, stream_sessions — see that module's docstring).
 
 
-@query("events_sessions", oracle=SESSION_ORACLE)
+@query("ev_sess", oracle=SESSION_ORACLE)
 def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a {gap} inactivity gap — the
     native `session_window` operator; the oracle rebuilds it as
@@ -158,7 +158,7 @@ GROUP BY event_type
 """
 
 
-@query("events_json", oracle=PROPS_ORACLE)
+@query("ev_json", oracle=PROPS_ORACLE)
 def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`from_json` with a DECLARED schema over the props column (never
     schema inference — at 100 TB that is a full extra pass), then plain
@@ -215,7 +215,7 @@ FROM w3
 """
 
 
-@query("events_funnel", oracle=FUNNEL_ORACLE)
+@query("ev_funnel", oracle=FUNNEL_ORACLE)
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered funnel conversion (view → click → purchase):
     a user converts step N only with an event AFTER their first
@@ -297,7 +297,7 @@ GROUP BY j.cohort_day, j.day_offset, s.cohort_size
 """
 
 
-@query("events_retention", oracle=RETENTION_ORACLE)
+@query("ev_retent", oracle=RETENTION_ORACLE)
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix over the event stream: users are cohorted
     by their first active day, and each (cohort_day, day_offset) cell

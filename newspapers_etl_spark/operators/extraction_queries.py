@@ -64,7 +64,7 @@ FROM html
 """
 
 
-@query("extract_fallback", oracle=MANIFEST_FALLBACK_ORACLE)
+@query("ex_fall", oracle=MANIFEST_FALLBACK_ORACLE)
 def extract_manifest_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: first-pattern-wins fallback chain (reference tries data-src=
     then src=, src/01-scrape-images.py:270-279)."""
@@ -124,7 +124,7 @@ FROM named
 """
 
 
-@query("extract_date", oracle=DATE_RECOMPOSE_ORACLE)
+@query("ex_date", oracle=DATE_RECOMPOSE_ORACLE)
 def extract_date_recompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 pattern 3: rebuild YYYY-MM-DD from archive-filename digit groups
     (reference src/01-scrape-images.py:290-293), with the zero-padded
@@ -172,7 +172,7 @@ FROM html
 """
 
 
-@query("extract_findall", oracle=FINDALL_ORACLE)
+@query("ex_find", oracle=FINDALL_ORACLE)
 def extract_filenames_findall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: findall + set-dedup (reference re.findall + list(set(...)),
     src/01-scrape-images.py:296-299) as
@@ -217,7 +217,7 @@ FROM raw
 """
 
 
-@query("extract_sanitize", oracle=SANITIZE_ORACLE)
+@query("ex_sanit", oracle=SANITIZE_ORACLE)
 def extract_sanitize_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: strip punctuation + trim + '/'→'-' + NULL→'Unknown' sentinel
     (reference process_search_result, src/01-scrape-images.py:413-420)."""
@@ -315,7 +315,7 @@ GROUP BY 1
 """
 
 
-@query("extract_mime", oracle=MIME_ORACLE)
+@query("ex_mime", oracle=MIME_ORACLE)
 def extract_mime_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9: extension→MIME dispatch with default (reference
     src/01-scrape-images.py:110-116); the .JP2 branch exercises the
@@ -353,7 +353,7 @@ FROM urls
 """
 
 
-@query("extract_basename", oracle=URL_ORACLE)
+@query("ex_base", oracle=URL_ORACLE)
 def extract_url_basename(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9/F10: percent-decode then take the last path segment (reference
     unquote + Path(...).name, src/01-scrape-images.py:458)."""
@@ -382,7 +382,7 @@ FROM documents
 """
 
 
-@query("extract_md5", oracle=MD5_ORACLE)
+@query("ex_md5", oracle=MD5_ORACLE)
 def extract_md5_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F15: content digest (reference compute_md5,
     src/01-scrape-images.py:78-83) — the integrity-audit primitive the

@@ -73,7 +73,7 @@ WHERE NOT EXISTS (
 """
 
 
-@query("flagship_backlog", oracle=FLAGSHIP_ORACLE)
+@query("flagship", oracle=FLAGSHIP_ORACLE)
 def flagship_issue_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _orders_in_range(spark, sf_dir).select(
         "o_orderkey", F.to_date("o_orderdate").alias("order_date")
@@ -183,7 +183,7 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
-@query("agg_cube_status", oracle=CUBE_ORACLE)
+@query("agg_cube", oracle=CUBE_ORACLE)
 def agg_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
@@ -239,7 +239,7 @@ GROUP BY l_returnflag
 """
 
 
-@query("agg_count_distinct", oracle=COUNT_DISTINCT_ORACLE)
+@query("agg_cdist", oracle=COUNT_DISTINCT_ORACLE)
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-column distinct aggregation (Catalyst expands to
     partial-distinct + final agg). The approximate variant is
@@ -252,7 +252,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_ndv")  # rows-only: HLL estimates are engine-specific
+@query("agg_ndv")  # rows-only: HLL estimates are engine-specific
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct — the 100 TB path where exact distinct would
     shuffle every key; HLL sketches merge associatively so this needs one
@@ -444,7 +444,7 @@ WHERE rn = 1
 """
 
 
-@query("window_rank_topn", oracle=TOP_ORDER_ORACLE)
+@query("win_topn", oracle=TOP_ORDER_ORACLE)
 def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-match-wins semantics (reference P1 fallback chains / files[0],
     src/01-scrape-images.py:270-279,146-147) as row_number()==1. Tie-broken
@@ -478,7 +478,7 @@ FROM orders
 """
 
 
-@query("window_frames", oracle=RUNNING_ORACLE)
+@query("win_frames", oracle=RUNNING_ORACLE)
 def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic windows: running frame sum, lag delta, rank — one shuffle on
     o_custkey serves all three (same partitioning/ordering)."""

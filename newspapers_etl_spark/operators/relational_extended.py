@@ -228,7 +228,7 @@ GROUP BY l_returnflag
 """
 
 
-@query("agg_percentiles", oracle=PERCENTILES_ORACLE)
+@query("agg_pctl", oracle=PERCENTILES_ORACLE)
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated percentiles per group (`percentile` =
     DuckDB's quantile_cont).  Exact percentile buffers the group's
@@ -255,7 +255,7 @@ GROUP BY l_returnflag
 """
 
 
-@query("agg_pctl_approx")  # rows-only: t-digest estimates are engine-specific
+@query("agg_tdigest")  # rows-only: t-digest estimates are engine-specific
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile path: percentile_approx (t-digest sketch) —
     mergeable partial state, bounded memory per group regardless of
@@ -283,7 +283,7 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_argminmax", oracle=ARGMINMAX_ORACLE)
+@query("agg_argmm", oracle=ARGMINMAX_ORACLE)
 def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by/min_by (SQL arg_max/arg_min): the 'which row holds the
     extreme' aggregate — one pass, no self-join-on-max anti-pattern.

@@ -66,7 +66,7 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
-@query("sim_topk_bf", oracle=TOPK_ORACLE)
+@query("bf_topk", oracle=TOPK_ORACLE)
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k per probe: broadcast the probe set, score the
     whole corpus once, keep k per probe via a bounded window.  Ranking is
@@ -111,7 +111,7 @@ GROUP BY label, i
 """
 
 
-@query("sim_centroids", oracle=CENTROID_ORACLE)
+@query("centroids", oracle=CENTROID_ORACLE)
 def sim_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid, one row per (label, component): posexplode the
     vector and average per position.  This is the scale-correct way to
@@ -155,7 +155,7 @@ def lsh_bucket(vec: Column | str, bits: int = LSH_BITS) -> Column:
     return out
 
 
-@query("sim_ann_lsh_topk")  # rows-only: bucket ids are hash-derived
+@query("lsh_topk")  # rows-only: bucket ids are hash-derived
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN: score only corpus vectors in the probe's LSH bucket.
     One linear scan computes buckets, the candidate join is an equi-join
@@ -294,7 +294,7 @@ def _nearest_cell(vec: Column | str, cents: list[tuple[int, list[float]]]) -> Co
     return best.getField("cell")
 
 
-@query("sim_ann_ivf_topk")  # rows-only: cell assignment is model-derived
+@query("ivf_topk")  # rows-only: cell assignment is model-derived
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into IVF_CELLS Voronoi cells
     (k-means, 2 Lloyd iterations), then score each probe only against
@@ -352,7 +352,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_lsh_stats")  # rows-only: bucket ids are hash-derived
+@query("ann_stats")  # rows-only: bucket ids are hash-derived
 def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket-occupancy histogram — the skew diagnostic for the ANN
     path: bucket count, mean/max occupancy.  At 100 TB this is the query

@@ -1,0 +1,130 @@
+"""Corpus-level text scoring: unigram language-model surprisal and
+sequence-length histograms.
+
+No reference counterpart — the reference's text handling stops at regex
+extraction (reference src/01-scrape-images.py:270-317).  These are the
+two scoring primitives a 100 TB training-data pipeline runs right after
+the Gopher/C4 heuristics in `text_analysis.py`:
+
+* `text_unigram_ppl` — per-document average surprisal (negative log
+  likelihood) under the corpus's own unigram distribution, the cheap
+  stand-in for KenLM perplexity filtering: documents whose tokens are
+  globally rare score high and get routed to review/drop.
+* `text_len_hist` — log2-bucketed document-length histogram per
+  language, the input to sequence-length curriculum and packing-bin
+  sizing decisions.
+
+Scale design: the unigram model is ONE shuffle on the term key (Zipf
+skew is absorbed by map-side partial aggregation — every mapper emits
+at most |vocab-in-partition| rows per term), and the fitted
+distribution is a vocabulary-sized dim broadcast back onto the token
+stream; the only fact-sized shuffle is the final per-doc aggregation.
+At a real 100 TB corpus the vocab broadcast is capped by frequency
+(top-V covers >99.9% of token mass; the tail can fall back to a
+smoothed floor) — at fixture scale the whole vocabulary rides along.
+The histogram is a pure two-column aggregation: scan, map-side
+partial, one tiny shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.functions.text import words
+from newspapers_etl_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Unigram LM surprisal (perplexity-style quality scoring)
+# ---------------------------------------------------------------------------
+
+UNIGRAM_PPL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS term
+  FROM documents
+),
+tc AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY term
+),
+n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM toks
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT)                   AS n_tok,
+       round(avg(-ln(tc.c / n.n)), 6)             AS nll,
+       round(exp(avg(-ln(tc.c / n.n))), 4)        AS ppl
+FROM toks t
+JOIN tc USING (term)
+CROSS JOIN n
+GROUP BY t.doc_id
+"""
+
+
+@query("ppl", oracle=UNIGRAM_PPL_ORACLE)
+def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average per-token surprisal -ln(count(term)/N) under the corpus
+    unigram distribution, plus its exp() as a perplexity.  Three aggs:
+    term counts (vocab-sized, broadcast back), corpus token total
+    (1-row, broadcast), per-doc mean (the one fact-sized shuffle).
+    Rounding before the hash absorbs cross-engine summation-order
+    drift in the float mean."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(words("text"), lambda x: x != "")).alias("term"),
+    )
+    tc = toks.groupBy("term").agg(F.count("*").cast("double").alias("c"))
+    n = toks.agg(F.count("*").cast("double").alias("n"))
+    nll = F.avg(-F.log(F.col("c") / F.col("n")))
+    return (
+        toks.join(F.broadcast(tc), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(nll, 6).alias("nll"),
+            F.round(F.exp(nll), 4).alias("ppl"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length histogram (curriculum / packing-bin sizing)
+# ---------------------------------------------------------------------------
+
+LEN_HIST_ORACLE = """
+SELECT lang,
+       CAST(floor(log2(n_chars + 1)) AS INT) AS len_bucket,
+       CAST(count(*) AS BIGINT)              AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)          AS sum_chars,
+       CAST(min(n_chars) AS BIGINT)          AS min_chars,
+       CAST(max(n_chars) AS BIGINT)          AS max_chars
+FROM documents
+GROUP BY lang, len_bucket
+"""
+
+
+@query("len_hist", oracle=LEN_HIST_ORACLE)
+def text_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language power-of-two length histogram over the pre-computed
+    n_chars column — the scan reads exactly two columns (asserted
+    pattern as in tests/test_plans.py ReadSchema checks), partial
+    aggregation collapses each input split to at most
+    |langs| x |buckets| rows before the only (tiny) shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            F.floor(F.log2(F.col("n_chars") + 1)).cast("int").alias("len_bucket"),
+            "n_chars",
+        )
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

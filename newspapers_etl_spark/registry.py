@@ -26,17 +26,20 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
-#   r5 (planned): diagnostics + url_ops LEAD (skew_profile and
-#       url_canon registered late in r4, positions 51-52 — no hash row
-#       yet), then incremental (last hashed r2) and relational_extended
-#       (r3), then the r3-green back half (corpus..scd, sinks);
+#   r5 (planned): the late-r4 block LEADS — diagnostics, url_ops,
+#       text_scoring, data_quality, snapshot_diff, events_analytics,
+#       sampling_extended (all registered past position 50 in r4, no
+#       driver hash row yet; each IS pytest-oracle-green via
+#       tests/test_relational.py::test_query_matches_oracle) — then
+#       incremental (last hashed r2) and relational_extended (r3),
+#       then the r3-green back half (corpus..scd, sinks);
 #       relational/extraction/similarity/streaming/dedup/corpus_overlap
 #       (all re-hashed r4) go to the back.
 #   r4: relational + extraction (green r1/r2 only — oldest history) and
-#       similarity (sim_lsh_stats never yet inside any window) lead;
-#       streaming moves up because stream_sessions/stream_join were
+#       similarity (ann_stats (ex sim_lsh_stats) never yet inside any window) lead;
+#       streaming moves up because st_sess/st_join were
 #       registered THIS round with no history; dedup follows
-#       (dedup_jaccard re-registered scale-true + dedup_spans new);
+#       (jaccard re-registered scale-true + dedup_spans new);
 #       corpus_overlap (2 new queries) closes the window at exactly 50.
 #       incremental (r2 green, unchanged) and the r3-green family
 #       (relational_extended/corpus/sampling/text/multimodal/events/
@@ -50,13 +53,18 @@ ORACLE: dict[str, str] = {}
 _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.relational",          # 21  last hashed r1/r2
     "newspapers_etl_spark.operators.extraction_queries",  # 8   last hashed r2
-    "newspapers_etl_spark.operators.similarity",          # 5   sim_lsh_stats never checked
-    "newspapers_etl_spark.streaming.incremental_stream",  # 4   stream_sessions/stream_join new r4
-    "newspapers_etl_spark.operators.dedup",               # 10  dedup_jaccard re-done, dedup_spans new r4
+    "newspapers_etl_spark.operators.similarity",          # 5   ann_stats never checked
+    "newspapers_etl_spark.streaming.incremental_stream",  # 4   st_sess/st_join new r4
+    "newspapers_etl_spark.operators.dedup",               # 10  jaccard re-done, dedup_spans new r4
     "newspapers_etl_spark.operators.corpus_overlap",      # 2   new r4
     # ---- exactly 50 queries above: the driver's window ends here ----
     "newspapers_etl_spark.operators.diagnostics",         # 1   new r4 LATE — window-lead in r5
     "newspapers_etl_spark.operators.url_ops",             # 1   new r4 LATE — window-lead in r5
+    "newspapers_etl_spark.operators.text_scoring",        # 2   new r4 LATE — window-lead in r5
+    "newspapers_etl_spark.operators.data_quality",        # 1   new r4 LATE — window-lead in r5
+    "newspapers_etl_spark.operators.snapshot_diff",       # 1   new r4 LATE — window-lead in r5
+    "newspapers_etl_spark.operators.events_analytics",    # 2   new r4 LATE — window-lead in r5
+    "newspapers_etl_spark.operators.sampling_extended",   # 1   new r4 LATE — window-lead in r5
     "newspapers_etl_spark.operators.incremental",         # 3   green r2, unchanged
     "newspapers_etl_spark.operators.relational_extended", # 7   green r3
     "newspapers_etl_spark.operators.corpus",

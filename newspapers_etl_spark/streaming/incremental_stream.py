@@ -204,7 +204,7 @@ GROUP BY 1, 2
 """
 
 
-@query("stream_tumbling", oracle=STREAM_TUMBLING_ORACLE)
+@query("st_tumble", oracle=STREAM_TUMBLING_ORACLE)
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The watermarked tumbling aggregation executed BY THE STREAMING
     ENGINE (AvailableNow over the events parquet, complete-mode memory
@@ -226,7 +226,7 @@ GROUP BY event_type
 """
 
 
-@query("stream_dedup", oracle=STREAM_DEDUP_ORACLE)
+@query("st_dedup", oracle=STREAM_DEDUP_ORACLE)
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark over the event stream, then a
     per-type count of survivors.  The fixture has unique event_ids, so
@@ -270,7 +270,7 @@ JOIN events r
 """
 
 
-@query("stream_join", oracle=STREAM_JOIN_ORACLE)
+@query("st_join", oracle=STREAM_JOIN_ORACLE)
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join executed BY THE STREAMING
     ENGINE (clicks ⋈ purchases within {within} on user_id, AvailableNow,
@@ -330,7 +330,7 @@ def _session_oracle() -> str:
     return SESSION_ORACLE
 
 
-@query("stream_sessions", oracle=_session_oracle())
+@query("st_sess", oracle=_session_oracle())
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows executed BY THE STREAMING ENGINE (AvailableNow,
     complete-mode memory sink) over the events parquet; the oracle is

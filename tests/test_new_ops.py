@@ -1,0 +1,212 @@
+"""Semantic micro-tests for the round-4 late additions: data-quality
+audit, snapshot diff, event anomaly/gap analytics, unigram surprisal,
+and salted top-k sampling.
+
+The oracle differential for each query runs in test_relational.py
+(every registered oracle, both engines, order-insensitive hash); these
+tests pin the SEMANTICS on planted fixtures — a violation is counted
+in the right check, a changed document lands in the right class, a
+volume spike crosses the z threshold — which an all-clean fixture
+can't distinguish from a query that never fires."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from newspapers_etl_spark.operators.data_quality import dq_audit
+from newspapers_etl_spark.operators.events_analytics import events_anomaly, events_gaps
+from newspapers_etl_spark.operators.sampling_extended import TOPK_K, sample_topk
+from newspapers_etl_spark.operators.snapshot_diff import corpus_diff
+from newspapers_etl_spark.operators.text_scoring import text_unigram_ppl
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / f"{name}.parquet")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_audit: planted violations land in the right check rows
+# ---------------------------------------------------------------------------
+
+
+def test_dq_audit_counts_planted_violations(spark, tmp_path):
+    _write(
+        spark, tmp_path, "lineitem",
+        [
+            # (orderkey, quantity, discount, extendedprice)
+            (1, 10.0, 0.05, 100.0),   # clean
+            (1, 99.0, 0.05, 100.0),   # qty out of range
+            (2, 10.0, 0.50, 100.0),   # discount out of range
+            (2, 10.0, 0.05, -5.0),    # non-positive price
+            (999, 10.0, 0.05, 100.0), # orphan orderkey
+        ],
+        "l_orderkey long, l_quantity double, l_discount double, l_extendedprice double",
+    )
+    _write(
+        spark, tmp_path, "orders",
+        [(1, 10), (2, 10), (2, 10), (3, 888)],  # dup PK 2; orphan custkey 888
+        "o_orderkey long, o_custkey long",
+    )
+    _write(spark, tmp_path, "customer", [(10,), (20,)], "c_custkey long")  # 20 has no orders
+    _write(
+        spark, tmp_path, "documents",
+        [(1, "abc", 3), (2, "", 0), (3, "xy", 9), (3, "xy", 2)],  # empty; one bad n_chars; dup PK
+        "doc_id long, text string, n_chars long",
+    )
+    got = {
+        (r["tbl"], r["chk"]): (r["n_rows"], r["n_bad"])
+        for r in dq_audit(spark, str(tmp_path)).collect()
+    }
+    assert got[("lineitem", "qty_in_1_50")] == (5, 1)
+    assert got[("lineitem", "discount_in_0_01")] == (5, 1)
+    assert got[("lineitem", "price_positive")] == (5, 1)
+    assert got[("lineitem", "fk_orderkey")] == (5, 1)
+    assert got[("orders", "fk_custkey")] == (4, 1)
+    assert got[("orders", "pk_unique")] == (4, 1)
+    assert got[("customer", "has_orders")] == (2, 1)
+    assert got[("documents", "text_nonempty")] == (4, 1)
+    assert got[("documents", "n_chars_consistent")] == (4, 1)
+    assert got[("documents", "pk_unique")] == (4, 1)
+
+
+# ---------------------------------------------------------------------------
+# corpus_diff: each class fires on its planted doc_id
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_diff_classifies_planted_docs(spark, tmp_path):
+    # doc 3: 3 % 11 == 3 → absent from OLD → added
+    # doc 5: 5 % 13 == 5 → absent from NEW → removed
+    # doc 7: 7 % 7 == 0 → OLD text upper-cased → changed
+    # doc 1: in both, same text → unchanged
+    _write(
+        spark, tmp_path, "documents",
+        [(1, "abc", "s"), (3, "abc", "s"), (5, "abc", "s"), (7, "abc", "s")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["change"]: r["n_docs"]
+        for r in corpus_diff(spark, str(tmp_path)).collect()
+    }
+    assert got == {"added": 1, "removed": 1, "changed": 1, "unchanged": 1}
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly: a planted volume spike crosses the threshold
+# ---------------------------------------------------------------------------
+
+
+def test_events_anomaly_flags_planted_spike(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(10):
+        n = 30 if h == 9 else 1  # flat baseline, one 30x spike
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=1), 1, "a"))
+            eid += 1
+    _write(spark, tmp_path, "events", rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = events_anomaly(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0]["hour_start"] == base + dt.timedelta(hours=9)
+    assert got[0]["n_events"] == 30 and got[0]["z"] > 2.0
+
+
+def test_events_anomaly_constant_series_emits_nothing(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (h, base + dt.timedelta(hours=h), 1, "a") for h in range(6)
+    ]  # variance 0 → stats filter drops the type entirely
+    _write(spark, tmp_path, "events", rows, "event_id long, ts timestamp, user_id long, event_type string")
+    assert events_anomaly(spark, str(tmp_path)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# events_gaps: exact micro-gaps
+# ---------------------------------------------------------------------------
+
+
+def test_events_gaps_exact_values(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "a"),
+        (2, t0 + dt.timedelta(seconds=1), 7, "a"),
+        (3, t0 + dt.timedelta(seconds=3), 7, "a"),  # gaps: 1s, 2s
+        (4, t0, 8, "a"),                            # single event → null gaps
+    ]
+    _write(spark, tmp_path, "events", rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r["user_id"]: r for r in events_gaps(spark, str(tmp_path)).collect()}
+    assert got[7]["n_events"] == 3
+    assert got[7]["avg_gap_s"] == pytest.approx(1.5)
+    assert got[7]["max_gap_us"] == 2_000_000 and got[7]["min_gap_us"] == 1_000_000
+    assert got[8]["n_events"] == 1
+    assert got[8]["avg_gap_s"] is None and got[8]["max_gap_us"] is None
+
+
+# ---------------------------------------------------------------------------
+# text_unigram_ppl: closed-form value on an all-unique-token corpus
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_ppl_closed_form_on_unique_tokens(spark, tmp_path):
+    # Every token globally unique → p(term) = 1/N → nll = ln(N) exactly.
+    rows = [
+        (0, "a b c", "en", "s", 5),
+        (1, "d e", "en", "s", 3),
+    ]  # N = 5 tokens
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in text_unigram_ppl(spark, str(tmp_path)).collect()}
+    assert got[0]["n_tok"] == 3 and got[1]["n_tok"] == 2
+    for r in got.values():
+        assert r["nll"] == pytest.approx(math.log(5), abs=1e-6)
+        assert r["ppl"] == pytest.approx(5.0, abs=1e-3)
+
+
+def test_unigram_ppl_drops_tokenless_docs(spark, tmp_path):
+    rows = [(0, "a b", "en", "s", 3), (1, "", "en", "s", 0)]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = text_unigram_ppl(spark, str(tmp_path)).collect()
+    assert [r["doc_id"] for r in got] == [0]
+
+
+# ---------------------------------------------------------------------------
+# sample_topk: salted two-phase ≡ naive single window; exact-k strata
+# ---------------------------------------------------------------------------
+
+
+def test_sample_topk_matches_naive_window(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from newspapers_etl_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    naive = (
+        d.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= TOPK_K)
+        .select("lang", "doc_id", "rk")
+    )
+    got = sorted(map(tuple, sample_topk(spark, sf_dir).collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want
+
+    sizes = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    per_lang: dict[str, list[int]] = {}
+    for lang, _, rk in got:
+        per_lang.setdefault(lang, []).append(rk)
+    for lang, rks in per_lang.items():
+        assert sorted(rks) == list(range(1, min(TOPK_K, sizes[lang]) + 1))

@@ -162,7 +162,7 @@ def test_registry_registration_order_is_contiguous_per_module():
     # sit inside the first 50 (the driver's check window).
     window = set(names[:50])
     for required in (
-        "sim_lsh_stats", "stream_sessions", "stream_join",
-        "dedup_jaccard", "dedup_spans", "dedup_chunks", "source_overlap",
+        "ann_stats", "st_sess", "st_join",
+        "jaccard", "dedup_spans", "dedup_chunks", "source_overlap",
     ):
         assert required in window, f"{required} fell out of the window"
