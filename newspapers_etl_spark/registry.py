@@ -65,6 +65,7 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.snapshot_diff",       # 1   new r4 LATE — window-lead in r5
     "newspapers_etl_spark.operators.events_analytics",    # 2   new r4 LATE — window-lead in r5
     "newspapers_etl_spark.operators.sampling_extended",   # 1   new r4 LATE — window-lead in r5
+    "newspapers_etl_spark.streaming.enrichment",          # 1   new r4 LATE — window-lead in r5
     "newspapers_etl_spark.operators.incremental",         # 3   green r2, unchanged
     "newspapers_etl_spark.operators.relational_extended", # 7   green r3
     "newspapers_etl_spark.operators.corpus",
