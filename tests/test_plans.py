@@ -404,3 +404,59 @@ def test_spans_shuffles_keys_only_and_caches_windows(spark, plan_sf_dir):
         assert "CartesianProduct" not in plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_ppl_broadcasts_vocab_and_keeps_text_out_of_exchanges(spark, plan_sf_dir):
+    """text_unigram_ppl's scale contract: the vocabulary and the corpus
+    total join back as broadcasts (the only shuffles are the term agg
+    and the per-doc agg), and no exchange ever carries document text —
+    the token stream enters the exchanges as (doc_id, term)."""
+    from newspapers_etl_spark.operators.text_scoring import text_unigram_ppl
+
+    plan = _plan(text_unigram_ppl(spark, plan_sf_dir))
+    assert "BroadcastHashJoin" in plan, "vocab relation not broadcast"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    for i, chunk in enumerate(plan.split("Exchange ")[1:]):
+        head = chunk.splitlines()[0]
+        assert "text" not in head, f"exchange {i} shuffles text: {head}"
+
+
+def test_snap_diff_shuffles_fingerprints_not_text(spark, plan_sf_dir):
+    """snap_diff's scale contract: md5 fingerprints are computed
+    map-side, so the full-outer join's exchanges carry ~50-byte rows
+    (doc_id, source, fp) and never the document text."""
+    from newspapers_etl_spark.operators.snapshot_diff import corpus_diff
+
+    plan = _plan(corpus_diff(spark, plan_sf_dir))
+    for i, chunk in enumerate(plan.split("Exchange ")[1:]):
+        head = chunk.splitlines()[0]
+        assert "text" not in head, f"exchange {i} shuffles text: {head}"
+
+
+def test_ev_anom_single_fact_shuffle_plus_broadcast_stats(spark, plan_sf_dir):
+    """ev_anom's scale contract: the raw events shuffle exactly once
+    (to the (type, hour) grain, with a map-side partial aggregate);
+    the per-type stats relation joins back as a broadcast, never a
+    second fact-sized exchange."""
+    from newspapers_etl_spark.operators.events_analytics import events_anomaly
+
+    plan = _plan(events_anomaly(spark, plan_sf_dir))
+    assert "BroadcastHashJoin" in plan, "per-type stats not broadcast"
+    assert plan.count("partial_count") >= 1, "no map-side partial aggregation"
+
+
+def test_topk_lang_salted_phase_partitions_by_lang_and_salt(spark, plan_sf_dir):
+    """topk_lang's scale contract: phase 1 ranks within (lang, salt)
+    partitions — the plan must show a hash exchange on BOTH keys before
+    the first window — so no language stratum funnels through one task;
+    phase 2's exchange on lang alone ranks only the salts*k survivors."""
+    from newspapers_etl_spark.operators.sampling_extended import sample_topk
+
+    plan = _plan(sample_topk(spark, plan_sf_dir))
+    salted = [
+        c.splitlines()[0]
+        for c in plan.split("Exchange hashpartitioning(")[1:]
+        if c.startswith("lang") and "salt" in c.splitlines()[0]
+    ]
+    assert salted, f"no (lang, salt) exchange before phase-1 window:\n{plan[:1500]}"
+    assert plan.count("Window") >= 2, "expected two ranking phases"

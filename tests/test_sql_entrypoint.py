@@ -166,3 +166,23 @@ def test_registry_registration_order_is_contiguous_per_module():
         "jaccard", "dedup_spans", "dedup_chunks", "source_overlap",
     ):
         assert required in window, f"{required} fell out of the window"
+
+
+def test_queries_md_index_matches_registry():
+    """QUERIES.md is the human-facing query index; a registry addition
+    without a doc row (or a stale renamed row) silently misdescribes
+    the surface.  One row per registered query, name-exact."""
+    import re
+    from pathlib import Path
+
+    from newspapers_etl_spark.registry import all_oracles, all_queries
+
+    text = (Path(__file__).resolve().parent.parent / "QUERIES.md").read_text()
+    documented = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M))
+    registered = set(all_queries())
+    assert documented == registered, (
+        f"missing rows: {sorted(registered - documented)}; "
+        f"stale rows: {sorted(documented - registered)}"
+    )
+    n_q, n_o = len(all_queries()), len(all_oracles())
+    assert f"{n_q} registered queries, {n_o} with a DuckDB oracle" in text
