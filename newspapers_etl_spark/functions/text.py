@@ -82,3 +82,40 @@ def doc_fingerprint(col: Column | str) -> Column:
     identically — found by tests/test_properties.py."""
     toks = F.filter(F.array_distinct(words(col)), lambda w: w != "")
     return F.md5(F.array_join(F.array_sort(toks), " "))
+
+
+def lang_score_sql(lang: str) -> str:
+    """DuckDB marker-hit-count expression for one language — the oracle
+    twin of ``lang_marker_hits``.  Lives here (not in an operator
+    module) so queries in DIFFERENT operator modules can compose it
+    without importing each other at registration time, which would
+    splice query-registration order (guarded by
+    tests/test_sql_entrypoint.py::test_registry_registration_order_is_contiguous_per_module)."""
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), "
+        f"x -> x IN ({markers}))) AS INT)"
+    )
+
+
+def lang_id_oracle_sql() -> str:
+    """The full lang-ID relation as DuckDB SQL: per-language scores +
+    alphabetical-tiebreak argmax, shared by `text_lang_id` and the
+    `lang_conf` confusion rollup."""
+    langs = sorted(LANG_MARKERS)  # alphabetical → deterministic tiebreak
+    scores = ", ".join(f"{lang_score_sql(lg)} AS s_{lg}" for lg in langs)
+    cols = ", ".join(f"s_{lg}" for lg in langs)
+    best = ", ".join(f"s_{lg}" for lg in langs)
+    case = " ".join(
+        f"WHEN s_{lg} = greatest({best}) THEN '{lg}'" for lg in langs
+    )
+    return f"""
+WITH scores AS (
+  SELECT doc_id, lang AS lang_true, {scores}
+  FROM documents
+)
+SELECT doc_id, lang_true, {cols},
+       CASE {case}
+       END AS lang_pred
+FROM scores
+"""

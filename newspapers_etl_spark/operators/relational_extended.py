@@ -16,7 +16,7 @@ exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
@@ -295,4 +295,39 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
         F.max("l_extendedprice").alias("max_price"),
         F.min("l_extendedprice").alias("min_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions: ntile / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+WIN_DIST_ORACLE = """
+SELECT c_custkey,
+       c_mktsegment,
+       CAST(ntile(10) OVER w AS INT)        AS decile,
+       round(percent_rank() OVER w, 6)      AS pct_rank,
+       round(cume_dist() OVER w, 6)         AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@query("win_dist", oracle=WIN_DIST_ORACLE)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-family window functions (ntile decile, percent_rank,
+    cume_dist) over account balance per market segment — the last
+    window-function class the surface didn't cover.  The c_custkey
+    tie-break makes the frame ordering total, so ntile bucket edges are
+    identical across engines.  All three functions share ONE window
+    spec → one exchange + one sort; segments are balanced, so no salting
+    needed (the skewed-stratum variant is topk_lang's two-phase plan)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )

@@ -22,6 +22,7 @@ from newspapers_etl_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
     doc_fingerprint,
+    lang_id_oracle_sql,
     punct_ratio,
     quality_score,
     stopword_ratio,
@@ -116,28 +117,11 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lang_score_sql(lang: str) -> str:
-    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
-    return (
-        "CAST(len(list_filter(string_split_regex(text, '\\s+'), "
-        f"x -> x IN ({markers}))) AS INT)"
-    )
-
-
 _LANGS = sorted(LANG_MARKERS)  # alphabetical → deterministic tiebreak
 
-LANG_ID_ORACLE = f"""
-WITH scores AS (
-  SELECT doc_id, lang AS lang_true,
-         {", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in _LANGS)}
-  FROM documents
-)
-SELECT doc_id, lang_true,
-       {", ".join(f"s_{lg}" for lg in _LANGS)},
-       CASE {" ".join(f"WHEN s_{lg} = greatest({', '.join('s_' + x for x in _LANGS)}) THEN '{lg}'" for lg in _LANGS)}
-       END AS lang_pred
-FROM scores
-"""
+# Shared with the `lang_conf` confusion rollup (functions/text.py keeps
+# the SQL builder registration-side-effect-free).
+LANG_ID_ORACLE = lang_id_oracle_sql()
 
 
 @query("text_lang_id", oracle=LANG_ID_ORACLE)

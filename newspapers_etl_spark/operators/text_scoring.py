@@ -128,3 +128,87 @@ def text_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram frequency table (top-k trigrams)
+# ---------------------------------------------------------------------------
+
+NGRAM_TOP_K = 50
+
+# Shingle construction mirrors operators/dedup.py shingles() and its
+# oracle SQL exactly (k = len-2 windows of 3, whole-text fallback under
+# 3 tokens) — but WITHOUT the per-doc distinct: frequency needs every
+# occurrence, dedup needs the set.
+NGRAM_FREQ_ORACLE = f"""
+WITH toks AS (
+  SELECT string_split_regex(text, '\\s+') AS ts FROM documents
+),
+sh AS (
+  SELECT CASE WHEN len(ts) >= 3
+           THEN list_transform(range(1, len(ts) - 1),
+                               i -> array_to_string(list_slice(ts, i, i + 2), ' '))
+           ELSE [array_to_string(ts, ' ')] END AS ss
+  FROM toks
+),
+g AS (SELECT unnest(ss) AS gram FROM sh)
+SELECT gram, CAST(count(*) AS BIGINT) AS n
+FROM g
+GROUP BY gram
+ORDER BY n DESC, gram
+LIMIT {NGRAM_TOP_K}
+"""
+
+
+@query("ngram_freq", oracle=NGRAM_FREQ_ORACLE)
+def ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide trigram frequency, top-{NGRAM_TOP_K} by count with a
+    gram tie-break (total order, so the LIMIT boundary is stable across
+    engines).  One shuffle on the gram key — Zipf skew collapses in the
+    map-side partial count — then TakeOrderedAndProject for the top-k
+    (never a global sort).  At 100 TB this is the boilerplate-discovery
+    / tokenizer-vocab profiling pass: same plan, bigger partial maps."""
+    from newspapers_etl_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(words("text").alias("ts"))
+    grams = toks.select(F.explode(shingles("ts")).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(NGRAM_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier evaluation)
+# ---------------------------------------------------------------------------
+
+
+def _lang_conf_oracle() -> str:
+    from newspapers_etl_spark.functions.text import lang_id_oracle_sql
+
+    return f"""
+WITH base AS ({lang_id_oracle_sql()})
+SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM base
+GROUP BY lang_true, lang_pred
+"""
+
+
+@query("lang_conf", oracle=_lang_conf_oracle())
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-lexicon language classifier
+    against the labeled lang column — the evaluation loop every
+    filtering heuristic needs before it gates a corpus.  Composes the
+    registered `text_lang_id` relation (single tokenization, argmax
+    with alphabetical tie-break) and rolls it up to O(langs²) rows;
+    the rollup adds one tiny shuffle on (lang_true, lang_pred)."""
+    from newspapers_etl_spark.operators.text_analysis import text_lang_id
+
+    return (
+        text_lang_id(spark, sf_dir)
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
