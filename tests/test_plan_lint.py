@@ -1,0 +1,38 @@
+"""Repo-wide physical-plan lint over EVERY registered query.
+
+The per-operator plan tests (test_plans.py) pin specific shapes; this
+is the blanket floor no query may sink below, enforced for the whole
+registry so a future registration can't quietly regress it:
+
+* no CartesianProduct anywhere (the one intentional all-pairs form,
+  `jaccard`'s verify stage, is candidates-driven and plans as a hash
+  join on the block key — if it ever degrades to a cartesian this
+  fails);
+* no exchange PARTITIONED BY the document text column — shuffling on
+  text means the full payload is the key, the canonical
+  does-not-survive-100TB mistake.  (Carried-but-not-keyed columns are
+  asserted per-operator via `plans.assert_exchanges_narrow`; the
+  partitioning header is what this blanket check can see registry-wide.)
+
+One test, one pass over the registry: plan construction only — nothing
+executes except the streaming/incremental queries whose registered
+callables run their micro-batches internally.
+"""
+
+from __future__ import annotations
+
+from newspapers_etl_spark.plans import exchange_headers, executed_plan
+from newspapers_etl_spark.registry import all_queries
+
+
+def test_no_query_plans_cartesian_or_partitions_by_text(spark, sf_dir):
+    violations: list[str] = []
+    for name, fn in sorted(all_queries().items()):
+        df = fn(spark, sf_dir)
+        plan = executed_plan(df)
+        if "CartesianProduct" in plan:
+            violations.append(f"{name}: CartesianProduct in plan")
+        for head in exchange_headers(df):
+            if "text#" in head:
+                violations.append(f"{name}: exchange keyed on text: {head}")
+    assert not violations, "\n".join(violations)
