@@ -63,6 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
         "read schemas",
     )
     ex.add_argument("--name", required=True)
+
+    lint = sub.add_parser(
+        "lint",
+        help="scale lint: fail if a query plans a CartesianProduct or "
+        "hash-partitions an exchange on the document text column "
+        "(one query with --name, else the whole registry)",
+    )
+    lint.add_argument("--name", default=None)
     return p
 
 
@@ -107,6 +115,30 @@ def main(argv: list[str] | None = None) -> int:
         for s in plans.read_schemas(df):
             print(f"  {s}")
         return 0
+
+    if args.command == "lint":
+        from newspapers_etl_spark import plans
+
+        queries = registry.all_queries()
+        if args.name is not None and args.name not in queries:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        names = [args.name] if args.name else sorted(queries)
+        violations = []
+        for name in names:
+            df = queries[name](spark, args.sf_dir)
+            if "CartesianProduct" in plans.executed_plan(df):
+                violations.append(f"{name}: CartesianProduct in plan")
+            for head in plans.exchange_headers(df):
+                if "text#" in head:
+                    violations.append(f"{name}: exchange keyed on text: {head}")
+        for v in violations:
+            print(v)
+        print(
+            f"linted {len(names)} queries: {len(violations)} violations",
+            file=sys.stderr,
+        )
+        return 1 if violations else 0
 
     # command == "run": date-ranged events batch through one operation.
     from newspapers_etl_spark.catalog import load_table

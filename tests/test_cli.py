@@ -65,3 +65,12 @@ def test_explain_prints_plan_audit(spark, sf_dir, capsys):
 
 def test_explain_unknown_query_fails_cleanly(spark):
     assert main(["explain", "--name", "no_such_query"]) == 2
+
+
+def test_lint_single_query_clean(spark, sf_dir, capsys):
+    assert main(["--sf-dir", sf_dir, "lint", "--name", "q1_pricing"]) == 0
+    assert "0 violations" in capsys.readouterr().err
+
+
+def test_lint_unknown_query_fails_cleanly(spark):
+    assert main(["lint", "--name", "nope"]) == 2
