@@ -140,3 +140,64 @@ def events_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").alias("max_gap_us"),
         F.min("gap_us").alias("min_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier detection on the value column, per event type
+# ---------------------------------------------------------------------------
+
+OUTLIERS_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (
+         WHERE e.value < s.q1 - 1.5 * (s.q3 - s.q1)
+            OR e.value > s.q3 + 1.5 * (s.q3 - s.q1)
+       ) AS BIGINT) AS n_outliers,
+       round(s.q1 - 1.5 * (s.q3 - s.q1), 4) AS lo_bound,
+       round(s.q3 + 1.5 * (s.q3 - s.q1), 4) AS hi_bound
+FROM events e JOIN stats s USING (event_type)
+GROUP BY e.event_type, s.q1, s.q3
+"""
+
+
+@query("ev_outliers", oracle=OUTLIERS_ORACLE)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier accounting per event type: exact
+    linearly-interpolated quartiles (bit-identical to DuckDB's
+    quantile_cont — proven by agg_pctl), fences at 1.5×IQR, outlier
+    counts against the raw stream.  Same two-phase shape as ev_anom:
+    the per-type quartiles are an O(types)-row broadcast joined back
+    onto the one fact scan; exact percentile state at the type grain
+    is bounded by per-type cardinality, the scale cost is the sort
+    inside each type partition (t-digest `agg_tdigest` is the sketch
+    path when even that is too much)."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(
+                F.when((F.col("value") < lo) | (F.col("value") > hi), 1)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_outliers",
+            F.round(lo, 4).alias("lo_bound"),
+            F.round(hi, 4).alias("hi_bound"),
+        )
+    )

@@ -331,3 +331,51 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort analysis: customers by first-order month × month offset
+# ---------------------------------------------------------------------------
+
+COHORTS_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+acts AS (
+  SELECT o.o_custkey, f.cohort,
+         date_diff('month', f.cohort, date_trunc('month', o.o_orderdate)) AS offset_m
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+)
+SELECT cohort, CAST(offset_m AS INT) AS offset_m,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+FROM acts
+GROUP BY cohort, offset_m
+"""
+
+
+@query("cohorts", oracle=COHORTS_ORACLE)
+def order_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix over orders: customers grouped by
+    first-order month, activity counted at each month offset.  Two
+    shuffles on o_custkey (first-order agg, then the join back — at
+    scale these co-locate if orders is bucketed by custkey) and one
+    tiny shuffle to the (cohort, offset) grain; the month arithmetic is
+    exact integers on month-truncated timestamps, so no float boundary
+    can disagree with the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    acts = o.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("om")
+    ).join(firsts, "o_custkey")
+    return (
+        acts.select(
+            "o_custkey",
+            "cohort",
+            F.months_between("om", "cohort").cast("int").alias("offset_m"),
+        )
+        .groupBy("cohort", "offset_m")
+        .agg(F.count_distinct("o_custkey").alias("n_cust"))
+    )
