@@ -210,3 +210,31 @@ def test_sample_topk_matches_naive_window(spark, sf_dir):
         per_lang.setdefault(lang, []).append(rk)
     for lang, rks in per_lang.items():
         assert sorted(rks) == list(range(1, min(TOPK_K, sizes[lang]) + 1))
+
+
+# ---------------------------------------------------------------------------
+# url_ops: canonicalization is idempotent on adversarial inputs
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_url_is_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from newspapers_etl_spark.operators.url_ops import canonical_url
+
+    urls = [
+        "https://WWW.Example.COM/Path/To/Page?utm_source=x&id=1#frag",
+        "http://example.com/",
+        "https://example.com",
+        "https://www.example.org/a/b/?utm_a=1&utm_b=2",
+        "https://Sub.Domain.Example.net/Mixed/Case?z=9&a=1",
+        "https://example.com/?utm_only=1",
+        "https://example.com/p?#",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        F.col("c1"), canonical_url(F.col("c1")).alias("c2")
+    ).collect()
+    for r in twice:
+        assert r["c1"] == r["c2"], f"not idempotent: {r['c1']} -> {r['c2']}"
