@@ -60,7 +60,7 @@ _OPERATOR_MODULES = (
     # ---- exactly 50 queries above: the driver's window ends here ----
     "newspapers_etl_spark.operators.diagnostics",         # 1   new r4 LATE — window-lead in r5
     "newspapers_etl_spark.operators.url_ops",             # 1   new r4 LATE — window-lead in r5
-    "newspapers_etl_spark.operators.text_scoring",        # 4   new r4 LATE — window-lead in r5
+    "newspapers_etl_spark.operators.text_scoring",        # 5   new r4 LATE — window-lead in r5
     "newspapers_etl_spark.operators.data_quality",        # 1   new r4 LATE — window-lead in r5
     "newspapers_etl_spark.operators.snapshot_diff",       # 1   new r4 LATE — window-lead in r5
     "newspapers_etl_spark.operators.events_analytics",    # 3   new r4 LATE — window-lead in r5

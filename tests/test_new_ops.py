@@ -238,3 +238,28 @@ def test_canonical_url_is_idempotent(spark):
     ).collect()
     for r in twice:
         assert r["c1"] == r["c2"], f"not idempotent: {r['c1']} -> {r['c2']}"
+
+
+# ---------------------------------------------------------------------------
+# text_compress: entropy signal semantics (no oracle — DuckDB lacks zlib)
+# ---------------------------------------------------------------------------
+
+
+def test_compression_ratio_separates_repetitive_from_prose(spark, tmp_path):
+    rep = "spam ham " * 200                      # highly repetitive
+    prose = " ".join(f"w{i}x{i * 7 % 93}" for i in range(400))  # high entropy
+    rows = [(0, rep, "en", "s", len(rep)), (1, prose, "en", "s", len(prose)),
+            (2, "", "en", "s", 0)]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from newspapers_etl_spark.operators.text_scoring import text_compression_ratio
+
+    got = {r["doc_id"]: r for r in text_compression_ratio(spark, str(tmp_path)).collect()}
+    assert got[0]["comp_ratio"] < 0.1, "repetitive text should crush"
+    assert got[1]["comp_ratio"] > 2 * got[0]["comp_ratio"]
+    assert got[2]["comp_ratio"] is None and got[2]["comp_b"] == 0
+    again = {r["doc_id"]: r["comp_b"]
+             for r in text_compression_ratio(spark, str(tmp_path)).collect()}
+    assert again == {k: v["comp_b"] for k, v in got.items()}, "not deterministic"
