@@ -66,8 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     lint = sub.add_parser(
         "lint",
-        help="scale lint: fail if a query plans a CartesianProduct or "
-        "hash-partitions an exchange on the document text column "
+        help="scale lint: fail if a query plans a CartesianProduct, a "
+        "row-at-a-time Python UDF, or a text-keyed exchange "
         "(one query with --name, else the whole registry)",
     )
     lint.add_argument("--name", default=None)
@@ -127,8 +127,11 @@ def main(argv: list[str] | None = None) -> int:
         violations = []
         for name in names:
             df = queries[name](spark, args.sf_dir)
-            if "CartesianProduct" in plans.executed_plan(df):
+            plan = plans.executed_plan(df)
+            if "CartesianProduct" in plan:
                 violations.append(f"{name}: CartesianProduct in plan")
+            if "BatchEvalPython" in plan:
+                violations.append(f"{name}: row-at-a-time Python UDF in plan")
             for head in plans.exchange_headers(df):
                 if "text#" in head:
                     violations.append(f"{name}: exchange keyed on text: {head}")

@@ -8,6 +8,10 @@ registry so a future registration can't quietly regress it:
   `jaccard`'s verify stage, is candidates-driven and plans as a hash
   join on the block key — if it ever degrades to a cartesian this
   fails);
+* no row-at-a-time Python UDF (``BatchEvalPython``) — every Python
+  escape hatch must be Arrow-vectorized (U1's grep-clean claim, now
+  enforced at the plan level where even an `F.udf` smuggled in through
+  a helper would surface);
 * no exchange PARTITIONED BY the document text column — shuffling on
   text means the full payload is the key, the canonical
   does-not-survive-100TB mistake.  (Carried-but-not-keyed columns are
@@ -32,6 +36,10 @@ def test_no_query_plans_cartesian_or_partitions_by_text(spark, sf_dir):
         plan = executed_plan(df)
         if "CartesianProduct" in plan:
             violations.append(f"{name}: CartesianProduct in plan")
+        if "BatchEvalPython" in plan:  # row-at-a-time Python UDF — the
+            # Arrow-vectorized nodes are ArrowEvalPython / MapInPandas /
+            # FlatMapGroupsInPandas and are allowed
+            violations.append(f"{name}: row-at-a-time Python UDF in plan")
         for head in exchange_headers(df):
             if "text#" in head:
                 violations.append(f"{name}: exchange keyed on text: {head}")
