@@ -84,14 +84,45 @@ def _peek_ts_encoding(src_dir: str, glob: str | None) -> str:
     # the sniff must see nested/partitioned layouts too.  No match is an
     # error — defaulting to 'tz' would declare a schema that nanos files
     # arriving later could not be read with.
+    # A match may be a FILE (driver fixtures are single parquet files)
+    # or a DIRECTORY (a Spark-written dataset is a directory named
+    # *.parquet holding part-*.parquet files) — the footer read must
+    # land on a file, so directory matches descend to their parts.
     pattern = os.path.join(src_dir, "**", glob or "*.parquet")
-    files = sorted(globmod.glob(pattern, recursive=True))
+    files: list[str] = []
+    for m in sorted(globmod.glob(pattern, recursive=True)):
+        if os.path.isfile(m):
+            files.append(m)
+        elif os.path.isdir(m):
+            files.extend(
+                sorted(
+                    f
+                    for f in globmod.glob(
+                        os.path.join(m, "**", "*.parquet"), recursive=True
+                    )
+                    if os.path.isfile(f)
+                )
+            )
     if not files:
         raise FileNotFoundError(
             f"ts_encoding='auto' found no parquet under {src_dir!r} "
             f"(glob {glob or '*.parquet'!r}); pass ts_encoding explicitly "
             "for a not-yet-populated source directory"
         )
+    # Physical type first: Spark's default parquet writer emits INT96
+    # timestamps, which pyarrow ALSO surfaces as timestamp[ns] — but
+    # Spark reads INT96 back as plain session-tz TimestampType, so
+    # classifying it 'nanos' (the INT64-nano fixture path, read via
+    # nanosAsLong + LongType schema) would fail on every engine-written
+    # dataset.  Only INT64 columns can be the legacy-nanos encoding.
+    pf = pq.ParquetFile(files[0])
+    phys = next(
+        pf.schema.column(i)
+        for i in range(len(pf.schema))
+        if pf.schema.column(i).name == "ts"
+    ).physical_type
+    if phys == "INT96":
+        return "tz"
     t = pq.read_schema(files[0]).field("ts").type
     if pa.types.is_int64(t) or (pa.types.is_timestamp(t) and t.unit == "ns"):
         return "nanos"

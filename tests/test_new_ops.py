@@ -263,3 +263,43 @@ def test_compression_ratio_separates_repetitive_from_prose(spark, tmp_path):
     again = {r["doc_id"]: r["comp_b"]
              for r in text_compression_ratio(spark, str(tmp_path)).collect()}
     assert again == {k: v["comp_b"] for k, v in got.items()}, "not deterministic"
+
+
+# ---------------------------------------------------------------------------
+# Defensive branches: corrupt ts dtype fails loudly; empty stream dir too
+# ---------------------------------------------------------------------------
+
+
+def test_load_events_with_string_ts_raises(spark, tmp_path):
+    _write(spark, tmp_path, "events", [(1, "not-a-ts", 1, "a")],
+           "event_id long, ts string, user_id long, event_type string")
+    from newspapers_etl_spark.catalog import load_table
+
+    with pytest.raises(TypeError, match="unsupported dtype"):
+        load_table(spark, str(tmp_path), "events")
+
+
+def test_peek_ts_encoding_empty_dir_raises(tmp_path):
+    from newspapers_etl_spark.streaming.incremental_stream import _peek_ts_encoding
+
+    with pytest.raises(FileNotFoundError, match="ts_encoding"):
+        _peek_ts_encoding(str(tmp_path), None)
+
+
+def test_peek_ts_encoding_sees_nested_layout(spark, tmp_path):
+    d = tmp_path / "day=2024-01-01"
+    d.mkdir()
+    _write(spark, d, "events", [(1, __import__("datetime").datetime(2024, 1, 1), 1, "a")],
+           "event_id long, ts timestamp, user_id long, event_type string")
+    from newspapers_etl_spark.streaming.incremental_stream import _peek_ts_encoding
+
+    assert _peek_ts_encoding(str(tmp_path), None) in ("tz", "ntz")
+
+
+def test_peek_ts_encoding_descends_spark_written_dataset_dirs(spark, tmp_path):
+    # glob names the dataset; on disk it is a DIRECTORY of part files
+    _write(spark, tmp_path, "events", [(1, __import__("datetime").datetime(2024, 1, 1), 1, "a")],
+           "event_id long, ts timestamp, user_id long, event_type string")
+    from newspapers_etl_spark.streaming.incremental_stream import _peek_ts_encoding
+
+    assert _peek_ts_encoding(str(tmp_path), "events.parquet") in ("tz", "ntz")
