@@ -242,3 +242,74 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time-correct event enrichment (the feature-store join)
+# ---------------------------------------------------------------------------
+
+# Churn boundary INSIDE the events' ts range (January), so the as-of
+# join genuinely selects between versions per event: the same user's
+# events resolve to the original segment before the boundary and to
+# CHURNED after it.
+_ENRICH_TS = "2024-01-15 12:00:00"
+
+SCD_ENRICH_ORACLE = f"""
+WITH changed AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT CASE WHEN EXISTS (SELECT 1 FROM changed ch WHERE ch.c_custkey = c.c_custkey)
+             AND e.ts >= '{_ENRICH_TS}'
+            THEN 'CHURNED' ELSE c.c_mktsegment END AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2)   AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY segment
+"""
+
+
+@query("scd_enrich", oracle=SCD_ENRICH_ORACLE)
+def scd2_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-CORRECT event enrichment: each event joins the SCD2
+    dimension version valid AT ITS OWN timestamp (equi-join on the
+    business key + validity-interval residual — the training-data /
+    feature-store discipline that prevents label leakage from future
+    attribute values).  The history is built by the same scd2_init +
+    scd2_merge machinery as `scd2_merge`, with the churn batch placed
+    mid-January so events on both sides of the boundary prove the
+    version selection; the oracle rebuilds the interval semantics as a
+    CASE on the boundary.
+
+    Scale: the join shuffles on the key (or broadcasts the dimension —
+    history is dim-sized, not fact-sized); the interval predicate is a
+    per-row residual after the hash match, never an expansion.  At
+    100 TB with a valid_from-partitioned history, AQE prunes closed
+    partitions older than the fact's watermark."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    hist0 = scd2_init(cust, F.lit(_BASE_TS).cast("timestamp"))
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .select(
+            "c_custkey",
+            F.lit("CHURNED").alias("c_mktsegment"),
+            F.lit(_ENRICH_TS).cast("timestamp").alias("ts"),
+        )
+    )
+    hist = scd2_merge(hist0, updates, key="c_custkey", track_cols=["c_mktsegment"])
+    e = load_table(spark, sf_dir, "events")
+    joined = e.join(
+        F.broadcast(hist),
+        (e.user_id == hist.c_custkey)
+        & (hist.valid_from <= e.ts)
+        & (e.ts < hist.valid_to),
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

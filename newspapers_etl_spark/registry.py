@@ -75,7 +75,7 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.events_windows",
     "newspapers_etl_spark.operators.pandas_surface",
     "newspapers_etl_spark.operators.pipeline",
-    "newspapers_etl_spark.operators.scd",
+    "newspapers_etl_spark.operators.scd",                 # 3   +scd_enrich new r4
     "newspapers_etl_spark.sinks.verified",
 )
 
