@@ -89,7 +89,7 @@ CHUNK_SIZE = 50
 CHUNK_STRIDE = 40
 
 
-@udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")
+@udtf(returnType="chunk_idx int, chunk_text string, n_tokens int", useArrow=True)
 class ChunkDoc:
     """Overlapping token-window chunker (size 50, stride 40) — the
     doc→chunks expansion an LLM training pipeline runs before
@@ -126,11 +126,14 @@ FROM toks,
 @query("pd_udtf_chunks", oracle=CHUNK_ORACLE)
 def pd_udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk every document via the Python UDTF in a LATERAL join.
-    Arrow-optimized UDTF execution is enabled so chunk rows stream back
-    in columnar batches.  The expansion is map-side — no shuffle; at
-    100 TB the only sizing concern is chunk_text width per output
-    partition, handled by the file-split size on the scan."""
-    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    Arrow execution is forced with ``useArrow=True`` on the decorator —
+    the session conf (`pythonUDTF.arrow.enabled`) is read when the UDTF
+    object is CREATED, which for a module-level ``@udtf`` is import time,
+    before any session conf is set, so relying on the conf silently
+    downgrades to pickled-row BatchEvalPythonUDTF.  The expansion is
+    map-side — no shuffle; at 100 TB the only sizing concern is
+    chunk_text width per output partition, handled by the file-split
+    size on the scan."""
     spark.udtf.register("chunk_doc", ChunkDoc)
     d = load_table(spark, sf_dir, "documents")
     view = "docs_for_chunking_tmp"
