@@ -230,7 +230,7 @@ def sample_frame_batches(
         )
 
 
-@query("mm_frame_sample")  # rows-only: stub codec, no SQL analog
+@query("mm_frames")  # rows-only: stub codec, no SQL analog
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample a binary AV column via mapInPandas (stride-4 over
     fixed-size stub frames) and roll the sampled frames up per doc.
@@ -249,7 +249,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_image_decode")  # rows-only: stub decode, no SQL analog
+@query("mm_decode")  # rows-only: stub decode, no SQL analog
 def mm_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode a binary image column via mapInPandas (stub codec) and
     aggregate the decoded dimensions.  The plan is the production plan:

@@ -378,7 +378,7 @@ GROUP BY 1
 """
 
 
-@query("join_left_outer", oracle=OUTER_ORACLE)
+@query("join_left", oracle=OUTER_ORACLE)
 def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-before-join: orders is reduced to one row per o_custkey
     BEFORE the join, so the shuffle carries the 1-row-per-key aggregate,
@@ -542,7 +542,7 @@ SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM building EXCEPT SELECT 
 """
 
 
-@query("setops_segments", oracle=SETOPS_ORACLE)
+@query("setops", oracle=SETOPS_ORACLE)
 def setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """union / intersect / except — absent from the reference beyond
     anti-join except-semantics (SURVEY §2.5)."""

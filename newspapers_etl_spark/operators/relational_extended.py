@@ -145,7 +145,7 @@ FROM wide UNPIVOT (n FOR status IN (n_f, n_o, n_p))
 """
 
 
-@query("unpivot_status", oracle=UNPIVOT_ORACLE)
+@query("unpivot", oracle=UNPIVOT_ORACLE)
 def agg_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unpivot/melt: wide per-status count columns back to long form —
     the inverse of the pivot operator.  Map-side row expansion (×3), no

@@ -262,3 +262,24 @@ def test_streaming_session_windows_match_batch_and_resume(spark, sf_dir, tmp_pat
     # naive union of per-file sessions unless no session spans the
     # boundary; at minimum the combined result covers all 600 events.
     assert sum(r[3] for r in combined) == 600
+
+
+def test_streaming_scd2_upsert_converges_to_batch_merge(spark, sf_dir):
+    """foreachBatch SCD2 upsert: 4 micro-batches with keys re-delivered
+    within AND across batches must converge to the single-batch merge —
+    micro-batch partitioning must not leak into the history."""
+    from newspapers_etl_spark.operators.scd import _merged_customer_history
+    from newspapers_etl_spark.streaming.scd_stream import stream_scd2_upsert
+
+    streamed, n_batches = stream_scd2_upsert(
+        spark, sf_dir, max_files_per_trigger=1, update_files=4
+    )
+    # The multi-batch path genuinely ran (files may coalesce if tiny,
+    # but never into a single mega-batch at 1 file per trigger).
+    assert n_batches >= 3
+
+    batch = _merged_customer_history(spark, sf_dir)
+    cols = ["c_custkey", "c_name", "c_mktsegment", "valid_from", "valid_to", "is_current"]
+    s_rows = sorted(map(tuple, streamed.select(*cols).collect()))
+    b_rows = sorted(map(tuple, batch.select(*cols).collect()))
+    assert s_rows == b_rows
