@@ -47,8 +47,16 @@ def run_query(spark, fn, sf_dir: str) -> float:
     """Execute one query to completion under a watchdog: if it exceeds
     QUERY_TIMEOUT_S the active jobs are cancelled, the query records a
     failure, and the bench moves on — one pathological query must never
-    cost the whole bench run."""
+    cost the whole bench run.
+
+    The cache is cleared first so every measurement is COLD: queries
+    that persist() an intermediate (jaccard, sh_pairs) would otherwise
+    have their retry hit the previous run's still-live cache entry —
+    recording a warm-artifact minimum that no cold run can reproduce,
+    which then flags the query as 'regressed' forever after."""
     import threading
+
+    spark.catalog.clearCache()
 
     timer = threading.Timer(
         QUERY_TIMEOUT_S, spark.sparkContext.cancelAllJobs

@@ -127,14 +127,7 @@ def main(argv: list[str] | None = None) -> int:
         violations = []
         for name in names:
             df = queries[name](spark, args.sf_dir)
-            plan = plans.executed_plan(df)
-            if "CartesianProduct" in plan:
-                violations.append(f"{name}: CartesianProduct in plan")
-            if "BatchEvalPython" in plan:
-                violations.append(f"{name}: row-at-a-time Python UDF in plan")
-            for head in plans.exchange_headers(df):
-                if "text#" in head:
-                    violations.append(f"{name}: exchange keyed on text: {head}")
+            violations.extend(plans.lint_violations(name, df))
         for v in violations:
             print(v)
         print(

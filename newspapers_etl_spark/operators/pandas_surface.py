@@ -6,9 +6,11 @@ built-ins can't express.
 The engine's default remains zero Python in the hot path (U1); these
 operators exist for the cases that genuinely need Python — grouped
 model-ish computation, row-set-producing expansion, and array math that
-would otherwise leave codegen.  All three are Arrow-batched: the JVM↔
-Python boundary transfers columnar batches, never pickled rows (the
-10-100× difference at 100 TB).
+would otherwise leave codegen.  The grouped-pandas and scalar ops are
+Arrow-batched (columnar batches across the JVM↔Python boundary — the
+10-100× difference at 100 TB); the UDTF deliberately is NOT, because
+Spark's Arrow UDTF converts per input row and MEASURES ~3× slower at
+this output shape (see ``pd_udtf_doc_chunks``).
 
 Reference lineage: the closest reference shapes are per-issue grouped
 accounting (src/01-scrape-images.py:456-477) and the manifest fan-out
@@ -69,7 +71,7 @@ GROUP BY lang
 """
 
 
-@query("pd_robust_stats", oracle=ROBUST_ORACLE)
+@query("pd_stats", oracle=ROBUST_ORACLE)
 def pd_grouped_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median + MAD of document length per language via applyInPandas —
     order statistics that need the whole group materialized (exactly the
@@ -89,7 +91,7 @@ CHUNK_SIZE = 50
 CHUNK_STRIDE = 40
 
 
-@udtf(returnType="chunk_idx int, chunk_text string, n_tokens int", useArrow=True)
+@udtf(returnType="chunk_idx int, chunk_text string, n_tokens int", useArrow=False)
 class ChunkDoc:
     """Overlapping token-window chunker (size 50, stride 40) — the
     doc→chunks expansion an LLM training pipeline runs before
@@ -123,17 +125,23 @@ FROM toks,
 """
 
 
-@query("pd_udtf_chunks", oracle=CHUNK_ORACLE)
+@query("pd_chunks", oracle=CHUNK_ORACLE)
 def pd_udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk every document via the Python UDTF in a LATERAL join.
-    Arrow execution is forced with ``useArrow=True`` on the decorator —
-    the session conf (`pythonUDTF.arrow.enabled`) is read when the UDTF
-    object is CREATED, which for a module-level ``@udtf`` is import time,
-    before any session conf is set, so relying on the conf silently
-    downgrades to pickled-row BatchEvalPythonUDTF.  The expansion is
-    map-side — no shuffle; at 100 TB the only sizing concern is
-    chunk_text width per output partition, handled by the file-split
-    size on the scan."""
+
+    ``useArrow=False`` is explicit and MEASURED, not a default left to
+    rot: an A/B at sf0.1 (local[32], warm) puts the pickled UDTF at
+    0.37-0.53s vs 1.27s for the Arrow UDTF — Spark converts each
+    eval()'s yielded rows to Arrow PER INPUT ROW, and with ~2 small
+    output rows per document that per-call overhead dominates the
+    serialization win.  (Explicit rather than conf-driven either way:
+    the session conf is read when the UDTF object is created, i.e. at
+    import time for a module-level ``@udtf``, before any query runs.)
+    The plan lint bans row-at-a-time scalar UDFs (``BatchEvalPython``)
+    but exempts ``BatchEvalPythonUDTF`` for exactly this measured
+    reason.  The expansion is map-side — no shuffle; at 100 TB the only
+    sizing concern is chunk_text width per output partition, handled by
+    the file-split size on the scan."""
     spark.udtf.register("chunk_doc", ChunkDoc)
     d = load_table(spark, sf_dir, "documents")
     view = "docs_for_chunking_tmp"

@@ -265,3 +265,72 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("comp_b") / F.col("n_bytes"), 4),
         ).alias("comp_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope (vocabulary health diagnostic)
+# ---------------------------------------------------------------------------
+
+ZIPF_HEAD = 500  # fit over the frequency head, the standard Zipf regime
+
+ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(text, '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT lang, term, count(*) AS freq
+  FROM toks WHERE term <> ''
+  GROUP BY lang, term
+), ranked AS (
+  SELECT lang, freq,
+         row_number() OVER (PARTITION BY lang ORDER BY freq DESC, term) AS rk
+  FROM tf
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)                  AS n_terms,
+       round(regr_slope(ln(freq), ln(rk)), 6)    AS zipf_slope
+FROM ranked
+WHERE rk <= {ZIPF_HEAD}
+GROUP BY lang
+"""
+
+
+@query("zipf", oracle=ZIPF_ORACLE)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope per language: least-squares slope of ln(freq) against
+    ln(rank) over the top-{ZIPF_HEAD} terms.  Natural text sits near -1;
+    a corpus drifting toward 0 (too uniform — boilerplate/templating) or
+    far below -1 (a few tokens dominating — spam, OCR noise) fails the
+    health check, which makes this the distribution-level counterpart of
+    the per-document quality score.
+
+    Plan: term counting is ONE fact-sized shuffle with map-side partials
+    (Zipf skew itself is absorbed there — each mapper emits one row per
+    distinct term it sees); the rank window and the regression run over
+    the O(vocab) term relation, never the corpus.  The slope is
+    covar_pop/var_pop — algebraically regr_slope, so the oracle uses
+    DuckDB's regr_slope directly.  At 100 TB the window per lang ranks a
+    bounded vocabulary (salt it two-phase like `topk_lang` if a
+    vocabulary ever outgrows one task)."""
+    from pyspark.sql import Window
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.explode(words("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("lang", "term").agg(F.count("*").alias("freq"))
+    rk = Window.partitionBy("lang").orderBy(F.desc("freq"), "term")
+    ranked = (
+        tf.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= ZIPF_HEAD)
+        .select(
+            "lang",
+            F.log("freq").alias("y"),
+            F.log("rk").alias("x"),
+        )
+    )
+    return ranked.groupBy("lang").agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("zipf_slope"),
+    )

@@ -87,3 +87,28 @@ def assert_take_ordered(df: DataFrame) -> None:
             "no TakeOrderedAndProject in plan — top-k is global-sorting:\n"
             + executed_plan(df)[:1500]
         )
+
+
+def lint_violations(name: str, df: DataFrame) -> list[str]:
+    """The registry-wide plan floor, shared by the CLI `lint` subcommand
+    and tests/test_plan_lint.py:
+
+    * no CartesianProduct;
+    * no row-at-a-time SCALAR Python UDF (``BatchEvalPython``).
+      ``BatchEvalPythonUDTF`` is exempt on measurement, not principle:
+      the Arrow UDTF converts each eval()'s yielded rows per input row,
+      and at the registered chunker's shape that overhead loses to
+      pickling by ~3x (A/B in operators/pandas_surface.py) — while
+      scalar Python UDFs always have an Arrow form that wins;
+    * no exchange PARTITIONED BY the document text column.
+    """
+    plan = executed_plan(df)
+    out: list[str] = []
+    if "CartesianProduct" in plan:
+        out.append(f"{name}: CartesianProduct in plan")
+    if re.search(r"BatchEvalPython(?!UDTF)", plan):
+        out.append(f"{name}: row-at-a-time Python UDF in plan")
+    for head in exchange_headers(df):
+        if "text#" in head:
+            out.append(f"{name}: exchange keyed on text: {head}")
+    return out

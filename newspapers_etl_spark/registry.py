@@ -60,13 +60,14 @@ _OPERATOR_MODULES = (
     # ---- exactly 50 queries above: the driver's window ends here ----
     "newspapers_etl_spark.operators.diagnostics",         # 1   new r4 LATE — window-lead in r5
     "newspapers_etl_spark.operators.url_ops",             # 1   new r4 LATE — window-lead in r5
-    "newspapers_etl_spark.operators.text_scoring",        # 5   new r4 LATE — window-lead in r5
+    "newspapers_etl_spark.operators.text_scoring",        # 6   new r4 LATE — window-lead in r5 (+zipf)
     "newspapers_etl_spark.operators.data_quality",        # 1   new r4 LATE — window-lead in r5
     "newspapers_etl_spark.operators.snapshot_diff",       # 1   new r4 LATE — window-lead in r5
     "newspapers_etl_spark.operators.events_analytics",    # 3   new r4 LATE — window-lead in r5
     "newspapers_etl_spark.operators.sampling_extended",   # 3   new r4 LATE — window-lead in r5 (+tok_budget/qual_sample)
     "newspapers_etl_spark.streaming.enrichment",          # 1   new r4 LATE — window-lead in r5
     "newspapers_etl_spark.streaming.scd_stream",          # 1   new r4 LATE — window-lead in r5
+    "newspapers_etl_spark.streaming.stateful",            # 1   new r4 LATE — window-lead in r5
     "newspapers_etl_spark.operators.incremental",         # 3   green r2, unchanged
     "newspapers_etl_spark.operators.relational_extended", # 9   green r3 (+win_dist/cohorts new r4)
     "newspapers_etl_spark.operators.corpus",

@@ -20,9 +20,12 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from newspapers_etl_spark.registry import query
 
 STATE_SCHEMA = T.StructType(
     [
@@ -73,4 +76,51 @@ def running_totals_stateful(stream: DataFrame) -> DataFrame:
             "append",
             GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered query: the stateful operator under the real engine
+# ---------------------------------------------------------------------------
+
+STATEFUL_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2)     AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("st_state", oracle=STATEFUL_ORACLE)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals maintained by ``applyInPandasWithState``
+    UNDER THE STREAMING ENGINE (AvailableNow over the events parquet,
+    append-mode memory sink), reduced to each key's final emission and
+    hash-checked against the batch aggregate — the proof that the
+    custom state store converges to the declarative answer.
+
+    The reduction (max n_events per key, and the total it was emitted
+    with) is deterministic under ANY micro-batching: the count is
+    strictly monotone per key, so the max identifies the last emission
+    even when multiple batches emitted interim rows.  Multi-batch
+    execution and checkpoint resume are pinned in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from newspapers_etl_spark.streaming.incremental_stream import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = read_events_stream(
+        spark, sf_dir, glob="events.parquet", ts_encoding="auto"
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
+    sink = run_available_now(
+        running_totals_stateful(stream), "stream_stateful_sink", ckpt, "append"
+    )
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
     )

@@ -8,10 +8,11 @@ registry so a future registration can't quietly regress it:
   `jaccard`'s verify stage, is candidates-driven and plans as a hash
   join on the block key — if it ever degrades to a cartesian this
   fails);
-* no row-at-a-time Python UDF (``BatchEvalPython``) — every Python
-  escape hatch must be Arrow-vectorized (U1's grep-clean claim, now
-  enforced at the plan level where even an `F.udf` smuggled in through
-  a helper would surface);
+* no row-at-a-time SCALAR Python UDF (``BatchEvalPython``) — every
+  scalar Python escape hatch must be Arrow-vectorized (U1's grep-clean
+  claim, now enforced at the plan level where even an `F.udf` smuggled
+  in through a helper would surface); ``BatchEvalPythonUDTF`` is exempt
+  on measurement (see plans.lint_violations);
 * no exchange PARTITIONED BY the document text column — shuffling on
   text means the full payload is the key, the canonical
   does-not-survive-100TB mistake.  (Carried-but-not-keyed columns are
@@ -25,22 +26,12 @@ callables run their micro-batches internally.
 
 from __future__ import annotations
 
-from newspapers_etl_spark.plans import exchange_headers, executed_plan
+from newspapers_etl_spark.plans import lint_violations
 from newspapers_etl_spark.registry import all_queries
 
 
 def test_no_query_plans_cartesian_or_partitions_by_text(spark, sf_dir):
     violations: list[str] = []
     for name, fn in sorted(all_queries().items()):
-        df = fn(spark, sf_dir)
-        plan = executed_plan(df)
-        if "CartesianProduct" in plan:
-            violations.append(f"{name}: CartesianProduct in plan")
-        if "BatchEvalPython" in plan:  # row-at-a-time Python UDF — the
-            # Arrow-vectorized nodes are ArrowEvalPython / MapInPandas /
-            # FlatMapGroupsInPandas and are allowed
-            violations.append(f"{name}: row-at-a-time Python UDF in plan")
-        for head in exchange_headers(df):
-            if "text#" in head:
-                violations.append(f"{name}: exchange keyed on text: {head}")
+        violations.extend(lint_violations(name, fn(spark, sf_dir)))
     assert not violations, "\n".join(violations)
