@@ -83,6 +83,12 @@ SELECT 'documents', 'pk_unique',
        CAST(count(*) AS BIGINT),
        CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
 FROM documents
+UNION ALL
+SELECT 'documents', 'k_anon_5',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+FROM (SELECT lang, source, count(*) AS n
+      FROM documents GROUP BY lang, source) g
 """
 
 
@@ -122,6 +128,27 @@ def _orphan_check(
     )
 
 
+def _k_anon_check(
+    df: DataFrame, quasi: list[str], k: int, tbl: str
+) -> DataFrame:
+    """k-anonymity over a quasi-identifier set: any combination of the
+    quasi columns shared by fewer than k rows re-identifies its members
+    if this data is released or trained on.  n_rows = quasi-groups,
+    n_bad = groups below k.  The group count partial-aggregates
+    map-side, and only the O(groups) relation reaches the final fold —
+    the check costs one narrow shuffle regardless of corpus size."""
+    groups = df.groupBy(*quasi).agg(F.count("*").alias("__n"))
+    return groups.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("__n") < k, 1).otherwise(0)).alias("n_bad"),
+    ).select(
+        F.lit(tbl).alias("tbl"),
+        F.lit(f"k_anon_{k}").alias("chk"),
+        "n_rows",
+        "n_bad",
+    )
+
+
 def _pk_check(df: DataFrame, pk: str, tbl: str) -> DataFrame:
     return df.agg(
         F.count("*").alias("n_rows"),
@@ -133,7 +160,8 @@ def _pk_check(df: DataFrame, pk: str, tbl: str) -> DataFrame:
 def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full expectations suite over the snapshot: domain bounds and
     consistency (fused single-scan conditional aggregates), PK
-    uniqueness, FK orphans, and parent-coverage — 10 checks, 10 rows."""
+    uniqueness, FK orphans, parent-coverage, and k-anonymity over the
+    (lang, source) quasi-identifier — 11 checks, 11 rows."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -162,5 +190,6 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ),
         _pk_check(documents, "doc_id", "documents"),
+        _k_anon_check(documents, ["lang", "source"], 5, "documents"),
     ]
     return reduce(DataFrame.unionByName, parts)

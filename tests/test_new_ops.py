@@ -55,8 +55,16 @@ def test_dq_audit_counts_planted_violations(spark, tmp_path):
     _write(spark, tmp_path, "customer", [(10,), (20,)], "c_custkey long")  # 20 has no orders
     _write(
         spark, tmp_path, "documents",
-        [(1, "abc", 3), (2, "", 0), (3, "xy", 9), (3, "xy", 2)],  # empty; one bad n_chars; dup PK
-        "doc_id long, text string, n_chars long",
+        # empty text; one bad n_chars; dup PK.  (lang, source) groups:
+        # ("en","a") has 3 members, ("de","b") has 1 — below k=5, so
+        # BOTH quasi-groups are at-risk for the k-anonymity check.
+        [
+            (1, "abc", 3, "en", "a"),
+            (2, "", 0, "en", "a"),
+            (3, "xy", 9, "en", "a"),
+            (3, "xy", 2, "de", "b"),
+        ],
+        "doc_id long, text string, n_chars long, lang string, source string",
     )
     got = {
         (r["tbl"], r["chk"]): (r["n_rows"], r["n_bad"])
@@ -72,6 +80,8 @@ def test_dq_audit_counts_planted_violations(spark, tmp_path):
     assert got[("documents", "text_nonempty")] == (4, 1)
     assert got[("documents", "n_chars_consistent")] == (4, 1)
     assert got[("documents", "pk_unique")] == (4, 1)
+    # n_rows = quasi-groups (2), n_bad = groups under k=5 (both)
+    assert got[("documents", "k_anon_5")] == (2, 2)
 
 
 # ---------------------------------------------------------------------------
