@@ -53,59 +53,93 @@ from newspapers_etl_spark.operators.scd import (
 from newspapers_etl_spark.registry import query
 
 
+def current_generation(root: Path) -> int:
+    """The newest COMMITTED generation: the highest ``gen=N`` directory
+    holding a ``_SUCCESS`` marker.  This is the crash-recovery pointer —
+    a write that died mid-flight leaves a directory without the marker,
+    which readers and the next merge simply skip (and the retried epoch
+    clobbers via overwrite).  On an object store this scan becomes the
+    single small manifest object the docstring above describes."""
+    gens = [
+        int(p.name.split("=", 1)[1])
+        for p in root.glob("gen=*")
+        if (p / "_SUCCESS").exists()
+    ]
+    if not gens:
+        raise FileNotFoundError(f"no committed generation under {root}")
+    return max(gens)
+
+
 def stream_scd2_upsert(
     spark: SparkSession,
     sf_dir: str,
     max_files_per_trigger: int = 1,
     update_files: int = 4,
+    root: Path | None = None,
+    fail_after_batches: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Run the churn CDC batch THROUGH THE STREAMING ENGINE as
     ``update_files`` parquet files consumed ``max_files_per_trigger``
     at a time, each micro-batch foreachBatch-merged into the SCD2
     generation store.  Returns (final history, number of micro-batches
-    executed) — the count lets tests assert the multi-batch path
-    actually ran rather than one degenerate mega-batch."""
-    root = Path(tempfile.mkdtemp(prefix="scd_stream_"))
+    executed this call) — the count lets tests assert the multi-batch
+    path actually ran rather than one degenerate mega-batch.
+
+    Pass the same ``root`` across calls to RESUME after a failure: the
+    seed history, update files, and stream checkpoint persist under it,
+    the generation pointer is recovered from ``_SUCCESS`` markers (not
+    driver memory), and the engine re-delivers the uncommitted epoch —
+    whose merge is a no-op for already-applied keys, so a crash between
+    the generation commit and the checkpoint commit cannot duplicate
+    versions.  ``fail_after_batches`` injects a crash after N committed
+    merges (test hook for exactly that recovery path)."""
+    if root is None:
+        root = Path(tempfile.mkdtemp(prefix="scd_stream_"))
     gen_dir = lambda n: str(root / f"gen={n}")  # noqa: E731
 
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_mktsegment"
-    )
-    hist0 = scd2_init(cust, F.lit(_BASE_TS).cast("timestamp"))
-    hist0.write.parquet(gen_dir(0))
+    if not (root / "gen=0").exists():
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+        hist0 = scd2_init(cust, F.lit(_BASE_TS).cast("timestamp"))
+        hist0.write.parquet(gen_dir(0))
 
     # CDC source: one row PER QUALIFYING ORDER (not per customer), so the
     # same key is re-delivered both within and across micro-batches —
     # the convergence claim is only interesting if redelivery happens.
     updates_dir = str(root / "updates")
-    (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select(
-            F.col("o_custkey").alias("c_custkey"),
-            F.lit("CHURNED").alias("c_mktsegment"),
-            F.lit(_UPD_TS).cast("timestamp").alias("ts"),
+    if not (root / "updates").exists():
+        (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select(
+                F.col("o_custkey").alias("c_custkey"),
+                F.lit("CHURNED").alias("c_mktsegment"),
+                F.lit(_UPD_TS).cast("timestamp").alias("ts"),
+            )
+            .repartition(update_files)
+            .write.parquet(updates_dir)
         )
-        .repartition(update_files)
-        .write.parquet(updates_dir)
-    )
 
-    state = {"gen": 0, "batches": 0}
+    state = {"batches": 0}
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if fail_after_batches is not None and state["batches"] >= fail_after_batches:
+            raise RuntimeError("injected crash before generation commit")
         sess = batch_df.sparkSession
-        hist = sess.read.parquet(gen_dir(state["gen"]))
+        cur = current_generation(root)
+        hist = sess.read.parquet(gen_dir(cur))
         merged = scd2_merge(
             hist, batch_df, key="c_custkey", track_cols=["c_mktsegment"]
         )
-        nxt = state["gen"] + 1
-        merged.write.parquet(gen_dir(nxt))
-        state["gen"] = nxt  # pointer advances only after a complete write
+        # overwrite clobbers a marker-less partial left by a crashed
+        # attempt at this same generation number
+        merged.write.mode("overwrite").parquet(gen_dir(cur + 1))
         state["batches"] += 1
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_scd_")
+    ckpt = str(root / "_checkpoint")
     stream = (
         spark.readStream.schema(spark.read.parquet(updates_dir).schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -118,7 +152,7 @@ def stream_scd2_upsert(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(gen_dir(state["gen"])), state["batches"]
+    return spark.read.parquet(gen_dir(current_generation(root))), state["batches"]
 
 
 @query("st_scd", oracle=SCD2_MERGE_ORACLE)

@@ -283,3 +283,44 @@ def test_streaming_scd2_upsert_converges_to_batch_merge(spark, sf_dir):
     s_rows = sorted(map(tuple, streamed.select(*cols).collect()))
     b_rows = sorted(map(tuple, batch.select(*cols).collect()))
     assert s_rows == b_rows
+
+
+def test_streaming_scd2_upsert_recovers_from_crash_without_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """Crash between merges, then restart from the SAME root: the
+    generation pointer recovers from _SUCCESS markers (not driver
+    memory), the engine re-delivers the uncommitted epoch, and the
+    converged history equals the batch merge with no duplicate
+    versions."""
+    import pyspark.errors
+
+    from newspapers_etl_spark.operators.scd import _merged_customer_history
+    from newspapers_etl_spark.streaming.scd_stream import stream_scd2_upsert
+
+    root = tmp_path / "scd_root"
+    root.mkdir()
+    try:
+        stream_scd2_upsert(
+            spark, sf_dir, max_files_per_trigger=1, update_files=4,
+            root=root, fail_after_batches=1,
+        )
+        raise AssertionError("injected crash did not surface")
+    except pyspark.errors.exceptions.captured.StreamingQueryException:
+        pass
+
+    streamed, resumed_batches = stream_scd2_upsert(
+        spark, sf_dir, max_files_per_trigger=1, update_files=4, root=root
+    )
+    assert resumed_batches >= 1  # the resume genuinely processed epochs
+
+    batch = _merged_customer_history(spark, sf_dir)
+    cols = ["c_custkey", "c_name", "c_mktsegment", "valid_from", "valid_to", "is_current"]
+    s_rows = sorted(map(tuple, streamed.select(*cols).collect()))
+    b_rows = sorted(map(tuple, batch.select(*cols).collect()))
+    assert s_rows == b_rows
+    # no key ever holds two open versions
+    assert (
+        streamed.filter("is_current")
+        .groupBy("c_custkey").count().filter("count > 1").count() == 0
+    )
