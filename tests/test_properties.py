@@ -124,3 +124,75 @@ def test_prefix_filter_lemma_never_drops_a_true_pair(docs, t_pct):
                     f"true pair (J={jac:.3f} >= {t}) with disjoint prefixes: "
                     f"{sorted(a)} / {sorted(b)}"
                 )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # source
+            st.integers(min_value=0, max_value=500),  # doc_id (deduped below)
+            st.integers(min_value=0, max_value=40),   # n_tokens
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    budget=st.integers(min_value=0, max_value=200),
+)
+@settings(**SETTINGS)
+def test_two_phase_prefix_sum_equals_naive_window(spark, rows, budget):
+    """The tok_budget rewrite's load-bearing claim, as an algebraic
+    property over ARBITRARY inputs: the salted two-phase cumulative sum
+    (bucket-local running totals + offset of earlier buckets) selects
+    exactly the rows the naive single window per source selects, for
+    any data and any budget — because the selection order is defined
+    bucket-major, the composition is exact, not approximate."""
+    from pyspark.sql import Window
+
+    seen = set()
+    uniq = []
+    for s, d, n in rows:
+        if (s, d) not in seen:
+            seen.add((s, d))
+            uniq.append((s, d, n))
+    df = spark.createDataFrame(uniq, "source int, doc_id int, n_tokens int")
+    salted = df.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(4))).withColumn(
+        "sel_key", F.md5(F.col("doc_id").cast("string"))
+    )
+
+    w_naive = (
+        Window.partitionBy("source")
+        .orderBy("salt", "sel_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = {
+        (r.source, r.doc_id)
+        for r in salted.withColumn("cum", F.sum("n_tokens").over(w_naive))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+
+    w_local = (
+        Window.partitionBy("source", "salt")
+        .orderBy("sel_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = salted.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("source", "salt")
+        .agg(F.max("local_cum").alias("bt"))
+        .withColumn("off", F.coalesce(F.sum("bt").over(w_off), F.lit(0)))
+        .select("source", "salt", "off")
+    )
+    two_phase = {
+        (r.source, r.doc_id)
+        for r in local.join(offsets, ["source", "salt"])
+        .withColumn("cum", F.col("off") + F.col("local_cum"))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+    assert two_phase == naive
