@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
-from newspapers_etl_spark.operators.scd import (
+from newspapers_etl_spark.functions.scd import (
     _BASE_TS,
     _UPD_TS,
     SCD2_MERGE_ORACLE,
@@ -93,22 +93,28 @@ def stream_scd2_upsert(
     the generation commit and the checkpoint commit cannot duplicate
     versions.  ``fail_after_batches`` injects a crash after N committed
     merges (test hook for exactly that recovery path)."""
+    owns_root = root is None
     if root is None:
         root = Path(tempfile.mkdtemp(prefix="scd_stream_"))
     gen_dir = lambda n: str(root / f"gen={n}")  # noqa: E731
 
-    if not (root / "gen=0").exists():
+    # Both bootstrap writes are guarded by their _SUCCESS markers, not
+    # bare directory existence, and re-written with overwrite: a crash
+    # MID-SEED leaves a marker-less partial, and an .exists() guard
+    # would then skip re-seeding forever while current_generation()
+    # (which requires the marker) fails every subsequent merge.
+    if not (root / "gen=0" / "_SUCCESS").exists():
         cust = load_table(spark, sf_dir, "customer").select(
             "c_custkey", "c_name", "c_mktsegment"
         )
         hist0 = scd2_init(cust, F.lit(_BASE_TS).cast("timestamp"))
-        hist0.write.parquet(gen_dir(0))
+        hist0.write.mode("overwrite").parquet(gen_dir(0))
 
     # CDC source: one row PER QUALIFYING ORDER (not per customer), so the
     # same key is re-delivered both within and across micro-batches —
     # the convergence claim is only interesting if redelivery happens.
     updates_dir = str(root / "updates")
-    if not (root / "updates").exists():
+    if not (root / "updates" / "_SUCCESS").exists():
         (
             load_table(spark, sf_dir, "orders")
             .filter(F.col("o_orderstatus") == "F")
@@ -118,7 +124,7 @@ def stream_scd2_upsert(
                 F.lit(_UPD_TS).cast("timestamp").alias("ts"),
             )
             .repartition(update_files)
-            .write.parquet(updates_dir)
+            .write.mode("overwrite").parquet(updates_dir)
         )
 
     state = {"batches": 0}
@@ -152,7 +158,19 @@ def stream_scd2_upsert(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(gen_dir(current_generation(root))), state["batches"]
+    final = spark.read.parquet(gen_dir(current_generation(root)))
+    if owns_root:
+        # A throwaway root would otherwise leak N+1 full history copies
+        # per invocation (bench retries, lint, correctness runs all call
+        # this).  Detach the result from the files (localCheckpoint
+        # materializes the ~3k-row history into Spark-managed blocks),
+        # then delete the root.  A caller-supplied root is the caller's
+        # to keep — that is the crash-recovery resume path.
+        import shutil
+
+        final = final.localCheckpoint()
+        shutil.rmtree(root, ignore_errors=True)
+    return final, state["batches"]
 
 
 @query("st_scd", oracle=SCD2_MERGE_ORACLE)

@@ -150,6 +150,7 @@ def test_registry_registration_order_is_contiguous_per_module():
     mods = [m for _, m in pairs]
     seen: set[str] = set()
     prev = None
+    block_order: list[str] = []
     for m in mods:
         if m != prev:
             assert m not in seen, (
@@ -157,7 +158,22 @@ def test_registry_registration_order_is_contiguous_per_module():
                 "during another module's registration is splicing it"
             )
             seen.add(m)
+            block_order.append(m)
             prev = m
+    # Contiguity alone misses a WHOLE-module splice: a top-level import
+    # of a later operator module registers that module's entire block
+    # early, contiguous but in the wrong slot (scd_stream importing
+    # operators.scd did exactly this — 3 scd queries landed at the
+    # streaming position).  The realized module order must match the
+    # declared _OPERATOR_MODULES order exactly.
+    from newspapers_etl_spark.registry import _OPERATOR_MODULES
+
+    declared = [m for m in _OPERATOR_MODULES if m in set(block_order)]
+    assert block_order == declared, (
+        "module registration order diverges from _OPERATOR_MODULES — "
+        f"realized {block_order} vs declared {declared}; a top-level "
+        "cross-module operator import is splicing a whole block"
+    )
     # And the r4 window design holds: the round's new/rotated families
     # sit inside the first 50 (the driver's check window).
     window = set(names[:50])
