@@ -24,11 +24,16 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
-from newspapers_etl_spark.functions.scd import (  # noqa: F401  (re-exported
-    OPEN_END,      # for tests and downstream composition; the primitives
-    SCD2_MERGE_ORACLE,  # live in functions/ so streaming/scd_stream.py can
-    _BASE_TS,      # import them without splicing this module's queries
-    _UPD_TS,       # into its own registry slot)
+
+# The SCD2 primitives live in functions/scd.py (no @query registrations)
+# so streaming/scd_stream.py can import them WITHOUT transitively
+# registering this module's queries in its own registry slot; they are
+# re-exported here for tests and downstream composition.
+from newspapers_etl_spark.functions.scd import (  # noqa: F401
+    OPEN_END,
+    SCD2_MERGE_ORACLE,
+    _BASE_TS,
+    _UPD_TS,
     scd2_as_of,
     scd2_init,
     scd2_merge,
