@@ -154,3 +154,21 @@ def test_run_all_no_ref_means_no_retry():
     t = run_all(["new_query"], runner, {}, budget_s=1e9, log=lambda m: None)
     assert t == {"new_query": 7.0}
     assert runner.calls["new_query"] == 1
+
+
+def test_bench_ref_covers_exactly_the_registry():
+    """BENCH_REF.json must stay 1:1 with the registry: a query missing
+    its best-known time is silently excluded from the noise-retry and
+    regression policy (no baseline -> never retried, never flagged),
+    and a stale key is dead weight that can mask a rename mistake."""
+    import json
+    from pathlib import Path
+
+    from newspapers_etl_spark.registry import all_queries
+
+    ref = set(
+        json.loads((Path(__file__).resolve().parent.parent / "BENCH_REF.json").read_text())
+    )
+    reg = set(all_queries())
+    assert reg - ref == set(), f"queries without a best-known ref: {sorted(reg - ref)}"
+    assert ref - reg == set(), f"stale refs for unregistered queries: {sorted(ref - reg)}"
