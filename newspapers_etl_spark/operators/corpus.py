@@ -261,3 +261,69 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 4).alias("tok_share"),
         F.round(F.sqrt(share), 4).alias("samp_w"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split leakage audit (train/test contamination)
+# ---------------------------------------------------------------------------
+
+LEAKAGE_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_filter(list_distinct(string_split_regex(text, '\\s+')), x -> x != '')), ' ')) AS fp,
+         CASE
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TEST_BELOW}' THEN 'test'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_BELOW}' THEN 'val'
+           ELSE 'train'
+         END AS split
+  FROM documents
+)
+SELECT least(a.split, b.split)    AS split_lo,
+       greatest(a.split, b.split) AS split_hi,
+       CAST(count(*) AS BIGINT)   AS n_pairs
+FROM f a
+JOIN f b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id AND a.split <> b.split
+GROUP BY 1, 2
+"""
+
+
+@query("leakage", oracle=LEAKAGE_ORACLE)
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: pairs of duplicate documents
+    (same order-insensitive content fingerprint) that landed in
+    DIFFERENT splits of the deterministic 3-way split — exactly the
+    train/test leakage that inflates every downstream eval.  Composes
+    two already-verified primitives (`split_3way`'s md5-range split,
+    `text_fp`'s fingerprint), so the audit itself is oracle-checkable.
+
+    Scale: the self-join keys on the 32-hex-char fingerprint — the
+    shuffle carries (fp, doc_id, split), never text; duplicate-cluster
+    sizes bound each join group (the same guarantee `dedup_exact`
+    relies on).  Counts roll up per unordered split pair."""
+    d = load_table(spark, sf_dir, "documents")
+    pre = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(pre < SPLIT_TEST_BELOW, "test")
+        .when(pre < SPLIT_VAL_BELOW, "val")
+        .otherwise("train")
+    )
+    f = d.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fp"),
+        split.alias("split"),
+    )
+    a, b = f.alias("a"), f.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.split") != F.col("b.split")),
+        )
+        .groupBy(
+            F.least("a.split", "b.split").alias("split_lo"),
+            F.greatest("a.split", "b.split").alias("split_hi"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -49,7 +49,7 @@ WHERE rnk <= {SKEW_TOP_K}
 """
 
 
-@query("skew_profile", oracle=SKEW_ORACLE)
+@query("skew", oracle=SKEW_ORACLE)
 def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter profile of the events key: the {SKEW_TOP_K} hottest
     user_ids with their absolute and percentage share.  A share_pct in

@@ -232,7 +232,7 @@ def _comp_bytes(texts: pd.Series) -> pd.Series:
 
 
 
-@query("text_compress")  # rows-only: no zlib on the DuckDB side
+@query("compress")  # rows-only: no zlib on the DuckDB side
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style compressibility signal: zlib-compressed size over
     raw UTF-8 size per document.  Highly repetitive or boilerplate text

@@ -56,7 +56,7 @@ def test_unknown_query_fails_cleanly(spark):
 
 
 def test_explain_prints_plan_audit(spark, sf_dir, capsys):
-    assert main(["--sf-dir", sf_dir, "explain", "--name", "skew_profile"]) == 0
+    assert main(["--sf-dir", sf_dir, "explain", "--name", "skew"]) == 0
     out = capsys.readouterr().out
     assert "shuffles (hash exchanges):" in out
     assert "PushedFilters" in out or "exchange:" in out

@@ -179,7 +179,7 @@ def test_registry_registration_order_is_contiguous_per_module():
     window = set(names[:50])
     for required in (
         "ann_stats", "st_sess", "st_join",
-        "jaccard", "dedup_spans", "dedup_chunks", "source_overlap",
+        "jaccard", "dedup_spans", "dedup_chunks", "overlap",
     ):
         assert required in window, f"{required} fell out of the window"
 
