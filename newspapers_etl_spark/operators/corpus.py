@@ -15,7 +15,7 @@ Scale design:
   on text.  For a daily-batch cadence, bucket the history table by
   fingerprint so each day's join is co-located (no history re-shuffle).
 - Split membership is a map-side expression over md5 of the stable key
-  (same primitive as ``sample_strat``): zero shuffles before the
+  (same primitive as ``samp_strat``): zero shuffles before the
   per-split accounting, reproducible on any engine or layout.
 - The quality scorer is hashing-trick linear inference with
   integer-quantized weights: token → md5 → bucket → int weight, folded

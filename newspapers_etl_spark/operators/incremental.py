@@ -62,7 +62,7 @@ FROM days d ANTI JOIN processed p ON d.day = p.day
 """
 
 
-@query("incr_continue", oracle=CONTINUE_ORACLE)
+@query("incr_cont", oracle=CONTINUE_ORACLE)
 def incr_continue_unprocessed_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The *continue-scraping* op: day partitions not in the processed
     log, with their pending row counts.  Both sides aggregate to one row

@@ -274,7 +274,7 @@ GROUP BY o_orderpriority
 """
 
 
-@query("pivot_status", oracle=PIVOT_ORACLE)
+@query("pivot", oracle=PIVOT_ORACLE)
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with an explicit value list (never let Spark scan for distinct
     pivot values at 100 TB — declare them)."""
@@ -573,7 +573,7 @@ SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
 """
 
 
-@query("distinct_dims", oracle=DISTINCT_ORACLE)
+@query("distincts", oracle=DISTINCT_ORACLE)
 def distinct_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relation-level distinct (A2; reference dedups with list(set(...)),
     src/01-scrape-images.py:299)."""
@@ -671,7 +671,7 @@ HAVING count(*) >= 5
 """
 
 
-@query("explode_words", oracle=EXPLODE_ORACLE)
+@query("expl_words", oracle=EXPLODE_ORACLE)
 def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Issue→files 1:N fan-out (J3, reference download_newspaper_issue
     src/01-scrape-images.py:440-459) as explode + count."""

@@ -224,7 +224,7 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     move that downsamples mediocre text without discarding it entirely.
 
     The acceptance test is deterministic: md5(doc_id)'s 2-hex-char
-    prefix (a uniform draw over 256 buckets, the `sample_strat`
+    prefix (a uniform draw over 256 buckets, the `samp_strat`
     primitive) compared against a per-row threshold derived from the
     quality score (0 -> reject all, 1/3 -> below '55' = 85/256, 2/3 ->
     below 'aa' = 170/256, 1 -> 'g0', which every hex prefix sorts

@@ -46,7 +46,7 @@ FROM documents
 """
 
 
-@query("text_tokens", oracle=TOKEN_COUNT_ORACLE)
+@query("tokens", oracle=TOKEN_COUNT_ORACLE)
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -86,7 +86,7 @@ FROM feats
 """
 
 
-@query("text_quality", oracle=QUALITY_ORACLE)
+@query("text_qual", oracle=QUALITY_ORACLE)
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Features (token count, punct ratio, stopword ratio) are computed
     in their own projection and REFERENCED by the derived columns —
@@ -124,7 +124,7 @@ _LANGS = sorted(LANG_MARKERS)  # alphabetical → deterministic tiebreak
 LANG_ID_ORACLE = lang_id_oracle_sql()
 
 
-@query("text_lang_id", oracle=LANG_ID_ORACLE)
+@query("lang_id", oracle=LANG_ID_ORACLE)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID: per-language hit counts + argmax with
     alphabetical tiebreak (identical CASE ordering in the oracle).

@@ -79,6 +79,7 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.pipeline",
     "newspapers_etl_spark.operators.scd",                 # 3   +scd_enrich new r4
     "newspapers_etl_spark.sinks.verified",
+    "newspapers_etl_spark.operators.semantic_dedup",      # 2   new r4 LATE — window-lead in r5
 )
 
 _loaded = False

@@ -103,7 +103,7 @@ def test_simhash_pairs_join_on_table_keys(spark, plan_sf_dir):
 
 
 def test_sampling_scans_prune_text(spark, sf_dir):
-    """sample_strat's membership predicate uses only the key and the
+    """samp_strat's membership predicate uses only the key and the
     stratum column — the scan must not read document text."""
     from newspapers_etl_spark.operators.sampling import sample_strat
 
