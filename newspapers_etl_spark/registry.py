@@ -26,15 +26,18 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
-#   r5 (planned): the late-r4 block LEADS — diagnostics, url_ops,
-#       text_scoring, data_quality, snapshot_diff, events_analytics,
-#       sampling_extended (all registered past position 50 in r4, no
-#       driver hash row yet; each IS pytest-oracle-green via
-#       tests/test_relational.py::test_query_matches_oracle) — then
-#       incremental (last hashed r2) and relational_extended (r3),
-#       then the r3-green back half (corpus..scd, sinks);
-#       relational/extraction/similarity/streaming/dedup/corpus_overlap
-#       (all re-hashed r4) go to the back.
+#   r5 (executed): every never-driver-hashed query enters the window —
+#       the late-r4 block (diagnostics, url_ops, text_scoring,
+#       data_quality, snapshot_diff, events_analytics, sampling_extended,
+#       st_enrich/st_scd/st_state, semantic_dedup) leads, followed by
+#       relational_extended (win_dist/cohorts new r4, never hashed) and
+#       scd (scd_enrich new r4, never hashed); then the modules CHANGED
+#       this round — multimodal (real codecs for mm_decode/mm_frames)
+#       and dedup (Bloom prepass in dedup_spans, checkpoint_dir in
+#       cc_clusters) — then incremental (last hashed r2) closes the
+#       window at exactly 50.  corpus..pipeline/sinks (r3-green,
+#       unchanged) and the r4-re-hashed families go to the back; they
+#       rotate forward in r6.
 #   r4: relational + extraction (green r1/r2 only — oldest history) and
 #       similarity (ann_stats (ex sim_lsh_stats) never yet inside any window) lead;
 #       streaming moves up because st_sess/st_join were
@@ -51,35 +54,35 @@ ORACLE: dict[str, str] = {}
 # that contain a query never checked in ANY window — go first; a query
 # changed in the current round must sit inside the first ~50.
 _OPERATOR_MODULES = (
-    "newspapers_etl_spark.operators.relational",          # 21  last hashed r1/r2
-    "newspapers_etl_spark.operators.extraction_queries",  # 8   last hashed r2
-    "newspapers_etl_spark.operators.similarity",          # 5   ann_stats never checked
-    "newspapers_etl_spark.streaming.incremental_stream",  # 4   st_sess/st_join new r4
-    "newspapers_etl_spark.operators.dedup",               # 10  jaccard re-done, dedup_spans new r4
-    "newspapers_etl_spark.operators.corpus_overlap",      # 2   new r4
+    "newspapers_etl_spark.operators.diagnostics",         # 1   never hashed (skew)
+    "newspapers_etl_spark.operators.url_ops",             # 1   never hashed (url_canon)
+    "newspapers_etl_spark.operators.text_scoring",        # 6   never hashed (ppl/len_hist/ngram_freq/lang_conf/zipf/...)
+    "newspapers_etl_spark.operators.data_quality",        # 1   never hashed (dq_audit)
+    "newspapers_etl_spark.operators.snapshot_diff",       # 1   never hashed (snap_diff)
+    "newspapers_etl_spark.operators.events_analytics",    # 3   never hashed (ev_anom/gaps/outliers)
+    "newspapers_etl_spark.operators.sampling_extended",   # 3   never hashed (topk_lang/tok_budget/qual_sample)
+    "newspapers_etl_spark.streaming.enrichment",          # 1   never hashed (st_enrich)
+    "newspapers_etl_spark.streaming.scd_stream",          # 1   never hashed (st_scd)
+    "newspapers_etl_spark.streaming.stateful",            # 1   never hashed (st_state)
+    "newspapers_etl_spark.operators.semantic_dedup",      # 2   never hashed (semdedup/pq_codes)
+    "newspapers_etl_spark.operators.relational_extended", # 9   win_dist/cohorts new r4, never hashed
+    "newspapers_etl_spark.operators.scd",                 # 3   scd_enrich new r4, never hashed
+    "newspapers_etl_spark.operators.multimodal",          # 4   mm_decode/mm_frames CHANGED r5 (real codecs)
+    "newspapers_etl_spark.operators.dedup",               # 10  dedup_spans/cc_clusters CHANGED r5
+    "newspapers_etl_spark.operators.incremental",         # 3   last hashed r2
     # ---- exactly 50 queries above: the driver's window ends here ----
-    "newspapers_etl_spark.operators.diagnostics",         # 1   new r4 LATE — window-lead in r5
-    "newspapers_etl_spark.operators.url_ops",             # 1   new r4 LATE — window-lead in r5
-    "newspapers_etl_spark.operators.text_scoring",        # 6   new r4 LATE — window-lead in r5 (+zipf)
-    "newspapers_etl_spark.operators.data_quality",        # 1   new r4 LATE — window-lead in r5
-    "newspapers_etl_spark.operators.snapshot_diff",       # 1   new r4 LATE — window-lead in r5
-    "newspapers_etl_spark.operators.events_analytics",    # 3   new r4 LATE — window-lead in r5
-    "newspapers_etl_spark.operators.sampling_extended",   # 3   new r4 LATE — window-lead in r5 (+tok_budget/qual_sample)
-    "newspapers_etl_spark.streaming.enrichment",          # 1   new r4 LATE — window-lead in r5
-    "newspapers_etl_spark.streaming.scd_stream",          # 1   new r4 LATE — window-lead in r5
-    "newspapers_etl_spark.streaming.stateful",            # 1   new r4 LATE — window-lead in r5
-    "newspapers_etl_spark.operators.incremental",         # 3   green r2, unchanged
-    "newspapers_etl_spark.operators.relational_extended", # 9   green r3 (+win_dist/cohorts new r4)
-    "newspapers_etl_spark.operators.corpus",
-    "newspapers_etl_spark.operators.sampling",
-    "newspapers_etl_spark.operators.text_analysis",
-    "newspapers_etl_spark.operators.multimodal",
-    "newspapers_etl_spark.operators.events_windows",
-    "newspapers_etl_spark.operators.pandas_surface",
-    "newspapers_etl_spark.operators.pipeline",
-    "newspapers_etl_spark.operators.scd",                 # 3   +scd_enrich new r4
-    "newspapers_etl_spark.sinks.verified",
-    "newspapers_etl_spark.operators.semantic_dedup",      # 2   new r4 LATE — window-lead in r5
+    "newspapers_etl_spark.operators.corpus",              # 5   green r3, unchanged
+    "newspapers_etl_spark.operators.sampling",            # 2   green r3, unchanged
+    "newspapers_etl_spark.operators.text_analysis",       # 6   green r3, unchanged
+    "newspapers_etl_spark.operators.events_windows",      # 6   green r3, unchanged
+    "newspapers_etl_spark.operators.pandas_surface",      # 3   green r3, unchanged
+    "newspapers_etl_spark.operators.pipeline",            # 2   green r3, unchanged
+    "newspapers_etl_spark.sinks.verified",                # 1   green r3, unchanged
+    "newspapers_etl_spark.operators.relational",          # 21  re-hashed r4
+    "newspapers_etl_spark.operators.extraction_queries",  # 8   re-hashed r4
+    "newspapers_etl_spark.operators.similarity",          # 5   re-hashed r4
+    "newspapers_etl_spark.streaming.incremental_stream",  # 4   re-hashed r4
+    "newspapers_etl_spark.operators.corpus_overlap",      # 2   re-hashed r4
 )
 
 _loaded = False
