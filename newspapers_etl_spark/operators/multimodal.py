@@ -1,5 +1,5 @@
 """Multimodal columns: nested-JSON manifest source (S2), binary payload
-metadata (S3/S4), and stubbed decode operators with real Spark plumbing.
+metadata (S3/S4), and decode operators running REAL codecs.
 
 The reference's multimodal surface is the IIIF manifest → JP2 image
 pipeline: fetch deeply nested JSON (4 levels of ``items``, then
@@ -16,10 +16,12 @@ Spark-first re-expression:
   can check the flatten against the un-nested base tables.
 - Binary payloads are opaque ``binary`` columns with typed metadata
   (length, md5, MIME) computed by built-in expressions.
-- Image/audio decode needs codec libraries this container doesn't ship,
-  so ``decode_image_batches`` is a deterministic STUB behind
-  ``mapInPandas`` — the schema, Arrow batch shape, and partitioning are
-  real; swap `_decode_stub` for a PIL/ffmpeg call in production.
+- Image/audio decode runs REAL codecs (functions/codecs.py): a full
+  stdlib-pure PNG parser (CRC-verified chunks, IDAT inflate, all five
+  filter reconstructions) and the stdlib RIFF/WAVE PCM reader, each
+  behind a two-stage ``mapInPandas`` (render genuine bytes → decode
+  them).  Decoded dims / frame counts follow a closed form over the
+  text length, which makes ``mm_decode`` oracle-backed end to end.
 """
 
 from __future__ import annotations
@@ -148,8 +150,24 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Decode stubs: real mapInPandas plumbing, deterministic fake codec
+# Image decode: REAL PNG codec (functions/codecs.py) over mapInPandas
 # ---------------------------------------------------------------------------
+#
+# The fixture has no binary image column, so stage 1 RENDERS genuine PNG
+# bytes from each document (dimensions derived from the text length,
+# pixels from the text bytes) and stage 2 DECODES them with the full PNG
+# parser — signature, per-chunk CRC-32, zlib inflate, all five filter
+# reconstructions.  The decoded dimensions therefore follow a closed
+# form over strlen(text), which is what makes mm_decode ORACLE-BACKED:
+# DuckDB predicts the dims from the text length while Spark extracts
+# them from real IHDR bytes; the hashes agree only if the codec works.
+
+RENDER_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("png", T.BinaryType()),
+    ]
+)
 
 DECODE_SCHEMA = T.StructType(
     [
@@ -162,41 +180,90 @@ DECODE_SCHEMA = T.StructType(
 )
 
 
-def _decode_stub(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic fake image decode: dimensions derived from the
-    payload bytes.  Production swaps this one function for a real codec
-    (PIL.Image.open etc. — not installed in this container); everything
-    around it (schema, Arrow batching, partitioning) is unchanged."""
-    n = len(payload)
-    return (64 + n % 512, 64 + (n * 31) % 512, 3)
+def _render_png(doc_id: int, content: bytes) -> bytes:
+    """Deterministic fixture renderer: a real PNG whose dimensions are a
+    closed form over the payload length (the oracle's contract) and
+    whose pixels tile the payload bytes.  Every 4th doc is grayscale so
+    both color types exercise the decoder."""
+    from newspapers_etl_spark.functions.codecs import encode_png
+
+    n = len(content)
+    width = 4 + n % 13
+    height = 4 + (n * 7) % 13
+    channels = 1 if doc_id % 4 == 0 else 3
+    need = width * height * channels
+    reps = -(-need // max(1, n))  # ceil; content is never empty in fixtures
+    pixels = (content * reps)[:need]
+    return encode_png(width, height, pixels, channels)
+
+
+def render_png_batches(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage 1: (doc_id, content) → (doc_id, png).  The PNG
+    bytes cross the Arrow boundary as a genuine binary column — the
+    same shape a binaryFile read or a fetcher (sources/fetcher.py)
+    produces."""
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "png": [
+                    _render_png(i, b)
+                    for i, b in zip(pdf["doc_id"], pdf["content"])
+                ],
+            }
+        )
 
 
 def decode_image_batches(
     it: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: one Arrow batch of (doc_id, content) in, one
-    batch of decoded metadata out.  Per-batch vectorization keeps the
-    Python overhead at O(batches), not O(rows); heavy codecs would also
-    amortize per-batch setup here."""
+    """mapInPandas stage 2: one Arrow batch of (doc_id, png) in, one
+    batch of decoded metadata out.  The decode is the REAL parser
+    (functions/codecs.py:decode_png): CRC-verified chunk walk, IDAT
+    inflate, filter reconstruction.  A malformed payload yields
+    decode_ok=False rather than poisoning the batch."""
+    from newspapers_etl_spark.functions.codecs import PngError, decode_png
+
     for pdf in it:
-        dims = [_decode_stub(b) for b in pdf["content"]]
+        ids, ws, hs, cs, oks = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["png"]):
+            try:
+                w, h, c, _pixels = decode_png(bytes(payload))
+                ok = True
+            except PngError:
+                w = h = c = 0
+                ok = False
+            ids.append(doc_id)
+            ws.append(w)
+            hs.append(h)
+            cs.append(c)
+            oks.append(ok)
         yield pd.DataFrame(
             {
-                "doc_id": pdf["doc_id"],
-                "width": [d[0] for d in dims],
-                "height": [d[1] for d in dims],
-                "n_channels": [d[2] for d in dims],
-                "decode_ok": True,
+                "doc_id": ids,
+                "width": pd.array(ws, dtype="int32"),
+                "height": pd.array(hs, dtype="int32"),
+                "n_channels": pd.array(cs, dtype="int32"),
+                "decode_ok": oks,
             }
         )
 
 
 # ---------------------------------------------------------------------------
-# Video/audio frame sampling: 1→N Arrow fan-out (stub codec)
+# Audio frame sampling: REAL RIFF/WAVE PCM codec, 1→N Arrow fan-out
 # ---------------------------------------------------------------------------
 
-FRAME_BYTES = 256  # stub container: fixed-size byte windows are "frames"
+FRAME_SAMPLES = 256  # PCM samples per frame window
 FRAME_STRIDE = 4  # keep every 4th frame
+
+RENDER_WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("wav", T.BinaryType()),
+    ]
+)
 
 FRAME_SCHEMA = T.StructType(
     [
@@ -207,41 +274,89 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def sample_frame_batches(
+def _render_wav(doc_id: int, content: bytes) -> bytes:
+    """Deterministic fixture renderer: genuine RIFF/WAVE 16-bit PCM
+    whose sample count is a closed form over the payload length and
+    whose samples derive from the payload bytes."""
+    from newspapers_etl_spark.functions.codecs import encode_wav
+
+    n = len(content)
+    n_samples = 256 + (n * 13) % 2048
+    samples = [
+        ((content[i % n] * 257 + i * 31) % 65536) - 32768
+        for i in range(n_samples)
+    ]
+    return encode_wav(samples)
+
+
+def render_wav_batches(
     it: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker with 1→N fan-out: each (doc_id, content) row
-    yields one output row per SAMPLED frame — the batch shape a real
-    video/audio pipeline has (ffmpeg frame iterators, PCM windows),
-    which the 1→1 image decode above does not exercise.  The "codec" is
-    a stub (fixed-size byte windows, mean-byte feature); the fan-out,
-    schema, and per-batch vectorization are the production plumbing."""
+    """mapInPandas stage 1: (doc_id, content) → (doc_id, wav)."""
     for pdf in it:
-        ids, idxs, feats = [], [], []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
-            n_frames = max(1, len(payload) // FRAME_BYTES)
-            for fi in range(0, n_frames, FRAME_STRIDE):
-                window = payload[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
-                ids.append(doc_id)
-                idxs.append(fi)
-                feats.append(sum(window) / max(1, len(window)))
         yield pd.DataFrame(
-            {"doc_id": ids, "frame_idx": idxs, "frame_feature": feats}
+            {
+                "doc_id": pdf["doc_id"],
+                "wav": [
+                    _render_wav(i, b)
+                    for i, b in zip(pdf["doc_id"], pdf["content"])
+                ],
+            }
         )
 
 
-@query("mm_frames")  # rows-only: stub codec, no SQL analog
+def sample_frame_batches(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage 2 with 1→N fan-out: each (doc_id, wav) row is
+    decoded by the stdlib wave parser back to PCM samples, windowed into
+    FRAME_SAMPLES-sample frames, and every FRAME_STRIDE-th frame yields
+    one output row with its RMS energy — the batch shape a real
+    video/audio pipeline has (ffmpeg frame iterators, PCM windows).
+    Frame rows never carry the payload, so the post-fan-out shuffle is
+    skinny."""
+    from newspapers_etl_spark.functions.codecs import decode_wav
+
+    for pdf in it:
+        ids, idxs, feats = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+            _rate, samples = decode_wav(bytes(payload))
+            n_frames = max(1, len(samples) // FRAME_SAMPLES)
+            for fi in range(0, n_frames, FRAME_STRIDE):
+                window = samples[
+                    fi * FRAME_SAMPLES : (fi + 1) * FRAME_SAMPLES
+                ]
+                rms = (
+                    sum(s * s for s in window) / max(1, len(window))
+                ) ** 0.5
+                ids.append(doc_id)
+                idxs.append(fi)
+                feats.append(rms)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "frame_feature": feats,
+            }
+        )
+
+
+@query("mm_frames")  # rows-only: RMS energy has no closed SQL form
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sample a binary AV column via mapInPandas (stride-4 over
-    fixed-size stub frames) and roll the sampled frames up per doc.
-    The production plan shape: narrow scan → ArrowEvalPython fan-out
-    (one row per sampled frame) → partial agg; frame rows never carry
-    the payload, so the post-fan-out shuffle is skinny.  At 100 TB,
-    repartition upstream so one Arrow batch of containers fits executor
-    memory, exactly as for the image decode."""
+    """Frame-sample a binary audio column via two mapInPandas stages —
+    render genuine RIFF/WAVE PCM, then decode it with the stdlib wave
+    parser and emit stride-4 frame windows with RMS energy — and roll
+    the sampled frames up per doc.  The production plan shape: narrow
+    scan → ArrowEval render → ArrowEval fan-out (one row per sampled
+    frame) → partial agg.  At 100 TB, repartition upstream so one Arrow
+    batch of containers fits executor memory, exactly as for the image
+    decode.  The frame-count columns follow a closed form over
+    strlen(text) that tests/test_multimodal.py checks exhaustively; the
+    RMS feature is golden-tested against hand-decoded PCM."""
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("content"))
-    frames = payloads.mapInPandas(sample_frame_batches, FRAME_SCHEMA)
+    wavs = payloads.mapInPandas(render_wav_batches, RENDER_WAV_SCHEMA)
+    frames = wavs.mapInPandas(sample_frame_batches, FRAME_SCHEMA)
     return frames.groupBy("doc_id").agg(
         F.count("*").alias("n_sampled_frames"),
         F.max("frame_idx").alias("last_frame_idx"),
@@ -249,19 +364,41 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_decode")  # rows-only: stub decode, no SQL analog
+DECODE_ORACLE = """
+SELECT CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS n_channels,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(count(*) AS BIGINT) AS n_ok,
+       CAST(min(4 + strlen(text) % 13) AS INT) AS min_width,
+       CAST(max(4 + strlen(text) % 13) AS INT) AS max_width,
+       round(avg(4 + (strlen(text) * 7) % 13), 4) AS avg_height
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("mm_decode", oracle=DECODE_ORACLE)
 def mm_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode a binary image column via mapInPandas (stub codec) and
-    aggregate the decoded dimensions.  The plan is the production plan:
-    narrow scan → ArrowEvalPython over (id, content) only — metadata
-    columns stay JVM-side — → partial agg; at 100 TB add a repartition
-    upstream sized so one Arrow batch of images fits executor memory."""
+    """Decode a binary image column with the REAL PNG codec and
+    aggregate the decoded dimensions.  Two mapInPandas stages: render
+    genuine PNG bytes (dims = closed form over text length, pixels =
+    text bytes, varying filter types), then fully parse them back
+    (CRC-verified chunks, IDAT inflate, all five filter
+    reconstructions).  The oracle predicts the dims from strlen(text)
+    alone — the hash can only match if IHDR parsing, inflate, and
+    unfiltering all succeed on every document (n_ok counts
+    decode_ok=true rows).  Plan: narrow scan → ArrowEval render →
+    ArrowEval decode — metadata stays JVM-side — → partial agg; at
+    100 TB add a repartition upstream sized so one Arrow batch of
+    images fits executor memory."""
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("content"))
-    decoded = payloads.mapInPandas(decode_image_batches, DECODE_SCHEMA)
+    pngs = payloads.mapInPandas(render_png_batches, RENDER_SCHEMA)
+    decoded = pngs.mapInPandas(decode_image_batches, DECODE_SCHEMA)
     return decoded.groupBy("n_channels").agg(
-        F.count("*").alias("n_images"),
-        F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("n_ok"),
+        F.count("*").cast("long").alias("n_images"),
+        F.sum(F.when(F.col("decode_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ok"),
         F.min("width").alias("min_width"),
         F.max("width").alias("max_width"),
         F.round(F.avg("height"), 4).alias("avg_height"),
