@@ -262,6 +262,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ratio over k-token windows
 # ---------------------------------------------------------------------------
 
+BLOOM_M_BITS = 1 << 17  # span-Bloom bitset size: 2048 longs as a literal
+BLOOM_K = 3  # hash functions; fpp ≈ (1 - e^(-K*n/M))^K
+
 SPAN_K = 8  # window width in tokens; ExactSubstr uses ~50 BPE tokens at
 # corpus scale — 8 fits the fixture's ~23-token documents while keeping
 # the window specific enough that cross-doc repeats mean real copying.
@@ -308,11 +311,17 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle hash-matches end to end (xxhash64 would differ per
     engine).  100 TB shape: one linear scan windows the corpus; the
     repeated-span relation is ONE shuffle on the 16-byte span key with
-    map-side partial counts; the per-doc rollup joins the window stream
-    against the (small) repeated set on that same key.  At true scale
-    the suffix-array ExactSubstr is replaced by exactly this windowed
-    relation plus a Bloom-filter prepass on the span key to skip the
-    singleton majority before the shuffle."""
+    map-side partial counts; the per-doc rollup then joins the window
+    stream against the (small) repeated set on that same key — and THAT
+    join gets a BLOOM-FILTER PREPASS: the repeated spans are hashed into
+    a fixed-size bitset (BLOOM_M_BITS bits, built with one bit_or
+    aggregation, collected as ≤ BLOOM_M_BITS/64 longs — bounded driver
+    traffic regardless of corpus size, the IVF-centroid precedent) and
+    the window stream is bit-tested against the literal bitset BEFORE
+    the join shuffle, so the singleton majority never shuffles twice.
+    False positives only pass extra rows to the exact join; the output
+    is byte-identical.  At scale, grow BLOOM_M_BITS with the expected
+    repeated-span count (n_rep * 10 bits keeps fpp ≈ 1 %)."""
     k = SPAN_K
     d = load_table(spark, sf_dir, "documents")
     # Tokens staged (HOF contract, see shingles()); explode_outer skips
@@ -342,8 +351,46 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .select("h")
     )
+    # --- Bloom prepass: fold the repeated-span keys into a fixed-size
+    # bitset (one shuffle-light bit_or aggregation over ≤ M/64 words),
+    # then bit-test the window stream against the literal bitset BEFORE
+    # the dup-join shuffle.  Singleton spans — the majority — are
+    # dropped map-side; the exact join below removes false positives.
+    set_words = dict(
+        rep.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64("h", F.lit(j)), F.lit(BLOOM_M_BITS)
+                        )
+                        for j in range(BLOOM_K)
+                    ]
+                )
+            ).alias("p")
+        )
+        .select(
+            F.floor(F.col("p") / 64).cast("int").alias("w"),
+            F.pmod("p", F.lit(64)).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), b)")).alias("bits"))
+        .collect()
+    )
+    bitset = [set_words.get(i, 0) for i in range(BLOOM_M_BITS // 64)]
+    pre = wins.withColumn("_bf", F.lit(bitset))
+    for j in range(BLOOM_K):
+        pre = pre.withColumn(
+            f"_p{j}", F.pmod(F.xxhash64("h", F.lit(j)), F.lit(BLOOM_M_BITS))
+        )
+    bit_tests = " AND ".join(
+        f"((element_at(_bf, CAST(_p{j} DIV 64 AS INT) + 1)"
+        f" >> CAST(_p{j} % 64 AS INT)) & 1) = 1"
+        for j in range(BLOOM_K)
+    )
+    maybe_rep = pre.filter(F.expr(bit_tests)).select("doc_id", "h")
     dup = (
-        wins.join(rep, "h")
+        maybe_rep.join(rep, "h")
         .groupBy("doc_id")
         .agg(F.count("*").alias("nd"))
     )
