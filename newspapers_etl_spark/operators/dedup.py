@@ -784,9 +784,15 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
+    # Zero-norm guard (shared posture with semantic_dedup.ZERO_NORM_SIM):
+    # a zero vector's cosine is undefined — Spark's non-ANSI 0/0 is NULL,
+    # DuckDB's is NaN/Inf — so such rows are excluded EXPLICITLY rather
+    # than left to engine-specific division semantics.  The fixture has
+    # no zero vectors (asserted in tests/test_semantic_dedup.py).
     return (
         cands.join(pa, "id_a")
         .join(pb, "id_b")
+        .filter((F.col("nrm_a") > 0) & (F.col("nrm_b") > 0))
         .select(
             "id_a",
             "id_b",
@@ -1097,20 +1103,35 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
 CC_MAX_ITERS = 15
 
 
-def star_connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
+def star_connected_components(
+    edges: DataFrame, checkpoint_dir: str | None = None
+) -> tuple[DataFrame, int]:
     """Connected components via the two-phase large-star / small-star
     alternation (Kiveris et al., "Connected Components in MapReduce and
     Beyond") — O(log n) rounds, each phase ONE window-min shuffle on
     the node key plus one distinct.  See dedup_clusters for the full
     design discussion.  ``edges`` is any (u, v) pair DataFrame;
     returns (labels, iterations): labels has one (node, cluster_id)
-    row per distinct endpoint with cluster_id = component minimum."""
-    edges = edges.toDF("u", "v").filter("u != v").distinct().localCheckpoint()
-    nodes = (
+    row per distinct endpoint with cluster_id = component minimum.
+
+    Each round truncates lineage via checkpoint.  With
+    ``checkpoint_dir`` set, rounds use RELIABLE ``checkpoint()`` into
+    that directory (HDFS/object-store path on a cluster) so a lost
+    executor replays from storage, not from the full lineage; the
+    ``None`` default keeps executor-local ``localCheckpoint()`` — the
+    right trade on local[*] where no executor can be lost."""
+    spark_ctx = edges.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        spark_ctx.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    edges = _ckpt(edges.toDF("u", "v").filter("u != v").distinct())
+    nodes = _ckpt(
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     prev: tuple | None = None
     iters = 0
@@ -1131,10 +1152,8 @@ def star_connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
                 emitted = adj.filter(F.col("v") <= F.col("u")).select(
                     F.col("v").alias("u"), F.col("m").alias("v")
                 ).unionByName(adj.select("u", F.col("m").alias("v")))
-            edges = (
-                emitted.filter(F.col("u") != F.col("v"))
-                .distinct()
-                .localCheckpoint()
+            edges = _ckpt(
+                emitted.filter(F.col("u") != F.col("v")).distinct()
             )
         row = (
             edges.select(

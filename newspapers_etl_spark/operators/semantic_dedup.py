@@ -53,17 +53,55 @@ PQ_SUBSPACES = 8        # 64-dim fixture vectors -> 8 subvectors of 8 dims
 PQ_CODEBOOK = 16        # codebook entries per subspace (fixture: anchors)
 EMB_DIM = 64
 
+# A zero-norm embedding has no defined cosine to anything; Spark-side
+# those rows get this sentinel similarity to EVERY anchor/pair — below
+# any real cosine, so they deterministically join the lowest-id anchor
+# and are never prune candidates.  The fixtures contain no zero vectors
+# (asserted in tests/test_semantic_dedup.py), so the oracles — which
+# would hit engine-specific 0/0 semantics — never see the branch.
+ZERO_NORM_SIM = -2.0
 
-def _collect_anchors(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
-    """The K fixture anchors, pulled to the driver once (O(K) rows — the
-    same legitimate driver pull as similarity.py's centroid fit)."""
+
+def _collect_anchors(
+    spark: SparkSession, sf_dir: str, k: int = N_ANCHORS
+) -> list[tuple[int, list[float]]]:
+    """The first-k fixture anchors, pulled to the driver once (O(k)
+    rows — the same legitimate driver pull as similarity.py's centroid
+    fit).  ``k`` is explicit so a caller wanting PQ_CODEBOOK entries
+    can never silently receive N_ANCHORS instead."""
     e = load_table(spark, sf_dir, "embeddings")
     rows = (
-        e.filter(F.col("vec_id") < N_ANCHORS)
+        e.filter(F.col("vec_id") < k)
         .select("vec_id", "embedding")
         .collect()
     )
-    return sorted((int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows)
+    anchors = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    )
+    for aid, vec in anchors:
+        if not any(x != 0.0 for x in vec):
+            raise ValueError(f"anchor {aid} has zero norm — cosine undefined")
+    return anchors
+
+
+def fit_anchors(
+    spark: SparkSession, sf_dir: str, k: int = N_ANCHORS, iters: int = 2
+) -> list[tuple[int, list[float]]]:
+    """The at-scale anchor source: a sampled Lloyd k-means fit (reusing
+    similarity.py's ``_centroids`` — seeded sample, literal-embedded
+    assignment, only k×dim floats to the driver).  The registered
+    ``semdedup``/``pq_codes`` queries keep the deterministic first-K
+    fixture anchors so the DuckDB oracle can mirror them; production
+    callers pass ``anchors=fit_anchors(...)`` for data-adaptive
+    clusters with the identical assignment plan."""
+    from newspapers_etl_spark.operators.similarity import _centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(e, k, iters)
+    for aid, vec in cents:
+        if not any(x != 0.0 for x in vec):
+            raise ValueError(f"fitted anchor {aid} has zero norm")
+    return cents
 
 
 def _lit_vec(vals: list[float]) -> Column:
@@ -88,9 +126,16 @@ def _nearest_anchor(anchors: list[tuple[int, list[float]]]) -> Column:
     entries = F.transform(
         mat,
         lambda avec, i: F.struct(
-            F.round(
-                dot("embedding", avec) / (nrm * F.element_at(norms, i + 1)), 6
-            ).alias("sim"),
+            F.when(
+                nrm > 0,
+                F.round(
+                    dot("embedding", avec)
+                    / (nrm * F.element_at(norms, i + 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(ZERO_NORM_SIM))
+            .alias("sim"),
             (-F.element_at(ids, i + 1)).alias("neg_id"),
         ),
     )
@@ -133,7 +178,11 @@ FROM mem m LEFT JOIN dup_of_lower d ON m.vec_id = d.vec_id
 
 
 @query("semdedup", oracle=SEMDEDUP_ORACLE)
-def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    anchors: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
     """SemDeDup: per-vector verdict (vec_id, cluster_id, is_pruned).
 
     A vector is pruned when some LOWER-id member of its cluster is
@@ -142,11 +191,16 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chained groups prune every non-minimum member here too; full
     transitive resolution is ``cc_clusters`` downstream).
 
+    ``anchors`` defaults to the deterministic first-K fixture set (what
+    the oracle mirrors); pass ``fit_anchors(...)`` for the sampled
+    k-means source — the assignment plan is identical either way.
+
     Plan: map-side cluster assignment from literal anchors (no
     shuffle), then ONE shuffle on cluster_id for the bounded
     within-cluster pair join; the prune verdict is a left anti-ish
     join on vec_id only — embeddings never re-shuffle for it."""
-    anchors = _collect_anchors(spark, sf_dir)
+    if anchors is None:
+        anchors = _collect_anchors(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
     mem = e.select(
         "vec_id",
@@ -166,13 +220,14 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
+    pair_sim = F.when(
+        (F.col("nrm_a") > 0) & (F.col("nrm_b") > 0),
+        F.round(dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 6),
+    ).otherwise(F.lit(ZERO_NORM_SIM))
     pruned = (
         a.join(b, ["cluster_id"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.round(dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 6)
-            >= SEMDEDUP_THRESHOLD
-        )
+        .filter(pair_sim >= SEMDEDUP_THRESHOLD)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("_dup", F.lit(True))
@@ -261,7 +316,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_pctl_approx in r2).  At scale the codebook comes from per-
     subspace k-means (same sampled fit as similarity.py); the fixture
     uses the first PQ_CODEBOOK vectors so the oracle can mirror it."""
-    codebook = _collect_anchors(spark, sf_dir)[:PQ_CODEBOOK]
+    codebook = _collect_anchors(spark, sf_dir, k=PQ_CODEBOOK)
     e = load_table(spark, sf_dir, "embeddings")
     per_sub = F.array(
         *[

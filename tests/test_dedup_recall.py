@@ -250,6 +250,30 @@ def test_star_cc_disjoint_components(spark):
     assert got == {10: 10, 20: 10, 30: 10, 100: 100, 150: 100, 200: 100}
 
 
+def test_star_cc_reliable_checkpoint_dir(spark, tmp_path):
+    """With checkpoint_dir set, every round checkpoints to RELIABLE
+    storage (cluster-safe: a lost executor replays from disk, not from
+    the whole lineage) and the labels are identical to the
+    localCheckpoint default."""
+    from newspapers_etl_spark.operators.dedup import star_connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)] + [(100, 200), (200, 300)],
+        "u long, v long",
+    )
+    ckdir = str(tmp_path / "cc_ck")
+    labels, iters = star_connected_components(edges, checkpoint_dir=ckdir)
+    got = {r.node: r.cluster_id for r in labels.collect()}
+    want = {i: 0 for i in range(32)} | {100: 100, 200: 100, 300: 100}
+    assert got == want
+    import os
+
+    rdd_dirs = [
+        f for root, dirs, _ in os.walk(ckdir) for f in dirs if f.startswith("rdd-")
+    ]
+    assert rdd_dirs, "no reliable checkpoint data written under checkpoint_dir"
+
+
 def test_prefix_join_pairs_equal_bruteforce(spark, sf_dir):
     """EXACT recall+precision of the prefix-filtered Jaccard join
     (dedup_jaccard): its pair set must equal the all-pairs brute force
