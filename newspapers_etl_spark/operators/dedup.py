@@ -262,8 +262,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ratio over k-token windows
 # ---------------------------------------------------------------------------
 
-BLOOM_M_BITS = 1 << 17  # span-Bloom bitset size: 2048 longs as a literal
-BLOOM_K = 3  # hash functions; fpp ≈ (1 - e^(-K*n/M))^K
+BLOOM_FP_BITS = 20  # span-Bloom fingerprint universe: fpp ≈ n_rep / 2^bits
 
 SPAN_K = 8  # window width in tokens; ExactSubstr uses ~50 BPE tokens at
 # corpus scale — 8 fits the fixture's ~23-token documents while keeping
@@ -345,50 +344,36 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     ).persist()
+    # rep is persisted because it feeds TWO actions: the Bloom-bitset
+    # collect below and the exact dup-join in the main query — without
+    # the cache the count-distinct shuffle (the query's dominant cost)
+    # would run twice and the prepass would cost more than it saves.
     rep = (
         wins.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
         .select("h")
+        .persist()
     )
-    # --- Bloom prepass: fold the repeated-span keys into a fixed-size
-    # bitset (one shuffle-light bit_or aggregation over ≤ M/64 words),
-    # then bit-test the window stream against the literal bitset BEFORE
-    # the dup-join shuffle.  Singleton spans — the majority — are
-    # dropped map-side; the exact join below removes false positives.
-    set_words = dict(
-        rep.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(
-                            F.xxhash64("h", F.lit(j)), F.lit(BLOOM_M_BITS)
-                        )
-                        for j in range(BLOOM_K)
-                    ]
-                )
-            ).alias("p")
-        )
-        .select(
-            F.floor(F.col("p") / 64).cast("int").alias("w"),
-            F.pmod("p", F.lit(64)).cast("int").alias("b"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), b)")).alias("bits"))
-        .collect()
+    # --- Bloom prepass: hash every repeated-span key into a bounded
+    # fingerprint universe (BLOOM_FP_BITS bits) and broadcast the
+    # DISTINCT fingerprint set; the window stream is semi-joined against
+    # it BEFORE the dup-join shuffle, so the singleton majority is
+    # dropped map-side.  This is a one-hash Bloom filter realized as a
+    # broadcast hash set — in Spark that beats a literal bitset (no
+    # driver round-trip, no 16 KB literal to JIT, and Catalyst sees the
+    # join to reuse/reorder it); the broadcast stays bounded at
+    # 2^BLOOM_FP_BITS entries no matter how many spans repeat.  False
+    # positives (~n_rep/2^BLOOM_FP_BITS) only pass extra rows to the
+    # exact join below; output is byte-identical.  At 100 TB, grow
+    # BLOOM_FP_BITS with the expected repeated-span count.
+    span_fp = F.pmod(F.xxhash64("h"), F.lit(1 << BLOOM_FP_BITS))
+    rep_fp = rep.select(span_fp.alias("fp")).distinct()
+    maybe_rep = (
+        wins.join(
+            F.broadcast(rep_fp), span_fp == F.col("fp"), "left_semi"
+        ).select("doc_id", "h")
     )
-    bitset = [set_words.get(i, 0) for i in range(BLOOM_M_BITS // 64)]
-    pre = wins.withColumn("_bf", F.lit(bitset))
-    for j in range(BLOOM_K):
-        pre = pre.withColumn(
-            f"_p{j}", F.pmod(F.xxhash64("h", F.lit(j)), F.lit(BLOOM_M_BITS))
-        )
-    bit_tests = " AND ".join(
-        f"((element_at(_bf, CAST(_p{j} DIV 64 AS INT) + 1)"
-        f" >> CAST(_p{j} % 64 AS INT)) & 1) = 1"
-        for j in range(BLOOM_K)
-    )
-    maybe_rep = pre.filter(F.expr(bit_tests)).select("doc_id", "h")
     dup = (
         maybe_rep.join(rep, "h")
         .groupBy("doc_id")

@@ -172,3 +172,30 @@ def test_bench_ref_covers_exactly_the_registry():
     reg = set(all_queries())
     assert reg - ref == set(), f"queries without a best-known ref: {sorted(reg - ref)}"
     assert ref - reg == set(), f"stale refs for unregistered queries: {sorted(ref - reg)}"
+
+
+def test_committed_bench_self_is_fresh():
+    """BENCH_SELF.json freshness guard (VERDICT r4 advice #7): a
+    noise-inflated snapshot must not be committable.  Every committed
+    per-query time must be within the same 2x-of-best-known bar the
+    driver applies, and the snapshot must cover the whole registry."""
+    import json
+    from pathlib import Path
+
+    from newspapers_etl_spark.registry import all_queries
+
+    root = Path(__file__).resolve().parent.parent
+    ref = json.loads((root / "BENCH_REF.json").read_text())
+    snap = json.loads((root / "BENCH_SELF.json").read_text())
+    q = snap["queries"]
+    assert set(q) == set(all_queries()), "snapshot does not cover registry"
+    # Same bar as run_all.over_threshold: 2x best-known with a 0.5 s
+    # grace floor (sub-second queries jitter by fixed session overhead).
+    slow = {
+        n: (t, ref[n])
+        for n, t in q.items()
+        if n in ref and ref[n] > 0 and t > max(2.0 * ref[n], ref[n] + 0.5)
+    }
+    assert slow == {}, f"noise-inflated committed times (t, best): {slow}"
+    failed = sorted(n for n, t in q.items() if t < 0)
+    assert failed == [], f"committed snapshot contains failed queries: {failed}"

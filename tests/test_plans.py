@@ -402,11 +402,10 @@ def test_spans_shuffles_keys_only_and_caches_windows(spark, plan_sf_dir):
             assert "text" not in head, f"exchange {i} shuffles text: {head}"
         assert "BroadcastHashJoin" in plan, "repeated-span set not broadcast"
         assert "CartesianProduct" not in plan
-        # Bloom prepass: the literal-bitset bit test must sit in a Filter
-        # BEFORE the dup-join — singleton spans are dropped map-side.
-        assert "element_at" in plan and ">>" in plan, (
-            "span Bloom-filter prepass missing from plan"
-        )
+        # Bloom prepass: the bounded fingerprint set must reach the
+        # window stream as a broadcast LEFT-SEMI join (singleton spans
+        # dropped map-side, before the dup-join shuffle).
+        assert "LeftSemi" in plan, "span Bloom-fingerprint prepass missing"
     finally:
         spark.catalog.clearCache()
 
