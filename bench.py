@@ -203,9 +203,11 @@ def format_stdout_line(result: dict, timings: dict[str, float], cap: int = 1990)
     the JSON from that window, so the line must stay under ``cap`` chars.
     Degrade gracefully instead of overflowing: full 2-decimal per-query
     map first; if the registry has grown past what fits, drop to
-    1-decimal; as a last resort keep only the slowest queries and count
-    the rest in "queries_omitted" (full precision always lives in
-    BENCH_SELF.json — overflow must never zero the whole capture)."""
+    1-decimal, then to integer seconds (coarse but COMPLETE — every
+    query stays in the longitudinal record); only as a last resort keep
+    the slowest queries and count the rest in "queries_omitted" (full
+    precision always lives in BENCH_SELF.json — overflow must never
+    zero the whole capture)."""
 
     def _line(queries: dict, omitted: int) -> str:
         compact = dict(result, queries=queries)
@@ -216,6 +218,10 @@ def format_stdout_line(result: dict, timings: dict[str, float], cap: int = 1990)
     line = _line({n: round(t, 2) for n, t in timings.items()}, 0)
     if len(line) >= cap:
         line = _line({n: round(t, 1) for n, t in timings.items()}, 0)
+    if len(line) >= cap:
+        # int() not round(): -1.0 failure sentinels must stay negative,
+        # and ints render without the ".0" ("10" vs "10.0").
+        line = _line({n: int(round(t)) for n, t in timings.items()}, 0)
     if len(line) >= cap:
         by_cost = sorted(timings, key=lambda n: -timings[n])
         keep = len(by_cost)

@@ -1,0 +1,146 @@
+"""IVF-ADC approximate nearest neighbour: inverted-file cells + PQ codes
+with asymmetric distance computation (Jegou et al., PAMI 2011 — the
+index family behind FAISS ``IVFx,PQy`` at billion scale).
+
+Composes the two fitted models this repo already ships:
+- the IVF coarse quantizer (``similarity._centroids`` — sampled Lloyd
+  fit, literal-embedded assignment), and
+- the product-quantization codebook (``semantic_dedup`` —
+  ``_collect_anchors`` + per-subspace nearest-code encoding).
+
+Pipeline shape (the 100 TB contract):
+1. ENCODE (map-only, zero shuffle): every corpus vector becomes
+   (vec_id, cell, codes array<int> of PQ_SUBSPACES entries) — the raw
+   embedding column is DROPPED, so the searchable representation is
+   ~M bytes/vector, not 4*dim.  At scale this relation is written once
+   and scanned by every query batch.
+2. PROBE: each probe picks its IVF_NPROBE nearest cells (driver-side
+   over the O(cells) centroid model) and precomputes its ADC lookup
+   table: dtab[m*K + c] = ||q_m - codebook_m[c]||², an M*K-float array
+   PER PROBE.  Probes (with tables) are broadcast.
+3. SCORE: candidates = equi-join on cell (corpus never shuffles);
+   approximate distance = sum over subspaces of ONE table lookup per
+   code — no vector math touches the corpus rows at query time.
+4. TOP-K per probe via a bounded window on the rounded distance.
+
+Accuracy is traded for the 16-32x compression: the pytest contract is
+recall@k against the exact brute-force ranking plus an ADC-identity
+check against a NumPy reimplementation; hash-level determinism holds
+(seeded fits, rounded scores, id tie-breaks) but the values are
+model-derived, so the query is registered rows-only like ``ivf_topk``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.operators.semantic_dedup import (
+    EMB_DIM,
+    PQ_CODEBOOK,
+    PQ_SUBSPACES,
+    _collect_anchors,
+    _nearest_code,
+)
+from newspapers_etl_spark.operators.similarity import (
+    IVF_CELLS,
+    IVF_ITERATIONS,
+    IVF_NPROBE,
+    N_PROBES,
+    TOP_K,
+    _centroids,
+    _nearest_cell,
+)
+from newspapers_etl_spark.registry import query
+
+SUB_DIM = EMB_DIM // PQ_SUBSPACES
+
+
+def _adc_table(probe: list[float], codebook: list[tuple[int, list[float]]]) -> list[float]:
+    """The probe's asymmetric-distance lookup table, flattened to
+    dtab[m * PQ_CODEBOOK + code] = squared L2 distance between the
+    probe's m-th subvector and that codebook entry's m-th slice.
+    Pure Python over M*K*sub_dim floats — a per-probe constant."""
+    dtab = [0.0] * (PQ_SUBSPACES * PQ_CODEBOOK)
+    for m in range(PQ_SUBSPACES):
+        q = probe[m * SUB_DIM : (m + 1) * SUB_DIM]
+        for code, vec in codebook:
+            c = vec[m * SUB_DIM : (m + 1) * SUB_DIM]
+            dtab[m * PQ_CODEBOOK + code] = sum(
+                (x - y) * (x - y) for x, y in zip(q, c)
+            )
+    return dtab
+
+
+def _ranked_cells(probe: list[float], cents: list[tuple[int, list[float]]]) -> list[int]:
+    """The probe's IVF_NPROBE nearest cells by dot product (the same
+    score ``_nearest_cell`` maximises), ties to the smaller cell id."""
+    scored = sorted(
+        ((-sum(x * y for x, y in zip(probe, c)), cid) for cid, c in cents),
+    )
+    return [cid for _neg, cid in scored[:IVF_NPROBE]]
+
+
+@query("ivfadc")  # rows-only: scores are model-derived, like ivf_topk
+def ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed IVF search: returns (probe_id, vec_id, adc_dist,
+    rnk) for the TOP_K nearest candidates per probe under asymmetric
+    distance, scanning only the probed cells' code rows.
+
+    Plan: one map-side encode scan (cell + codes from literal models,
+    embedding dropped) → broadcast join on cell against the probe set
+    (each probe row carries its M*K-float dtab) → per-row distance is
+    PQ_SUBSPACES array lookups folded by one ``aggregate`` → bounded
+    window top-k.  The corpus side never shuffles and never carries
+    vectors; at 100 TB the encode output is the stored index."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
+    codebook = _collect_anchors(spark, sf_dir, k=PQ_CODEBOOK)
+
+    codes = F.array(
+        *[_nearest_code(m, codebook)["code"] for m in range(PQ_SUBSPACES)]
+    )
+    corpus = e.select(
+        "vec_id",
+        _nearest_cell("embedding", cents).alias("cell"),
+        codes.alias("codes"),
+    )
+
+    probe_rows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < N_PROBES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    probe_df = spark.createDataFrame(
+        [
+            (pid, cell, _adc_table(vec, codebook))
+            for pid, vec in probe_rows
+            for cell in _ranked_cells(vec, cents)
+        ],
+        "probe_id int, cell int, dtab array<double>",
+    )
+
+    adc = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(PQ_SUBSPACES)),
+            lambda m: F.element_at(
+                "dtab",
+                (m - 1) * PQ_CODEBOOK + F.element_at("codes", m) + 1,
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cands = corpus.join(F.broadcast(probe_df), "cell").select(
+        "probe_id", "vec_id", F.round(adc, 6).alias("adc_dist")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("probe_id", "vec_id", "adc_dist", "rnk")
+    )

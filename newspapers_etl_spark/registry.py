@@ -83,6 +83,8 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.similarity",          # 5   re-hashed r4
     "newspapers_etl_spark.streaming.incremental_stream",  # 4   re-hashed r4
     "newspapers_etl_spark.operators.corpus_overlap",      # 2   re-hashed r4
+    "newspapers_etl_spark.operators.ivfadc",              # 1   NEW r5 (window-lead r6)
+    "newspapers_etl_spark.operators.pca",                 # 2   NEW r5 (window-lead r6)
 )
 
 _loaded = False

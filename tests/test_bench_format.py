@@ -199,3 +199,24 @@ def test_committed_bench_self_is_fresh():
     assert slow == {}, f"noise-inflated committed times (t, best): {slow}"
     failed = sorted(n for n, t in q.items() if t < 0)
     assert failed == [], f"committed snapshot contains failed queries: {failed}"
+
+
+def test_integer_band_keeps_every_query_before_omission():
+    """Between the 1-decimal band and the omission regime sits integer
+    seconds: coarse, but every query stays in the longitudinal record.
+    Failure sentinels (-1.0) must survive as negative ints."""
+    t = _timings(140) | {"broken_query_name_xxxx": -1.0}
+    one = json.dumps(
+        dict(RESULT, queries={k: round(v, 1) for k, v in t.items()}),
+        separators=(",", ":"),
+    )
+    ints = json.dumps(
+        dict(RESULT, queries={k: int(round(v)) for k, v in t.items()}),
+        separators=(",", ":"),
+    )
+    if not (len(one) >= 1990 > len(ints)):
+        return  # name lengths moved the bands; neighbours covered elsewhere
+    parsed = json.loads(format_stdout_line(RESULT, t, cap=1990))
+    assert set(parsed["queries"]) == set(t)
+    assert "queries_omitted" not in parsed
+    assert parsed["queries"]["broken_query_name_xxxx"] == -1

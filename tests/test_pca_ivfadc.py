@@ -1,0 +1,144 @@
+"""Semantic invariants for the PCA and IVF-ADC operators beyond the
+oracle hash (emb_cov) / rows-only registration (pca_proj, ivfadc):
+eigen-structure properties, NumPy ground-truth agreement, and ANN
+recall against the exact brute-force ranking."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.operators.ivfadc import SUB_DIM, _adc_table, ivfadc_topk
+from newspapers_etl_spark.operators.pca import (
+    EMB_DIM,
+    PCA_K,
+    fit_pca,
+    pca_projection,
+)
+from newspapers_etl_spark.operators.semantic_dedup import (
+    PQ_CODEBOOK,
+    PQ_SUBSPACES,
+    _collect_anchors,
+)
+from newspapers_etl_spark.plans import shuffle_count
+
+
+def _embeddings(spark, sf_dir) -> dict[int, np.ndarray]:
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    return {int(r.vec_id): np.array(r.embedding, dtype=np.float64) for r in rows}
+
+
+def test_pca_components_are_orthonormal_and_ordered(spark, sf_dir):
+    _mean, comps, vals = fit_pca(spark, sf_dir, PCA_K)
+    mat = np.array(comps)
+    assert mat.shape == (PCA_K, EMB_DIM)
+    gram = mat @ mat.T
+    assert np.allclose(gram, np.eye(PCA_K), atol=1e-6), "not orthonormal"
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:])), (
+        f"eigenvalues not descending: {vals}"
+    )
+    assert vals[-1] >= -1e-9, "negative variance from a covariance matrix"
+
+
+def test_pca_matches_numpy_ground_truth(spark, sf_dir):
+    """The distributed covariance → eigh → literal-projection pipeline
+    must agree with NumPy doing the whole job locally: same leading
+    eigenvalues, and per-vector scores equal up to the covariance
+    rounding (the projection itself is exact)."""
+    emb = _embeddings(spark, sf_dir)
+    x = np.stack([emb[k] for k in sorted(emb)])
+    centered = x - x.mean(axis=0)
+    cov = centered.T @ centered / len(x)
+    vals_np = np.sort(np.linalg.eigvalsh(cov))[::-1][:PCA_K]
+    _mean, comps, vals = fit_pca(spark, sf_dir, PCA_K)
+    # fit_pca's covariance is rounded to 6dp before eigh
+    assert np.allclose(vals, vals_np, atol=1e-3), (vals, vals_np.tolist())
+    scores = {
+        (r.vec_id, r.component): r.score
+        for r in pca_projection(spark, sf_dir).collect()
+    }
+    assert len(scores) == len(emb) * PCA_K
+    mean_vec = x.mean(axis=0)
+    for vid in sorted(emb)[:20]:
+        got = np.array([scores[(vid, c)] for c in range(PCA_K)])
+        want = np.array(comps) @ (emb[vid] - mean_vec)
+        assert np.allclose(got, want, atol=1e-3), f"vec {vid}: {got} vs {want}"
+
+
+def test_pca_score_variance_tracks_eigenvalues(spark, sf_dir):
+    _mean, _comps, vals = fit_pca(spark, sf_dir, PCA_K)
+    var_rows = (
+        pca_projection(spark, sf_dir)
+        .groupBy("component")
+        .agg(F.var_pop("score").alias("v"))
+        .collect()
+    )
+    got = {r.component: r.v for r in var_rows}
+    for c, lam in enumerate(vals):
+        assert got[c] == pytest.approx(lam, rel=5e-3, abs=1e-4), (
+            f"component {c}: score variance {got[c]} vs eigenvalue {lam}"
+        )
+
+
+def test_pca_projection_is_map_only(spark, sf_dir):
+    """The 100 TB contract: projecting N vectors is one scan, ZERO
+    exchanges — the fitted model rides in the plan as literals."""
+    assert shuffle_count(pca_projection(spark, sf_dir)) == 0
+
+
+def test_ivfadc_distance_matches_numpy_adc(spark, sf_dir):
+    """Every returned adc_dist must equal the NumPy-computed asymmetric
+    distance between the probe and the candidate's PQ reconstruction —
+    the in-plan table-lookup fold is exact, not approximate, w.r.t. the
+    model."""
+    emb = _embeddings(spark, sf_dir)
+    codebook = _collect_anchors(spark, sf_dir, k=PQ_CODEBOOK)
+    cb = {code: np.array(vec) for code, vec in codebook}
+
+    def encode(v: np.ndarray) -> list[int]:
+        out = []
+        for m in range(PQ_SUBSPACES):
+            s = slice(m * SUB_DIM, (m + 1) * SUB_DIM)
+            best = min(
+                ((float(np.sum((v[s] - cb[c][s]) ** 2)), c) for c in sorted(cb)),
+                key=lambda t: (round(t[0], 6), t[1]),
+            )
+            out.append(best[1])
+        return out
+
+    rows = ivfadc_topk(spark, sf_dir).collect()
+    assert rows, "no candidates returned"
+    for r in rows:
+        q = emb[r.probe_id]
+        codes = encode(emb[r.vec_id])
+        dtab = _adc_table([float(x) for x in q], codebook)
+        want = sum(dtab[m * PQ_CODEBOOK + codes[m]] for m in range(PQ_SUBSPACES))
+        assert r.adc_dist == pytest.approx(want, abs=2e-6), (
+            f"probe {r.probe_id} cand {r.vec_id}: {r.adc_dist} vs {want}"
+        )
+
+
+def test_ivfadc_recall_against_bruteforce(spark, sf_dir):
+    """IVF-ADC trades accuracy for 32x compression; it must still agree
+    with the exact L2 brute-force ranking well above chance.  Floor
+    calibrated on the fixture (random vectors — the HARDEST case for
+    PQ; structured real embeddings do far better)."""
+    from newspapers_etl_spark.operators.similarity import N_PROBES, TOP_K
+
+    emb = _embeddings(spark, sf_dir)
+    got: dict[int, set[int]] = {}
+    for r in ivfadc_topk(spark, sf_dir).collect():
+        got.setdefault(r.probe_id, set()).add(r.vec_id)
+    assert set(got) == set(range(N_PROBES))
+    ids = sorted(emb)
+    mat = np.stack([emb[i] for i in ids])
+    hits = total = 0
+    for pid in range(N_PROBES):
+        d = np.sum((mat - emb[pid]) ** 2, axis=1)
+        exact = {ids[i] for i in np.argsort(d)[:TOP_K]}
+        hits += len(exact & got[pid])
+        total += TOP_K
+    recall = hits / total
+    assert recall >= 0.2, f"recall@{TOP_K} vs exact L2 = {recall:.2f}"

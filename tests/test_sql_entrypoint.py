@@ -174,12 +174,20 @@ def test_registry_registration_order_is_contiguous_per_module():
         f"realized {block_order} vs declared {declared}; a top-level "
         "cross-module operator import is splicing a whole block"
     )
-    # And the r4 window design holds: the round's new/rotated families
-    # sit inside the first 50 (the driver's check window).
+    # And the r5 window design holds: every never-driver-hashed query
+    # plus the families CHANGED this round sit inside the first 50
+    # (the driver's check window) — see the rotation ledger in
+    # registry.py.
     window = set(names[:50])
     for required in (
-        "ann_stats", "st_sess", "st_join",
-        "jaccard", "dedup_spans", "dedup_chunks", "overlap",
+        # never hashed before r5
+        "skew", "url_canon", "ppl", "dq_audit", "snap_diff", "ev_anom",
+        "topk_lang", "st_enrich", "st_scd", "st_state", "semdedup",
+        "pq_codes", "win_dist", "cohorts", "scd_enrich",
+        # changed in r5
+        "mm_decode", "mm_frames", "dedup_spans", "cc_clusters",
+        # oldest history (r2)
+        "incr_cont", "incr_verify", "incr_retry",
     ):
         assert required in window, f"{required} fell out of the window"
 
