@@ -341,7 +341,51 @@ def sample_frame_batches(
         )
 
 
-@query("mm_frames")  # rows-only: RMS energy has no closed SQL form
+# The WAV fixture is fully deterministic — sample values are a closed
+# form over the text bytes, n_samples over the text length, and 16-bit
+# PCM round-trips EXACTLY — so DuckDB can recompute every output column
+# including the RMS energy: unnest a per-doc sample index range, rebuild
+# each sample from ord(substr(text, ...)), window into 256-sample
+# frames, keep every 4th.  The hash matches only if the RIFF encode →
+# stdlib-wave decode → windowing pipeline preserves the PCM bit-for-bit.
+# Sums stay exact in doubles (sum of 256 values ≤ 2^30 each < 2^53) and
+# each doc samples ≤ 2 frames, so avg() has no float-order ambiguity.
+FRAMES_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         greatest(1, (256 + (strlen(text) * 13 % 2048)) // {FRAME_SAMPLES})
+           AS n_frames
+  FROM documents
+),
+samp AS (
+  SELECT doc_id, L, text,
+         unnest(range(0, n_frames * {FRAME_SAMPLES})) AS i
+  FROM f
+),
+vals AS (
+  SELECT doc_id,
+         CAST(i // {FRAME_SAMPLES} AS INT) AS fi,
+         ((ord(substr(text, CAST(i % L AS INT) + 1, 1)) * 257 + i * 31)
+           % 65536) - 32768 AS s
+  FROM samp
+),
+frames AS (
+  SELECT doc_id, fi,
+         sqrt(sum(CAST(s AS DOUBLE) * s) / {FRAME_SAMPLES}) AS rms
+  FROM vals
+  WHERE fi % {FRAME_STRIDE} = 0
+  GROUP BY doc_id, fi
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_sampled_frames,
+       CAST(max(fi) AS INT)     AS last_frame_idx,
+       round(avg(rms), 4)       AS avg_feature
+FROM frames
+GROUP BY doc_id
+"""
+
+
+@query("mm_frames", oracle=FRAMES_ORACLE)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample a binary audio column via two mapInPandas stages —
     render genuine RIFF/WAVE PCM, then decode it with the stdlib wave
@@ -350,9 +394,10 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan → ArrowEval render → ArrowEval fan-out (one row per sampled
     frame) → partial agg.  At 100 TB, repartition upstream so one Arrow
     batch of containers fits executor memory, exactly as for the image
-    decode.  The frame-count columns follow a closed form over
-    strlen(text) that tests/test_multimodal.py checks exhaustively; the
-    RMS feature is golden-tested against hand-decoded PCM."""
+    decode.  ORACLE-BACKED since r5: every column — including the RMS
+    energy — follows a closed form over the text bytes that DuckDB
+    recomputes independently (FRAMES_ORACLE above), so the hash match
+    proves the PCM survives the RIFF encode/decode bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("content"))
     wavs = payloads.mapInPandas(render_wav_batches, RENDER_WAV_SCHEMA)
