@@ -142,3 +142,23 @@ def test_ivfadc_recall_against_bruteforce(spark, sf_dir):
         total += TOP_K
     recall = hits / total
     assert recall >= 0.2, f"recall@{TOP_K} vs exact L2 = {recall:.2f}"
+
+
+def test_ivfadc_corpus_never_shuffles_before_probe_join(spark, sf_dir):
+    """The index-scan contract: the corpus side (cell + codes, no raw
+    vectors) must reach the probe join via broadcast hash join with no
+    corpus-side exchange; the only exchange in the plan is the bounded
+    per-probe top-k window."""
+    from newspapers_etl_spark.plans import executed_plan as _plan
+
+    plan = _plan(ivfadc_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "probe set not broadcast"
+    assert "CartesianProduct" not in plan
+    # every non-broadcast exchange must be the top-k window's probe_id
+    # hash partitioning — never the corpus relation
+    for i, chunk in enumerate(plan.split("Exchange ")[1:]):
+        head = chunk.splitlines()[0]
+        if "SinglePartition" in head or "broadcast" in head.lower():
+            continue
+        assert "probe_id" in head, f"unexpected exchange {i}: {head}"
+        assert "embedding" not in head and "codes" not in head
