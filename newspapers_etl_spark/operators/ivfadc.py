@@ -55,6 +55,76 @@ from newspapers_etl_spark.operators.similarity import (
 from newspapers_etl_spark.registry import query
 
 SUB_DIM = EMB_DIM // PQ_SUBSPACES
+CB_ITERATIONS = 2  # Lloyd steps per subspace codebook
+CB_FIT_FRACTION = 0.5  # seeded sample for the fit, like the IVF quantizer
+
+
+def fit_codebook(
+    spark: SparkSession, sf_dir: str, iters: int = CB_ITERATIONS
+) -> list[tuple[int, list[float]]]:
+    """Per-subspace k-means PQ codebook: each of the PQ_SUBSPACES
+    8-dim slices gets its own PQ_CODEBOOK Lloyd-fitted centroids.
+
+    MEASURED on the fixture (uniform random vectors, the adversarial
+    case): the fit LOWERS top-k recall (PQ-only recall@10 0.34 fitted
+    vs 0.40 first-K at sf0.01) — Lloyd centroids contract toward the
+    data mean on uniform data, compressing ADC distances exactly where
+    the ranking needs contrast, while first-K vectors lie ON the data
+    shell.  On real clustered embeddings the fit is the standard win,
+    so ``ivfadc_topk(codebook=fit_codebook(...))`` is the production
+    path and the deterministic first-K set stays the fixture default.
+
+    One pass per iteration fits ALL subspaces: every row explodes to
+    its PQ_SUBSPACES (m, code, slice) assignments (codes from the
+    current literal codebook), and the update is a (m, code)-keyed
+    mean of SUB_DIM components — O(K*dim) floats to the driver per
+    iteration, a model, not data.  Seeds are the first-K vectors, the
+    fit runs on a seeded sample; everything stays deterministic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    fit = e if CB_FIT_FRACTION >= 1.0 else e.sample(CB_FIT_FRACTION, seed=11)
+    codebook = _collect_anchors(spark, sf_dir, k=PQ_CODEBOOK)
+    dim_aggs = [
+        F.avg(F.element_at("sl", d + 1)).alias(f"d{d}") for d in range(SUB_DIM)
+    ]
+    for _ in range(iters):
+        assigned = F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    _nearest_code(m, codebook)["code"].alias("code"),
+                    F.transform(
+                        F.slice("embedding", m * SUB_DIM + 1, SUB_DIM),
+                        lambda x: x.cast("double"),
+                    ).alias("sl"),
+                )
+                for m in range(PQ_SUBSPACES)
+            ]
+        )
+        rows = (
+            fit.select(F.explode(assigned).alias("a"))
+            .select("a.m", "a.code", "a.sl")
+            .groupBy("m", "code")
+            .agg(*dim_aggs)
+            .collect()
+        )
+        updated = {
+            (int(r["m"]), int(r["code"])): [float(r[f"d{d}"]) for d in range(SUB_DIM)]
+            for r in rows
+        }
+        codebook = [
+            (
+                code,
+                [
+                    x
+                    for m in range(PQ_SUBSPACES)
+                    for x in updated.get(
+                        (m, code), vec[m * SUB_DIM : (m + 1) * SUB_DIM]
+                    )
+                ],
+            )
+            for code, vec in codebook
+        ]
+    return codebook
 
 
 def _adc_table(probe: list[float], codebook: list[tuple[int, list[float]]]) -> list[float]:
@@ -83,7 +153,11 @@ def _ranked_cells(probe: list[float], cents: list[tuple[int, list[float]]]) -> l
 
 
 @query("ivfadc")  # rows-only: scores are model-derived, like ivf_topk
-def ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfadc_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    codebook: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
     """PQ-compressed IVF search: returns (probe_id, vec_id, adc_dist,
     rnk) for the TOP_K nearest candidates per probe under asymmetric
     distance, scanning only the probed cells' code rows.
@@ -93,10 +167,16 @@ def ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each probe row carries its M*K-float dtab) → per-row distance is
     PQ_SUBSPACES array lookups folded by one ``aggregate`` → bounded
     window top-k.  The corpus side never shuffles and never carries
-    vectors; at 100 TB the encode output is the stored index."""
+    vectors; at 100 TB the encode output is the stored index.
+
+    ``codebook`` defaults to the deterministic first-K set (see
+    ``fit_codebook`` for the measured fixture trade-off); pass
+    ``fit_codebook(...)`` for the per-subspace k-means production
+    path — the plan is identical either way."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
-    codebook = _collect_anchors(spark, sf_dir, k=PQ_CODEBOOK)
+    if codebook is None:
+        codebook = _collect_anchors(spark, sf_dir, k=PQ_CODEBOOK)
 
     codes = F.array(
         *[_nearest_code(m, codebook)["code"] for m in range(PQ_SUBSPACES)]

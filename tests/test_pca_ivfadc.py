@@ -162,3 +162,30 @@ def test_ivfadc_corpus_never_shuffles_before_probe_join(spark, sf_dir):
             continue
         assert "probe_id" in head, f"unexpected exchange {i}: {head}"
         assert "embedding" not in head and "codes" not in head
+
+
+def test_ivfadc_fitted_codebook_path_runs_and_ranks(spark, sf_dir):
+    """The production codebook source (per-subspace k-means) must plug
+    into the identical plan: same output shape, every probe served,
+    ADC distances non-negative and ranked ascending.  (On the uniform
+    fixture the fit measurably LOWERS recall — see fit_codebook's
+    docstring — so the recall floor is only asserted for the default
+    first-K path above.)"""
+    from newspapers_etl_spark.operators.ivfadc import fit_codebook
+    from newspapers_etl_spark.operators.similarity import N_PROBES, TOP_K
+
+    cb = fit_codebook(spark, sf_dir)
+    assert len(cb) == PQ_CODEBOOK
+    assert all(len(v) == EMB_DIM for _c, v in cb)
+    rows = ivfadc_topk(spark, sf_dir, codebook=cb).collect()
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert set(by_probe) == set(range(N_PROBES))
+    for pid, rs in by_probe.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_K
+        dists = [r.adc_dist for r in rs]
+        assert all(d >= 0 for d in dists)
+        assert dists == sorted(dists)
