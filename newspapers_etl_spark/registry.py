@@ -85,6 +85,7 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.corpus_overlap",      # 2   re-hashed r4
     "newspapers_etl_spark.operators.ivfadc",              # 1   NEW r5 (window-lead r6)
     "newspapers_etl_spark.operators.pca",                 # 2   NEW r5 (window-lead r6)
+    "newspapers_etl_spark.operators.rollup",              # 1   NEW r5 (window-lead r6)
 )
 
 _loaded = False

@@ -313,3 +313,55 @@ def test_peek_ts_encoding_descends_spark_written_dataset_dirs(spark, tmp_path):
     from newspapers_etl_spark.streaming.incremental_stream import _peek_ts_encoding
 
     assert _peek_ts_encoding(str(tmp_path), "events.parquet") in ("tz", "ntz")
+
+
+def test_rollup_merge_equals_direct_at_every_grain(spark, sf_dir):
+    """Mergeability across grains: hour and day rollups computed from
+    minute partials must equal the same grains computed directly from
+    raw events — for every column including the active-minute count."""
+    from pyspark.sql import functions as F
+
+    from newspapers_etl_spark.catalog import load_table
+    from newspapers_etl_spark.operators.rollup import (
+        merge_to_grain,
+        minute_partials,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    partials = minute_partials(e).persist()
+    try:
+        for grain in ("1 hour", "1 day"):
+            merged = {
+                (r["g"]["start"], r["event_type"]): (
+                    r["n_events"], r["sum_v"], r["min_v"], r["max_v"],
+                    r["n_active_minutes"],
+                )
+                for r in merge_to_grain(partials, grain).collect()
+            }
+            direct = {
+                (r["g"]["start"], r["event_type"]): (
+                    r["n_events"], r["sum_v"], r["min_v"], r["max_v"],
+                    r["n_active_minutes"],
+                )
+                for r in e.groupBy(
+                    F.window("ts", grain).alias("g"), "event_type"
+                )
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.sum("value").alias("sum_v"),
+                    F.min("value").alias("min_v"),
+                    F.max("value").alias("max_v"),
+                    F.count_distinct(
+                        F.date_trunc("minute", "ts")
+                    ).alias("n_active_minutes"),
+                )
+                .collect()
+            }
+            assert set(merged) == set(direct), f"{grain}: key sets differ"
+            for k, got in merged.items():
+                want = direct[k]
+                assert got[0] == want[0] and got[4] == want[4], (k, got, want)
+                assert got[1] == pytest.approx(want[1], rel=1e-12)
+                assert got[2] == want[2] and got[3] == want[3]
+    finally:
+        partials.unpersist()
