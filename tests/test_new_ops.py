@@ -365,3 +365,72 @@ def test_rollup_merge_equals_direct_at_every_grain(spark, sf_dir):
                 assert got[2] == want[2] and got[3] == want[3]
     finally:
         partials.unpersist()
+
+
+def test_kmv_sketch_error_bound_and_exact_small_groups(spark, sf_dir):
+    """KMV estimate within the ~1/sqrt(k-2) bound of the exact distinct
+    count for saturated groups; exact for groups under k distinct."""
+    from pyspark.sql import functions as F
+
+    from newspapers_etl_spark.catalog import load_table
+    from newspapers_etl_spark.functions.text import words
+    from newspapers_etl_spark.operators.sketches import KMV_K, kmv_vocabulary_ndv
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = {
+        r.lang: r.n
+        for r in d.select("lang", F.explode(words("text")).alias("t"))
+        .groupBy("lang")
+        .agg(F.count_distinct("t").alias("n"))
+        .collect()
+    }
+    got = {r.lang: (r.n_kept, r.est_ndv) for r in kmv_vocabulary_ndv(spark, sf_dir).collect()}
+    assert set(got) == set(exact)
+    bound = 4.0 / (KMV_K - 2) ** 0.5  # 4 sigma of the KMV relative error
+    for lang, n in exact.items():
+        kept, est = got[lang]
+        if n < KMV_K:
+            assert (kept, est) == (n, float(n)), f"{lang}: small group not exact"
+        else:
+            assert kept == KMV_K
+            rel = abs(est - n) / n
+            assert rel <= bound, f"{lang}: rel err {rel:.3f} > {bound:.3f} (n={n})"
+
+
+def test_kmv_merge_of_parts_equals_sketch_of_whole(spark, sf_dir):
+    """The property that makes KMV a SKETCH: merging two halves' sketch
+    rows (union, keep k smallest) reproduces the whole-corpus sketch
+    EXACTLY — so per-day/per-source summaries compose losslessly."""
+    from pyspark.sql import functions as F
+
+    from newspapers_etl_spark.catalog import load_table
+    from newspapers_etl_spark.functions.text import words
+    from newspapers_etl_spark.operators.sketches import (
+        KMV_K,
+        kmv_sketch,
+    )
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", "doc_id", F.explode(words("text")).alias("tok"))
+    whole = {
+        (r.grp, r.rank): r.u
+        for r in kmv_sketch(toks, "lang", "tok").collect()
+    }
+    halves = [
+        kmv_sketch(toks.filter(F.pmod("doc_id", F.lit(2)) == i), "lang", "tok")
+        for i in (0, 1)
+    ]
+    merged_rows = (
+        halves[0].unionByName(halves[1])
+        .select("grp", "u")
+        .distinct()
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("grp").orderBy(F.asc("u"))),
+        )
+        .filter(F.col("rank") <= KMV_K)
+        .collect()
+    )
+    merged = {(r.grp, r.rank): r.u for r in merged_rows}
+    assert merged == whole, "merged half-sketches diverge from whole-corpus sketch"
