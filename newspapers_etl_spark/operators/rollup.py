@@ -86,7 +86,10 @@ def events_hour_rollup_from_minutes(
     partial relation.  At 100 TB the first stage is the incremental
     materialization and this query runs ONLY the second."""
     e = load_table(spark, sf_dir, "events")
-    hour = merge_to_grain(minute_partials(e), "1 hour")
+    return _present(merge_to_grain(minute_partials(e), "1 hour"))
+
+
+def _present(hour: DataFrame) -> DataFrame:
     return hour.select(
         F.col("g.start").alias("bucket"),
         "event_type",
@@ -100,3 +103,32 @@ def events_hour_rollup_from_minutes(
         F.round(F.round("sum_v", 2) / F.col("n_events"), 4).alias("avg_value"),
         "n_active_minutes",
     )
+
+
+@query("st_rollup", oracle=ROLLUP_ORACLE)
+def stream_maintained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production maintenance path for the continuous aggregate:
+    the minute-grain partials are maintained BY THE STREAMING ENGINE
+    (AvailableNow micro-batches over the events source, complete-mode
+    materialization), and the hour grain merges the materialized
+    partials exactly as the batch query does.  Hash-matching the same
+    raw-table oracle proves BOTH halves at once: micro-batched partial
+    maintenance converges to the batch partials, and the partial-merge
+    loses nothing on top of them.  At 100 TB the memory sink becomes
+    the incrementally-upserted partials table; the merge query is
+    unchanged."""
+    import tempfile
+
+    from newspapers_etl_spark.streaming.incremental_stream import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = read_events_stream(
+        spark, sf_dir, glob="events.parquet", ts_encoding="auto"
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_rollup_")
+    materialized = run_available_now(
+        minute_partials(stream), "stream_rollup_partials", ckpt, "complete"
+    )
+    return _present(merge_to_grain(materialized, "1 hour"))
