@@ -53,3 +53,40 @@ def test_rename_waves_are_acyclic_and_terminate():
         assert all(old != new for old, new in table.items()), (
             f"{wave} contains identity rows"
         )
+
+
+def test_compare_rounds_parses_driver_capture_formats(tmp_path):
+    """tools/compare_rounds must read both capture shapes: the driver's
+    wrapped form (timings under parsed.queries, or recoverable from the
+    raw stdout tail when parsed is null) and bench.py's plain form —
+    and must route names through the rename ledger."""
+    import importlib.util
+    import json as _json
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "compare_rounds", Path(__file__).resolve().parent.parent / "tools" / "compare_rounds.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    plain = tmp_path / "plain.json"
+    plain.write_text(_json.dumps({"queries": {"flagship": 1.0}}))
+    assert mod._load_capture(plain) == {"flagship": 1.0}
+
+    wrapped = tmp_path / "wrapped.json"
+    wrapped.write_text(
+        _json.dumps({"tail": "x", "parsed": {"queries": {"text_lang_id": 2.0}}})
+    )
+    # r4 rename: text_lang_id -> lang_id must resolve through the ledger
+    assert mod._load_capture(wrapped) == {"lang_id": 2.0}
+
+    tail_only = tmp_path / "tail.json"
+    line = _json.dumps({"metric": "wall", "queries": {"agg_approx_distinct": 3.0}})
+    tail_only.write_text(_json.dumps({"tail": "junk\n" + line, "parsed": None}))
+    # chained rename: agg_approx_distinct -> agg_approx_ndv -> agg_ndv
+    assert mod._load_capture(tail_only) == {"agg_ndv": 3.0}
+
+    broken = tmp_path / "broken.json"
+    broken.write_text("{not json")
+    assert mod._load_capture(broken) is None
