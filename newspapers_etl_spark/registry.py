@@ -26,6 +26,15 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
+#   r6 (planned): the six r5-late registrations lead — ivfadc, emb_cov,
+#       pca_proj, ev_rollup, st_rollup, kmv_ndv (never driver-hashed;
+#       each sweep-green + pytest-covered) — then the r3-green families
+#       whose last hash row is oldest (corpus 5, sampling 2,
+#       text_analysis 6, events_windows 6, pandas_surface 3, pipeline 2,
+#       sinks.verified 1 = 25), then relational's first queries to fill
+#       the window to ~50; r5-hashed families (diagnostics..incremental)
+#       ride their fresh history at the back.  Update the window test in
+#       tests/test_sql_entrypoint.py in the same commit.
 #   r5 (executed): every never-driver-hashed query enters the window —
 #       the late-r4 block (diagnostics, url_ops, text_scoring,
 #       data_quality, snapshot_diff, events_analytics, sampling_extended,
