@@ -196,3 +196,72 @@ def test_two_phase_prefix_sum_equals_naive_window(spark, rows, budget):
         .collect()
     }
     assert two_phase == naive
+
+
+# ---------------------------------------------------------------------------
+# Codec round-trips (functions/codecs.py): pure-Python, no Spark job per
+# example, so these run at full hypothesis example counts.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    gray=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_any_pixels(w, h, gray, data):
+    """decode(encode(pixels)) == pixels for ARBITRARY pixel buffers and
+    dimensions, both color types — every scanline filter (y%5) and both
+    bpp paths exercised across random shapes."""
+    from newspapers_etl_spark.functions.codecs import decode_png, encode_png
+
+    channels = 1 if gray else 3
+    n = w * h * channels
+    px = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    )
+    assert decode_png(encode_png(w, h, px, channels)) == (w, h, channels, px)
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=600
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_any_pcm(samples):
+    """RIFF/WAVE 16-bit PCM must round-trip any sample sequence exactly
+    (including empty and full-scale values)."""
+    from newspapers_etl_spark.functions.codecs import decode_wav, encode_wav
+
+    rate, back = decode_wav(encode_wav(samples))
+    assert rate == 8000 and back == samples
+
+
+@given(
+    pos=st.integers(min_value=8, max_value=200),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_bitflip_never_silently_misdecodes(pos, data):
+    """Flipping any byte after the signature either raises PngError or
+    (for bits inside the compressed stream that happen to survive CRC —
+    impossible — or in chunk-length fields caught structurally) never
+    returns a DIFFERENT pixel buffer with ok status."""
+    from newspapers_etl_spark.functions.codecs import (
+        PngError,
+        decode_png,
+        encode_png,
+    )
+
+    px = bytes(data.draw(st.lists(st.integers(0, 255), min_size=48, max_size=48)))
+    png = bytearray(encode_png(4, 4, px, 3))
+    idx = pos % (len(png) - 8) + 8
+    png[idx] ^= 0xFF
+    try:
+        got = decode_png(bytes(png))
+    except PngError:
+        return  # detected — the required outcome
+    assert got == (4, 4, 3, px), "corruption altered output without an error"
