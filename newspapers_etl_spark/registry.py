@@ -96,6 +96,7 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.pca",                 # 2   NEW r5 (window-lead r6)
     "newspapers_etl_spark.operators.rollup",              # 1   NEW r5 (window-lead r6)
     "newspapers_etl_spark.operators.sketches",            # 1   NEW r5 (window-lead r6)
+    "newspapers_etl_spark.sources.text_formats",          # 1   NEW r5 (window-lead r6)
 )
 
 _loaded = False

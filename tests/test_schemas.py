@@ -16,3 +16,41 @@ def test_declared_schema_matches_parquet_footer(spark, sf_dir, name):
     got = [(f.name, f.dataType.simpleString()) for f in actual.fields]
     want = [(f.name, f.dataType.simpleString()) for f in declared.fields]
     assert got == want, f"{name}: parquet footer {got} != declared {want}"
+
+
+def test_csv_audit_quarantines_corrupt_rows(spark, tmp_path):
+    """PERMISSIVE CSV under a declared schema: malformed lines land in
+    _corrupt_record with their original text, good rows parse, and the
+    audit counts both — nothing is dropped silently and nothing kills
+    the job."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from newspapers_etl_spark.sources.text_formats import (
+        CORRUPT_COL,
+        csv_parse_audit,
+        read_csv_with_audit,
+    )
+
+    p = tmp_path / "dump.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alpha,10\n"
+        "2,beta,not_a_number\n"   # type violation -> corrupt
+        "3,gamma,30\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.IntegerType()),
+        ]
+    )
+    df = read_csv_with_audit(spark, str(p), schema)
+    audit = csv_parse_audit(df).first()
+    assert (audit["n_rows"], audit["n_parsed"], audit["n_corrupt"]) == (3, 2, 1)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0][CORRUPT_COL]
+    good = {r.id: r.score for r in df.filter(F.col(CORRUPT_COL).isNull()).collect()}
+    assert good == {1: 10, 3: 30}
+    df.unpersist()
