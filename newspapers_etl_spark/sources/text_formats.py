@@ -27,6 +27,25 @@ from newspapers_etl_spark.registry import query
 CORRUPT_COL = "_corrupt_record"
 
 
+def read_jsonl_with_audit(
+    spark: SparkSession, path: str, schema: T.StructType, **options: str
+) -> DataFrame:
+    """PERMISSIVE JSON-lines read under a DECLARED schema — the LLM
+    corpus interchange format gets the same quarantine discipline as
+    CSV: malformed lines survive in ``_corrupt_record``, the audit
+    counts them, nothing dies and nothing vanishes."""
+    audited = schema.add(T.StructField(CORRUPT_COL, T.StringType()))
+    return (
+        spark.read.options(
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord=CORRUPT_COL,
+            **options,
+        )
+        .schema(audited)
+        .json(path)
+    )
+
+
 def read_csv_with_audit(
     spark: SparkSession, path: str, schema: T.StructType, **options: str
 ) -> DataFrame:
@@ -114,4 +133,48 @@ def csv_roundtrip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_nations"),
             F.sum("n_nationkey").alias("key_sum"),
         )
+    )
+
+
+JSONL_ROUNDTRIP_ORACLE = """
+SELECT lang,
+       source,
+       CAST(count(*) AS BIGINT)       AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)   AS total_chars,
+       min(md5(text))                 AS min_text_md5
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@query("src_jsonl", oracle=JSONL_ROUNDTRIP_ORACLE)
+def jsonl_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the documents table through genuine JSON-lines files
+    (Spark json writer — real escaping of quotes/newlines/unicode in
+    document text) and back under the declared catalog schema, then
+    roll up per (lang, source) with an md5 witness over the text
+    column.  The oracle reads the original parquet: the hash can only
+    match if every document body survived the JSONL encode/decode
+    byte-exactly — the integrity property an LLM-corpus interchange
+    dump needs."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="jsonl_src_")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").json(f"{out}/documents")
+    d_csv = read_jsonl_with_audit(
+        spark,
+        f"{out}/documents",
+        T.StructType(list(SCHEMAS["documents"].fields)),
+    )
+    audit = csv_parse_audit(d_csv).first()
+    if audit["n_corrupt"]:
+        raise ValueError(
+            f"JSONL round-trip produced {audit['n_corrupt']} corrupt rows"
+        )
+    d = d_csv.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min(F.md5(F.encode("text", "UTF-8"))).alias("min_text_md5"),
     )

@@ -54,3 +54,36 @@ def test_csv_audit_quarantines_corrupt_rows(spark, tmp_path):
     good = {r.id: r.score for r in df.filter(F.col(CORRUPT_COL).isNull()).collect()}
     assert good == {1: 10, 3: 30}
     df.unpersist()
+
+
+def test_jsonl_audit_quarantines_malformed_lines(spark, tmp_path):
+    """PERMISSIVE JSONL under a declared schema: a broken line and a
+    type-violating line both land in _corrupt_record; valid docs parse
+    with text intact (including embedded quotes/newlines)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from newspapers_etl_spark.sources.text_formats import (
+        CORRUPT_COL,
+        csv_parse_audit,
+        read_jsonl_with_audit,
+    )
+
+    p = tmp_path / "dump.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "line one\\nline two \\"quoted\\""}\n'
+        '{"doc_id": not_json\n'
+        '{"doc_id": 3, "text": "ok"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = read_jsonl_with_audit(spark, str(p), schema)
+    audit = csv_parse_audit(df).first()
+    assert (audit["n_rows"], audit["n_parsed"], audit["n_corrupt"]) == (3, 2, 1)
+    good = {r.doc_id: r.text for r in df.filter(F.col(CORRUPT_COL).isNull()).collect()}
+    assert good == {1: 'line one\nline two "quoted"', 3: "ok"}
+    df.unpersist()
