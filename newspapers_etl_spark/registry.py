@@ -26,11 +26,12 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
-#   r6 (planned): the six r5-late registrations lead — ivfadc, emb_cov,
-#       pca_proj, ev_rollup, st_rollup, kmv_ndv (never driver-hashed;
-#       each sweep-green + pytest-covered) — then the r3-green families
-#       whose last hash row is oldest (corpus 5, sampling 2,
-#       text_analysis 6, events_windows 6, pandas_surface 3, pipeline 2,
+#   r6 (planned): the eight r5-late registrations lead — ivfadc,
+#       emb_cov, pca_proj, ev_rollup, st_rollup, kmv_ndv, src_csv,
+#       src_jsonl (never driver-hashed; each sweep-green +
+#       pytest-covered) — then the r3-green families whose last hash row
+#       is oldest (corpus 5, sampling 2, text_analysis 6,
+#       events_windows 6, pandas_surface 3, pipeline 2,
 #       sinks.verified 1 = 25), then relational's first queries to fill
 #       the window to ~50; r5-hashed families (diagnostics..incremental)
 #       ride their fresh history at the back.  Update the window test in
@@ -96,7 +97,7 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.pca",                 # 2   NEW r5 (window-lead r6)
     "newspapers_etl_spark.operators.rollup",              # 1   NEW r5 (window-lead r6)
     "newspapers_etl_spark.operators.sketches",            # 1   NEW r5 (window-lead r6)
-    "newspapers_etl_spark.sources.text_formats",          # 1   NEW r5 (window-lead r6)
+    "newspapers_etl_spark.sources.text_formats",          # 2   NEW r5 (window-lead r6)
 )
 
 _loaded = False
