@@ -73,6 +73,12 @@ def fit_codebook(
     shell.  On real clustered embeddings the fit is the standard win,
     so ``ivfadc_topk(codebook=fit_codebook(...))`` is the production
     path and the deterministic first-K set stays the fixture default.
+    (Residual PQ — quantizing x − centroid, the full IVFADC recipe —
+    was also measured: 0.34 vs 0.42 raw within probed cells; worse for
+    the same reason, since the codebook isn't matched to origin-
+    centered residuals.  Uniform random vectors are PQ's adversarial
+    case per Jegou et al. §V, so fixture recall numbers set FLOORS,
+    not expectations.)
 
     One pass per iteration fits ALL subspaces: every row explodes to
     its PQ_SUBSPACES (m, code, slice) assignments (codes from the
