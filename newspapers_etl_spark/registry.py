@@ -81,7 +81,7 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.dedup",               # 10  dedup_spans/cc_clusters CHANGED r5
     "newspapers_etl_spark.operators.incremental",         # 3   last hashed r2
     # ---- exactly 50 queries above: the driver's window ends here ----
-    "newspapers_etl_spark.operators.corpus",              # 5   green r3, unchanged
+    "newspapers_etl_spark.operators.corpus",              # 5   4 green r3; leakage NEW r5 (corpus.py:291), never driver-hashed — window-lead r6
     "newspapers_etl_spark.operators.sampling",            # 2   green r3, unchanged
     "newspapers_etl_spark.operators.text_analysis",       # 6   green r3, unchanged
     "newspapers_etl_spark.operators.events_windows",      # 6   green r3, unchanged
