@@ -89,6 +89,15 @@ SELECT 'documents', 'k_anon_5',
        CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
 FROM (SELECT lang, source, count(*) AS n
       FROM documents GROUP BY lang, source) g
+UNION ALL
+SELECT 'embeddings', 'zero_norm',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN embedding IS NULL
+                      OR len(embedding) = 0
+                      OR len(list_filter(embedding, x -> x IS NULL OR isnan(x))) > 0
+                      OR list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+                 THEN 1 ELSE 0 END) AS BIGINT)
+FROM embeddings
 """
 
 
@@ -161,7 +170,8 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full expectations suite over the snapshot: domain bounds and
     consistency (fused single-scan conditional aggregates), PK
     uniqueness, FK orphans, parent-coverage, and k-anonymity over the
-    (lang, source) quasi-identifier — 11 checks, 11 rows."""
+    (lang, source) quasi-identifier, and embedding-vector health
+    (NaN / zero-norm) — 12 checks, 12 rows."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -191,5 +201,25 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _pk_check(documents, "doc_id", "documents"),
         _k_anon_check(documents, ["lang", "source"], 5, "documents"),
+        _embedding_health_check(load_table(spark, sf_dir, "embeddings")),
     ]
     return reduce(DataFrame.unionByName, parts)
+
+
+def _embedding_health_check(embeddings: DataFrame) -> DataFrame:
+    """Embedding-vector health: NULL/empty vectors, NaN/NULL elements,
+    and exact-zero norm (an un-normalizable vector poisons every cosine
+    downstream — similarity, SemDeDup, IVF assignment).  One conditional
+    aggregate over a single scan; the sum-of-squares is exactly 0.0 only
+    when every element is exactly 0, so the check is order-independent
+    and oracle-mirrorable despite float addition."""
+    sq_norm = F.aggregate(
+        "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    bad = (
+        F.col("embedding").isNull()
+        | (F.size("embedding") == 0)
+        | F.exists("embedding", lambda x: x.isNull() | F.isnan(x))
+        | (sq_norm == 0.0)
+    )
+    return _domain_checks(embeddings, "embeddings", [("zero_norm", bad)])

@@ -66,6 +66,17 @@ def test_dq_audit_counts_planted_violations(spark, tmp_path):
         ],
         "doc_id long, text string, n_chars long, lang string, source string",
     )
+    _write(
+        spark, tmp_path, "embeddings",
+        # clean; exact-zero norm; NaN element; empty vector
+        [
+            (1, [1.0, 2.0]),
+            (2, [0.0, 0.0]),
+            (3, [float("nan"), 1.0]),
+            (4, []),
+        ],
+        "vec_id long, embedding array<float>",
+    )
     got = {
         (r["tbl"], r["chk"]): (r["n_rows"], r["n_bad"])
         for r in dq_audit(spark, str(tmp_path)).collect()
@@ -82,6 +93,8 @@ def test_dq_audit_counts_planted_violations(spark, tmp_path):
     assert got[("documents", "pk_unique")] == (4, 1)
     # n_rows = quasi-groups (2), n_bad = groups under k=5 (both)
     assert got[("documents", "k_anon_5")] == (2, 2)
+    # zero-norm + NaN element + empty vector are all unhealthy
+    assert got[("embeddings", "zero_norm")] == (4, 3)
 
 
 # ---------------------------------------------------------------------------
