@@ -98,6 +98,7 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.rollup",              # 1   NEW r5 (window-lead r6)
     "newspapers_etl_spark.operators.sketches",            # 1   NEW r5 (window-lead r6)
     "newspapers_etl_spark.sources.text_formats",          # 2   NEW r5 (window-lead r6)
+    "newspapers_etl_spark.operators.dedup_scale",         # 1   NEW r6 (sh32)
 )
 
 _loaded = False

@@ -332,3 +332,39 @@ def test_prefix_join_pairs_equal_bruteforce(spark, sf_dir):
         f"missing={set(brute) - set(got)} extra={set(got) - set(brute)}"
     )
     assert brute, "fixture planted no near-dup pairs at this threshold"
+
+
+def test_sh32_matches_brute_force_hamming3(spark, sf_dir):
+    """The registered 32-bit production-width query (operators.dedup_scale)
+    must return EXACTLY the brute-force pair set at Hamming <= 3 over the
+    32-bit simhash — recall (Manku guarantee) AND precision (popcount
+    verify) together, end-to-end on the fixture corpus.  Brute force runs
+    driver-side over the 500 collected (doc_id, hash) pairs: test-only,
+    the registered query itself never collects."""
+    from newspapers_etl_spark.catalog import load_table
+    from newspapers_etl_spark.operators.dedup_scale import (
+        SIMHASH32_BITS,
+        SIMHASH32_HAMMING_D,
+        dedup_simhash32_neardup_pairs,
+    )
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup_simhash32_neardup_pairs(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    members = d.select(
+        "doc_id", simhash("text", bits=SIMHASH32_BITS).alias("sh")
+    ).collect()
+    brute = {}
+    for i, a in enumerate(members):
+        for b in members[i + 1 :]:
+            ham = bin(a.sh ^ b.sh).count("1")
+            if ham <= SIMHASH32_HAMMING_D:
+                key = (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id))
+                brute[key] = ham
+    assert got == brute, (
+        f"sh32 diverges from brute force: "
+        f"missing={set(brute) - set(got)} extra={set(got) - set(brute)}"
+    )
+    assert brute, "fixture planted no pairs at Hamming <= 3"
