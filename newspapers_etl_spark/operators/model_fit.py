@@ -1,0 +1,85 @@
+"""Registered bench handles for the fitted-model production paths.
+
+``fit_codebook`` (operators/ivfadc.py), ``fit_pca`` (operators/pca.py)
+and ``fit_anchors`` (operators/semantic_dedup.py) are the at-scale
+model-fitting loops — sampled Lloyd iterations and the distributed
+covariance pull — but they were reachable only as optional parameters
+of the encode/search queries, so their cost had no per-round bench
+number and a regression in a fit loop was invisible (VERDICT r5 #4).
+
+Each query here runs one fit end-to-end and returns the MODEL as rows
+(code/component × dimension × value) — model-sized output by
+construction, so the measured time is the distributed fit itself, not
+result materialization.  All three are rows-only: fitted floats are
+engine-/BLAS-specific (seeded and deterministic per build, but not
+oracle-portable); the semantic contracts live in the existing pytest
+batteries (ADC identity + recall for the codebook, orthonormality +
+NumPy equality for PCA, assignment-plan equivalence for anchors).
+
+Lazy imports throughout: the source modules register their own queries
+at import time, and a top-level import here would splice their blocks
+into this module's registry slot
+(test_registry_registration_order_is_contiguous_per_module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from newspapers_etl_spark.registry import query
+
+
+def _model_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """Driver-built model relation — O(model) rows, the same legitimate
+    scale posture as the literal centroid/anchor embeds."""
+    return spark.createDataFrame(rows, schema)
+
+
+@query("fit_pq")  # rows-only: fitted floats are model-derived
+def fit_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace k-means PQ codebook fit (CB_ITERATIONS Lloyd steps
+    over a seeded half sample, one pass per step fitting ALL subspaces).
+    Output: (code, dim, val) — PQ_CODEBOOK × EMB_DIM rows."""
+    from newspapers_etl_spark.operators.ivfadc import fit_codebook
+
+    codebook = fit_codebook(spark, sf_dir)
+    rows = [
+        (int(code), int(d), round(float(x), 6))
+        for code, vec in codebook
+        for d, x in enumerate(vec)
+    ]
+    return _model_df(spark, rows, "code int, dim int, val double")
+
+
+@query("fit_pca")  # rows-only: eigenvector floats are model-derived
+def fit_pca_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA fit: d² covariance (map-side partials, d²-key
+    shuffle) + d-vector mean + driver eigh.  Output: (component, dim,
+    loading, eigenvalue) — PCA_K × EMB_DIM rows."""
+    from newspapers_etl_spark.operators.pca import PCA_K, fit_pca
+
+    _mean, comps, eigvals = fit_pca(spark, sf_dir, PCA_K)
+    rows = [
+        (int(c), int(d), round(float(x), 6), round(float(eigvals[c]), 6))
+        for c, vec in enumerate(comps)
+        for d, x in enumerate(vec)
+    ]
+    return _model_df(
+        spark, rows, "component int, dim int, loading double, eigenvalue double"
+    )
+
+
+@query("fit_anc")  # rows-only: fitted floats are model-derived
+def fit_anchor_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Lloyd k-means anchor fit (the SemDeDup production anchor
+    source, reusing similarity's _centroids).  Output: (anchor_id, dim,
+    val) — N_ANCHORS × EMB_DIM rows."""
+    from newspapers_etl_spark.operators.semantic_dedup import fit_anchors
+
+    anchors = fit_anchors(spark, sf_dir)
+    rows = [
+        (int(aid), int(d), round(float(x), 6))
+        for aid, vec in anchors
+        for d, x in enumerate(vec)
+    ]
+    return _model_df(spark, rows, "anchor_id int, dim int, val double")

@@ -99,6 +99,7 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.sketches",            # 1   NEW r5 (window-lead r6)
     "newspapers_etl_spark.sources.text_formats",          # 2   NEW r5 (window-lead r6)
     "newspapers_etl_spark.operators.dedup_scale",         # 1   NEW r6 (sh32)
+    "newspapers_etl_spark.operators.model_fit",           # 3   NEW r6 (fit_pq/fit_pca/fit_anc)
 )
 
 _loaded = False
