@@ -59,8 +59,46 @@ CB_ITERATIONS = 2  # Lloyd steps per subspace codebook
 CB_FIT_FRACTION = 0.5  # seeded sample for the fit, like the IVF quantizer
 
 
+def _residual_of(cents: list[tuple[int, list[float]]], cell):
+    """x − centroid[cell] as a map-side expression over columns
+    ``embedding`` and the given cell column: the centroid matrix enters
+    the plan as ONE literal array-of-arrays indexed by the row's
+    assigned cell (cells are 0..k−1 by construction — first-k seeds)."""
+    mat = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in vec])
+            for _cid, vec in sorted(cents)
+        ]
+    )
+    cell_col = F.col(cell) if isinstance(cell, str) else cell
+    return F.zip_with(
+        "embedding",
+        F.element_at(mat, cell_col + 1),
+        lambda x, c: x.cast("double") - c,
+    )
+
+
+def _seed_residual_codebook(
+    spark: SparkSession, sf_dir: str, cents: list[tuple[int, list[float]]]
+) -> list[tuple[int, list[float]]]:
+    """Residual-space seeds: the first PQ_CODEBOOK vectors, each centered
+    on its own nearest cell.  Cell assignment mirrors _nearest_cell
+    (argmax dot, ties to the smallest cell id), computed driver-side
+    over K vectors × the already-pulled centroid model."""
+    seeds = []
+    for code, vec in _collect_anchors(spark, sf_dir, k=PQ_CODEBOOK):
+        _neg, _cid, cvec = min(
+            (-sum(x * y for x, y in zip(vec, c)), cid, c) for cid, c in cents
+        )
+        seeds.append((code, [x - y for x, y in zip(vec, cvec)]))
+    return seeds
+
+
 def fit_codebook(
-    spark: SparkSession, sf_dir: str, iters: int = CB_ITERATIONS
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = CB_ITERATIONS,
+    residual: bool = False,
 ) -> list[tuple[int, list[float]]]:
     """Per-subspace k-means PQ codebook: each of the PQ_SUBSPACES
     8-dim slices gets its own PQ_CODEBOOK Lloyd-fitted centroids.
@@ -78,7 +116,16 @@ def fit_codebook(
     the same reason, since the codebook isn't matched to origin-
     centered residuals.  Uniform random vectors are PQ's adversarial
     case per Jegou et al. §V, so fixture recall numbers set FLOORS,
-    not expectations.)
+    not expectations.  On a CLUSTERED fixture — mixture of Gaussians,
+    the shape real embedding corpora have — both claims flip as the
+    literature predicts, pytest-proven in tests/test_ivfadc_clustered.py:
+    the fitted codebook beats first-K and residual PQ beats both.)
+
+    ``residual=True`` fits the codebook on x − centroid[cell] residuals
+    (the full IVFADC recipe): cells come from the same IVF coarse
+    quantizer the search uses, the centering is a map-side literal
+    matrix lookup, and the seeds are the first-K vectors' residuals
+    (computed driver-side from the O(model) centroid pull).
 
     One pass per iteration fits ALL subspaces: every row explodes to
     its PQ_SUBSPACES (m, code, slice) assignments (codes from the
@@ -88,7 +135,16 @@ def fit_codebook(
     fit runs on a seeded sample; everything stays deterministic."""
     e = load_table(spark, sf_dir, "embeddings")
     fit = e if CB_FIT_FRACTION >= 1.0 else e.sample(CB_FIT_FRACTION, seed=11)
-    codebook = _collect_anchors(spark, sf_dir, k=PQ_CODEBOOK)
+    if residual:
+        cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
+        fit = fit.select(
+            "embedding", _nearest_cell("embedding", cents).alias("cell")
+        )
+        vcol = _residual_of(cents, "cell")
+        codebook = _seed_residual_codebook(spark, sf_dir, cents)
+    else:
+        vcol = F.col("embedding")
+        codebook = _collect_anchors(spark, sf_dir, k=PQ_CODEBOOK)
     dim_aggs = [
         F.avg(F.element_at("sl", d + 1)).alias(f"d{d}") for d in range(SUB_DIM)
     ]
@@ -97,9 +153,9 @@ def fit_codebook(
             *[
                 F.struct(
                     F.lit(m).alias("m"),
-                    _nearest_code(m, codebook)["code"].alias("code"),
+                    _nearest_code(m, codebook, vcol)["code"].alias("code"),
                     F.transform(
-                        F.slice("embedding", m * SUB_DIM + 1, SUB_DIM),
+                        F.slice(vcol, m * SUB_DIM + 1, SUB_DIM),
                         lambda x: x.cast("double"),
                     ).alias("sl"),
                 )
@@ -163,6 +219,7 @@ def ivfadc_topk(
     spark: SparkSession,
     sf_dir: str,
     codebook: list[tuple[int, list[float]]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """PQ-compressed IVF search: returns (probe_id, vec_id, adc_dist,
     rnk) for the TOP_K nearest candidates per probe under asymmetric
@@ -178,21 +235,36 @@ def ivfadc_topk(
     ``codebook`` defaults to the deterministic first-K set (see
     ``fit_codebook`` for the measured fixture trade-off); pass
     ``fit_codebook(...)`` for the per-subspace k-means production
-    path — the plan is identical either way."""
+    path — the plan is identical either way.  ``residual=True`` is the
+    full IVFADC recipe: codes quantize x − centroid[cell] (pass a
+    codebook fitted with ``fit_codebook(residual=True)``), and each
+    probe's ADC table is built per probed CELL from q − centroid[cell]
+    — the probe relation grows by nothing (it already carries one row
+    per (probe, cell)), and the corpus-side plan is unchanged: one
+    map-only encode with a literal centering matrix, codes only."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
     if codebook is None:
         codebook = _collect_anchors(spark, sf_dir, k=PQ_CODEBOOK)
 
+    if residual:
+        # Two-stage select so the cell assignment fold runs once and the
+        # centering matrix indexes the materialized cell column.
+        staged = e.select(
+            "vec_id", "embedding", _nearest_cell("embedding", cents).alias("cell")
+        )
+        vcol = _residual_of(cents, "cell")
+    else:
+        staged = e.select(
+            "vec_id", "embedding", _nearest_cell("embedding", cents).alias("cell")
+        )
+        vcol = F.col("embedding")
     codes = F.array(
-        *[_nearest_code(m, codebook)["code"] for m in range(PQ_SUBSPACES)]
+        *[_nearest_code(m, codebook, vcol)["code"] for m in range(PQ_SUBSPACES)]
     )
-    corpus = e.select(
-        "vec_id",
-        _nearest_cell("embedding", cents).alias("cell"),
-        codes.alias("codes"),
-    )
+    corpus = staged.select("vec_id", "cell", codes.alias("codes"))
 
+    cent_by_id = {cid: c for cid, c in cents}
     probe_rows = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in e.filter(F.col("vec_id") < N_PROBES)
@@ -201,7 +273,16 @@ def ivfadc_topk(
     ]
     probe_df = spark.createDataFrame(
         [
-            (pid, cell, _adc_table(vec, codebook))
+            (
+                pid,
+                cell,
+                _adc_table(
+                    [x - y for x, y in zip(vec, cent_by_id[cell])]
+                    if residual
+                    else vec,
+                    codebook,
+                ),
+            )
             for pid, vec in probe_rows
             for cell in _ranked_cells(vec, cents)
         ],

@@ -243,15 +243,22 @@ def semdedup(
     )
 
 
-def _nearest_code(sub: int, codebook: list[tuple[int, list[float]]]) -> Column:
+def _nearest_code(
+    sub: int,
+    codebook: list[tuple[int, list[float]]],
+    vec: Column | str = "embedding",
+) -> Column:
     """Map-side argmin of rounded squared L2 distance between this
     subspace's slice and each codebook entry; ties -> smallest code
     (array_min on struct(dist, code)).  The per-subspace codebook is a
     literal array-of-arrays looped by ONE transform — not per-code
-    unrolled folds (see _nearest_anchor)."""
+    unrolled folds (see _nearest_anchor).  ``vec`` defaults to the raw
+    embedding column; the residual-PQ path (operators/ivfadc.py) passes
+    the centered x − centroid[cell] expression instead — same plan
+    shape, still map-only."""
     lo = sub * (EMB_DIM // PQ_SUBSPACES) + 1  # F.slice is 1-based
     width = EMB_DIM // PQ_SUBSPACES
-    sl = F.slice("embedding", lo, width)
+    sl = F.slice(vec, lo, width)
     mat = F.array(*[_lit_vec(vec[lo - 1 : lo - 1 + width]) for _, vec in codebook])
     codes = F.array(*[F.lit(code) for code, _ in codebook])
     entries = F.transform(
