@@ -174,20 +174,19 @@ def test_registry_registration_order_is_contiguous_per_module():
         f"realized {block_order} vs declared {declared}; a top-level "
         "cross-module operator import is splicing a whole block"
     )
-    # And the r5 window design holds: every never-driver-hashed query
+    # And the r6 window design holds: every never-driver-hashed query
     # plus the families CHANGED this round sit inside the first 50
     # (the driver's check window) — see the rotation ledger in
     # registry.py.
     window = set(names[:50])
     for required in (
-        # never hashed before r5
-        "skew", "url_canon", "ppl", "dq_audit", "snap_diff", "ev_anom",
-        "topk_lang", "st_enrich", "st_scd", "st_state", "semdedup",
-        "pq_codes", "win_dist", "cohorts", "scd_enrich",
-        # changed in r5
-        "mm_decode", "mm_frames", "dedup_spans", "cc_clusters",
-        # oldest history (r2)
-        "incr_cont", "incr_verify", "incr_retry",
+        # never hashed before r6 (r5-late registrations + leakage)
+        "ivfadc", "emb_cov", "pca_proj", "ev_rollup", "st_rollup",
+        "kmv_ndv", "src_csv", "src_jsonl", "leakage",
+        # new in r6
+        "sh32", "fit_pq", "fit_pca", "fit_anc",
+        # changed in r6 (residual-PQ plumbing; embedding health check)
+        "pq_codes", "semdedup", "dq_audit",
     ):
         assert required in window, f"{required} fell out of the window"
 
