@@ -189,3 +189,38 @@ def test_ivfadc_fitted_codebook_path_runs_and_ranks(spark, sf_dir):
         dists = [r.adc_dist for r in rs]
         assert all(d >= 0 for d in dists)
         assert dists == sorted(dists)
+
+
+def test_ivfadc_residual_path_keeps_corpus_map_only(spark, sf_dir):
+    """The residual recipe must not change the index-scan contract: the
+    centering matrix is a literal indexed by the assigned cell, so the
+    corpus side still reaches the probe join broadcast-joined with no
+    corpus-side exchange, and raw vectors still never enter an exchange.
+    Output contract mirrors the fitted-path test."""
+    from newspapers_etl_spark.operators.ivfadc import fit_codebook
+    from newspapers_etl_spark.operators.similarity import N_PROBES, TOP_K
+    from newspapers_etl_spark.plans import executed_plan as _plan
+
+    cb = fit_codebook(spark, sf_dir, residual=True)
+    assert len(cb) == PQ_CODEBOOK
+    df = ivfadc_topk(spark, sf_dir, codebook=cb, residual=True)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, "probe set not broadcast"
+    assert "CartesianProduct" not in plan
+    for i, chunk in enumerate(plan.split("Exchange ")[1:]):
+        head = chunk.splitlines()[0]
+        if "SinglePartition" in head or "broadcast" in head.lower():
+            continue
+        assert "probe_id" in head, f"unexpected exchange {i}: {head}"
+        assert "embedding" not in head and "codes" not in head
+    by_probe: dict[int, list] = {}
+    for r in df.collect():
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert set(by_probe) == set(range(N_PROBES))
+    for _pid, rs in by_probe.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_K
+        dists = [r.adc_dist for r in rs]
+        assert all(d >= 0 for d in dists)
+        assert dists == sorted(dists)
