@@ -15,7 +15,7 @@ Scale design:
   on text.  For a daily-batch cadence, bucket the history table by
   fingerprint so each day's join is co-located (no history re-shuffle).
 - Split membership is a map-side expression over md5 of the stable key
-  (same primitive as ``samp_strat``): zero shuffles before the
+  (same primitive as ``strat``): zero shuffles before the
   per-split accounting, reproducible on any engine or layout.
 - The quality scorer is hashing-trick linear inference with
   integer-quantized weights: token → md5 → bucket → int weight, folded
@@ -62,7 +62,7 @@ GROUP BY b.lang
 """
 
 
-@query("dedup_incr", oracle=DEDUP_INCR_ORACLE)
+@query("dd_incr", oracle=DEDUP_INCR_ORACLE)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-snapshot dedup: the new batch (sources
     src10+) joined against the distinct fingerprints of the historical
@@ -125,7 +125,7 @@ GROUP BY split
 """
 
 
-@query("split_3way", oracle=SPLIT_ORACLE)
+@query("split3", oracle=SPLIT_ORACLE)
 def split_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by md5-prefix range over the
     stable key, with per-split document and token accounting.  The
@@ -179,7 +179,7 @@ GROUP BY source
 """
 
 
-@query("quality_clf", oracle=QUALITY_CLF_ORACLE)
+@query("qual_clf", oracle=QUALITY_CLF_ORACLE)
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick linear quality classifier over documents: each
     token hashes (md5 first hex digit) to one of 16 buckets carrying an
@@ -232,7 +232,7 @@ FROM agg
 """
 
 
-@query("corpus_mix", oracle=CORPUS_MIX_ORACLE)
+@query("corp_mix", oracle=CORPUS_MIX_ORACLE)
 def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus mixture statistics: document/token totals,
     token share, and a temperature-scaled sampling weight (sqrt of the
@@ -294,12 +294,12 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same order-insensitive content fingerprint) that landed in
     DIFFERENT splits of the deterministic 3-way split — exactly the
     train/test leakage that inflates every downstream eval.  Composes
-    two already-verified primitives (`split_3way`'s md5-range split,
+    two already-verified primitives (`split3`'s md5-range split,
     `text_fp`'s fingerprint), so the audit itself is oracle-checkable.
 
     Scale: the self-join keys on the 32-hex-char fingerprint — the
     shuffle carries (fp, doc_id, split), never text; duplicate-cluster
-    sizes bound each join group (the same guarantee `dedup_exact`
+    sizes bound each join group (the same guarantee `dd_exact`
     relies on).  Counts roll up per unordered split pair."""
     d = load_table(spark, sf_dir, "documents")
     pre = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)

@@ -10,7 +10,7 @@ the document-level dedup family (operators/dedup.py) cannot express:
   partially-copied passages that whole-document fingerprints miss —
   the sf0.01 fixture has 22 documents with PARTIAL chunk duplication
   and zero fully-duplicated ones, i.e. exactly the population invisible
-  to ``dedup_exact``.
+  to ``dd_exact``.
 - **Cross-source shingle overlap**: the pairwise trigram-Jaccard
   matrix across sources — the "which feeds mirror each other"
   diagnostic a pipeline consults before weighting a corpus mix
@@ -72,7 +72,7 @@ FROM m GROUP BY doc_id
 """
 
 
-@query("dedup_chunks", oracle=CHUNK_DEDUP_ORACLE)
+@query("dd_chunk", oracle=CHUNK_DEDUP_ORACLE)
 def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level exact dedup: per document, how many
     {CHUNK_TOKENS}-token chunks it contains and how many of them are

@@ -48,7 +48,7 @@ GROUP BY fingerprint
 """
 
 
-@query("dedup_exact", oracle=EXACT_DEDUP_ORACLE)
+@query("dd_exact", oracle=EXACT_DEDUP_ORACLE)
 def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup as hash-groupBy on the order-insensitive content
     fingerprint: keeper = lowest doc_id per group.  The 16-byte key is
@@ -296,7 +296,7 @@ FROM perdoc p LEFT JOIN dup d ON p.doc_id = d.doc_id
 """
 
 
-@query("dedup_spans", oracle=SPANS_ORACLE)
+@query("dd_spans", oracle=SPANS_ORACLE)
 def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplication ratio over k-token rolling windows — the
     ExactSubstr signal (Lee et al., "Deduplicating Training Data Makes
@@ -581,7 +581,7 @@ def dedup_minhash_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_VERIFY_THRESHOLD = 0.8
 
 
-@query("lsh_verify")  # rows-only: candidate set is hash-derived
+@query("lsh_ver")  # rows-only: candidate set is hash-derived
 def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE MinHash near-dedup pipeline in one query:
     shingle → signature → banded buckets → candidate pairs → exact
@@ -721,7 +721,7 @@ SELECT * FROM (
 """
 
 
-@query("dedup_emb", oracle=EMBED_NEARDUP_ORACLE)
+@query("dd_emb", oracle=EMBED_NEARDUP_ORACLE)
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: candidates
     are pairs colliding in ANY of EMB_LSH_TABLES sign-pattern bucket
@@ -970,7 +970,7 @@ def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(within)
 
 
-@query("sh_buckets")  # rows-only: hash values are engine-specific
+@query("sh_bkts")  # rows-only: hash values are engine-specific
 def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-table SimHash bucket statistics — the skew/fan-out diagnostic
     for the Manku multi-table blocking: per table, how many distinct
@@ -1190,7 +1190,7 @@ FROM lab
 """
 
 
-@query("cc_clusters", oracle=CLUSTERS_ORACLE)
+@query("cc_clust", oracle=CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified near-duplicate pair graph
     (pairs from dedup_emb_neardup, whose LSH planes are oracle-mirrored)

@@ -2,7 +2,7 @@
 near-dup join, registered so the shape actually used at corpus scale
 has a bench number.
 
-The registered ``sh_pairs``/``sh_buckets`` queries run the 16-bit
+The registered ``sh_pairs``/``sh_bkts`` queries run the 16-bit
 FIXTURE hash (operators/dedup.py:796) to keep the bench comparable
 across rounds; the recall guarantee of the wide construction was until
 now verified only in tests/test_dedup_recall.py.  This module

@@ -166,7 +166,7 @@ GROUP BY e.event_type, s.q1, s.q3
 """
 
 
-@query("ev_outliers", oracle=OUTLIERS_ORACLE)
+@query("ev_outlr", oracle=OUTLIERS_ORACLE)
 def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier accounting per event type: exact
     linearly-interpolated quartiles (bit-identical to DuckDB's
@@ -175,7 +175,7 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-type quartiles are an O(types)-row broadcast joined back
     onto the one fact scan; exact percentile state at the type grain
     is bounded by per-type cardinality, the scale cost is the sort
-    inside each type partition (t-digest `agg_tdigest` is the sketch
+    inside each type partition (t-digest `tdigest` is the sketch
     path when even that is too much)."""
     e = load_table(spark, sf_dir, "events")
     stats = e.groupBy("event_type").agg(

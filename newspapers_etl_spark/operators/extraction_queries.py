@@ -267,7 +267,7 @@ GROUP BY lang
 """
 
 
-@query("filt_rlike", oracle=RLIKE_ORACLE)
+@query("rlike", oracle=RLIKE_ORACLE)
 def filter_rlike_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6: reject rows whose date doesn't match ^\\d{4}-\\d{2}-\\d{2}$
     (reference scrape_by_date_range validation,

@@ -106,7 +106,7 @@ FROM expected e LEFT JOIN delivered d ON e.day = d.day
 """
 
 
-@query("incr_verify", oracle=VERIFY_ORACLE)
+@query("incr_ver", oracle=VERIFY_ORACLE)
 def incr_verify_day_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The *verify-month* op (declared but unimplemented in the
     reference, main.yml:23): expected-vs-delivered counts per day
@@ -150,7 +150,7 @@ FROM events ev SEMI JOIN incomplete i
 """
 
 
-@query("incr_retry", oracle=RETRY_ORACLE)
+@query("incr_rty", oracle=RETRY_ORACLE)
 def incr_retry_failed_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The *retry-failed* op: full rows for exactly the day partitions
     the audit flags incomplete — partition-grain replay, the reference's

@@ -188,7 +188,7 @@ GROUP BY label
 """
 
 
-@query("pd_quantize", oracle=QUANTIZE_ORACLE)
+@query("pd_quant", oracle=QUANTIZE_ORACLE)
 def pd_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantize embeddings to int8 range in a pandas_udf, then reduce
     JVM-side (aggregate/filter higher-order fns) to per-label L1 mass and

@@ -123,7 +123,7 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-@query("q1_pricing", oracle=Q1_ORACLE)
+@query("q1_price", oracle=Q1_ORACLE)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the canonical partial-agg showcase —
     map-side combine collapses every scan partition to ≤6 rows pre-shuffle."""
@@ -153,7 +153,7 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
-@query("agg_rollup", oracle=ROLLUP_ORACLE)
+@query("agg_roll", oracle=ROLLUP_ORACLE)
 def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (absent from the reference — SURVEY §2.4 lists
     grouping sets as a built-in the rebuild exposes)."""
@@ -411,7 +411,7 @@ GROUP BY 1
 """
 
 
-@query("join_range", oracle=RANGE_JOIN_ORACLE)
+@query("jrange", oracle=RANGE_JOIN_ORACLE)
 def join_range_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-join with a range residual (ship > order + 90d) — the equi key
     carries the shuffle, the range predicate evaluates post-match, so this
@@ -478,7 +478,7 @@ FROM orders
 """
 
 
-@query("win_frames", oracle=RUNNING_ORACLE)
+@query("win_frm", oracle=RUNNING_ORACLE)
 def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic windows: running frame sum, lag delta, rank — one shuffle on
     o_custkey serves all three (same partitioning/ordering)."""
@@ -509,7 +509,7 @@ LIMIT 10
 """
 
 
-@query("topk_lines", oracle=TOPK_ORACLE)
+@query("topk_ln", oracle=TOPK_ORACLE)
 def topk_net_price_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: Catalyst plans TakeOrderedAndProject — per-partition
     heap of k then a k-row merge on the driver, no global sort at 100 TB."""
@@ -595,7 +595,7 @@ GROUP BY l_orderkey
 """
 
 
-@query("agg_collect", oracle=COLLECT_ORACLE)
+@query("agg_coll", oracle=COLLECT_ORACLE)
 def agg_collect_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group collection (A4; reference accumulates per-issue filename
     lists, src/01-scrape-images.py:330-343).  collect_list is arrival-order
@@ -671,7 +671,7 @@ HAVING count(*) >= 5
 """
 
 
-@query("expl_words", oracle=EXPLODE_ORACLE)
+@query("expl_wrd", oracle=EXPLODE_ORACLE)
 def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Issue→files 1:N fan-out (J3, reference download_newspaper_issue
     src/01-scrape-images.py:440-459) as explode + count."""

@@ -43,7 +43,7 @@ LIMIT 10
 """
 
 
-@query("q3_shipping", oracle=Q3_ORACLE)
+@query("q3_ship", oracle=Q3_ORACLE)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment-filtered customers ⋈ date-filtered orders
     ⋈ lineitem, revenue per order, top 10.  Both date predicates push to
@@ -184,7 +184,7 @@ FROM manifests m LEFT JOIN (
 """
 
 
-@query("expl_outer", oracle=EXPLODE_OUTER_ORACLE)
+@query("expl_out", oracle=EXPLODE_OUTER_ORACLE)
 def explode_outer_empty_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode_outer: the issue→files fan-out (J3) that KEEPS issues
     whose manifest has no pages (NULL page row) — a plain explode
@@ -255,7 +255,7 @@ GROUP BY l_returnflag
 """
 
 
-@query("agg_tdigest")  # rows-only: t-digest estimates are engine-specific
+@query("tdigest")  # rows-only: t-digest estimates are engine-specific
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile path: percentile_approx (t-digest sketch) —
     mergeable partial state, bounded memory per group regardless of

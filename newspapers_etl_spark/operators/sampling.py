@@ -48,7 +48,7 @@ GROUP BY lang
 """
 
 
-@query("samp_strat", oracle=SAMPLE_ORACLE)
+@query("strat", oracle=SAMPLE_ORACLE)
 def sample_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum accounting of a deterministic ~20% hash sample over
     documents: total vs sampled per lang, with the realized ratio.  The

@@ -103,7 +103,7 @@ WHERE cum_tokens <= {TOK_BUDGET}
 """
 
 
-@query("tok_budget", oracle=TOK_BUDGET_ORACLE)
+@query("tok_bud", oracle=TOK_BUDGET_ORACLE)
 def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Select documents per source up to a fixed TOKEN budget — the
     corpus-mixing primitive when the recipe says "N billion tokens of
@@ -217,14 +217,14 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
 """
 
 
-@query("qual_sample", oracle=QUAL_SAMPLE_ORACLE)
+@query("qual_samp", oracle=QUAL_SAMPLE_ORACLE)
 def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft quality filtering: keep a document with probability equal to
     its quality score, instead of a hard threshold — the FineWeb-style
     move that downsamples mediocre text without discarding it entirely.
 
     The acceptance test is deterministic: md5(doc_id)'s 2-hex-char
-    prefix (a uniform draw over 256 buckets, the `samp_strat`
+    prefix (a uniform draw over 256 buckets, the `strat`
     primitive) compared against a per-row threshold derived from the
     quality score (0 -> reject all, 1/3 -> below '55' = 85/256, 2/3 ->
     below 'aa' = 170/256, 1 -> 'g0', which every hex prefix sorts

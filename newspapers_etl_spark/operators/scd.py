@@ -66,7 +66,7 @@ def _merged_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(hist0, updates, key="c_custkey", track_cols=["c_mktsegment"])
 
 
-@query("scd2_merge", oracle=SCD2_MERGE_ORACLE)
+@query("scd2", oracle=SCD2_MERGE_ORACLE)
 def scd2_merge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full SCD2 history after one CDC batch: unchanged open rows, closed
     prior versions, and newly opened versions, all from a single
@@ -145,14 +145,14 @@ GROUP BY segment
 """
 
 
-@query("scd_enrich", oracle=SCD_ENRICH_ORACLE)
+@query("scd_enr", oracle=SCD_ENRICH_ORACLE)
 def scd2_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time-CORRECT event enrichment: each event joins the SCD2
     dimension version valid AT ITS OWN timestamp (equi-join on the
     business key + validity-interval residual — the training-data /
     feature-store discipline that prevents label leakage from future
     attribute values).  The history is built by the same scd2_init +
-    scd2_merge machinery as `scd2_merge`, with the churn batch placed
+    scd2_merge machinery as `scd2`, with the churn batch placed
     mid-January so events on both sides of the boundary prove the
     version selection; the oracle rebuilds the interval semantics as a
     CASE on the boundary.

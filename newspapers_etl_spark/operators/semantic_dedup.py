@@ -3,7 +3,7 @@
 North-star operators with no reference counterpart (the reference's only
 identity notion is the md5 content check, reference
 src/01-scrape-images.py:78-83); these are the embedding-space curation
-steps a training-data pipeline runs after `dedup_emb`'s pair-level LSH:
+steps a training-data pipeline runs after `dd_emb`'s pair-level LSH:
 
 - ``semdedup`` — Abbas et al.'s SemDeDup recipe (arXiv:2303.09540):
   assign every vector to its nearest anchor centroid, then search for
@@ -48,7 +48,7 @@ from newspapers_etl_spark.functions.vectors import dot, l2_norm
 from newspapers_etl_spark.registry import query
 
 N_ANCHORS = 16          # fixture anchor set: vec_id < 16 (oracle-mirrored)
-SEMDEDUP_THRESHOLD = 0.30  # same bar as dedup_emb's NEARDUP_COS_THRESHOLD
+SEMDEDUP_THRESHOLD = 0.30  # same bar as dd_emb's NEARDUP_COS_THRESHOLD
 PQ_SUBSPACES = 8        # 64-dim fixture vectors -> 8 subvectors of 8 dims
 PQ_CODEBOOK = 16        # codebook entries per subspace (fixture: anchors)
 EMB_DIM = 64
@@ -189,7 +189,7 @@ def semdedup(
     cosine-similar above SEMDEDUP_THRESHOLD — the deterministic
     keep-lowest-id simplification of the paper's keep-one-per-group
     (chained groups prune every non-minimum member here too; full
-    transitive resolution is ``cc_clusters`` downstream).
+    transitive resolution is ``cc_clust`` downstream).
 
     ``anchors`` defaults to the deterministic first-K fixture set (what
     the oracle mirrors); pass ``fit_anchors(...)`` for the sampled

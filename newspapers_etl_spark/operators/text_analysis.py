@@ -181,7 +181,7 @@ QUALIFY rnk <= {TFIDF_TOP_K}
 """
 
 
-@query("text_tfidf", oracle=TFIDF_ORACLE)
+@query("tfidf", oracle=TFIDF_ORACLE)
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TFIDF_TOP_K} TF-IDF terms per document — the classic
     keyword-extraction / relevance-weighting primitive, entirely in

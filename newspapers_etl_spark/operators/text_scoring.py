@@ -163,7 +163,7 @@ LIMIT {NGRAM_TOP_K}
 """
 
 
-@query("ngram_freq", oracle=NGRAM_FREQ_ORACLE)
+@query("ngrams", oracle=NGRAM_FREQ_ORACLE)
 def ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide trigram frequency, top-{NGRAM_TOP_K} by count with a
     gram tie-break (total order, so the LIMIT boundary is stable across

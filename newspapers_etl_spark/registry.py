@@ -47,10 +47,10 @@ ORACLE: dict[str, str] = {}
 #       data_quality, snapshot_diff, events_analytics, sampling_extended,
 #       st_enrich/st_scd/st_state, semantic_dedup) leads, followed by
 #       relational_extended (win_dist/cohorts new r4, never hashed) and
-#       scd (scd_enrich new r4, never hashed); then the modules CHANGED
+#       scd (scd_enr new r4, never hashed); then the modules CHANGED
 #       this round — multimodal (real codecs for mm_decode/mm_frames)
-#       and dedup (Bloom prepass in dedup_spans, checkpoint_dir in
-#       cc_clusters) — then incremental (last hashed r2) closes the
+#       and dedup (Bloom prepass in dd_spans, checkpoint_dir in
+#       cc_clust) — then incremental (last hashed r2) closes the
 #       window at exactly 50.  corpus..pipeline/sinks (r3-green,
 #       unchanged) and the r4-re-hashed families go to the back; they
 #       rotate forward in r6.
@@ -58,7 +58,7 @@ ORACLE: dict[str, str] = {}
 #       similarity (ann_stats (ex sim_lsh_stats) never yet inside any window) lead;
 #       streaming moves up because st_sess/st_join were
 #       registered THIS round with no history; dedup follows
-#       (jaccard re-registered scale-true + dedup_spans new);
+#       (jaccard re-registered scale-true + dd_spans new);
 #       corpus_overlap (2 new queries) closes the window at exactly 50.
 #       incremental (r2 green, unchanged) and the r3-green family
 #       (relational_extended/corpus/sampling/text/multimodal/events/

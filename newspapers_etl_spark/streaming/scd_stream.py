@@ -5,7 +5,7 @@ the streaming surface: change events arrive as a STREAM, and each
 micro-batch must upsert into the dimension history with exactly-once
 effect.  ``MERGE INTO`` needs Delta/Iceberg; on plain parquet the same
 semantics compose from ``foreachBatch`` applying the batch
-``scd2_merge`` against a GENERATION directory:
+``scd2_merge`` function against a GENERATION directory:
 
   - every micro-batch reads the current generation, merges, and writes
     a complete NEW generation directory;

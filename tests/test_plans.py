@@ -103,7 +103,7 @@ def test_simhash_pairs_join_on_table_keys(spark, plan_sf_dir):
 
 
 def test_sampling_scans_prune_text(spark, sf_dir):
-    """samp_strat's membership predicate uses only the key and the
+    """strat's membership predicate uses only the key and the
     stratum column — the scan must not read document text."""
     from newspapers_etl_spark.operators.sampling import sample_strat
 
@@ -388,7 +388,7 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, plan_sf_dir):
 
 
 def test_spans_shuffles_keys_only_and_caches_windows(spark, plan_sf_dir):
-    """dedup_spans' scale contract: the window relation is served from
+    """dd_spans' scale contract: the window relation is served from
     cache (it feeds three subplans), every exchange carries span-key /
     doc-id columns — never document text — and the repeated-span set
     reaches the per-doc join as a broadcast."""

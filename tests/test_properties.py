@@ -140,7 +140,7 @@ def test_prefix_filter_lemma_never_drops_a_true_pair(docs, t_pct):
 )
 @settings(**SETTINGS)
 def test_two_phase_prefix_sum_equals_naive_window(spark, rows, budget):
-    """The tok_budget rewrite's load-bearing claim, as an algebraic
+    """The tok_bud rewrite's load-bearing claim, as an algebraic
     property over ARBITRARY inputs: the salted two-phase cumulative sum
     (bucket-local running totals + offset of earlier buckets) selects
     exactly the rows the naive single window per source selects, for

@@ -17,7 +17,7 @@ from newspapers_etl_spark.plans import shuffle_count
 
 
 def test_semdedup_agrees_with_pairwise_neardup(spark, sf_dir):
-    """Every dedup_emb pair (exact cosine >= the shared threshold) whose
+    """Every dd_emb pair (exact cosine >= the shared threshold) whose
     two ends land in the SAME cluster must prune the higher id — the
     clustered search can only MISS pairs that straddle clusters, never
     disagree on a pair it does see.  And the lowest id of every cluster
