@@ -26,6 +26,17 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
+#   r7 (planned): after r6, no registered query lacks a driver hash row
+#       in some round, so the rotation reverts to pure oldest-first:
+#       the r4-hashed families lead (extraction_queries 8,
+#       incremental_stream 4, corpus_overlap 2, relational's LAST 16 —
+#       its first 5 re-hash in r6 — = 30), then the oldest r5-hashed
+#       blocks (relational_extended 9, scd 3, multimodal 4 = 16) and
+#       dedup's first queries fill to ~50.  Any query ADDED or CHANGED
+#       in r7 preempts this order, as always.  Mind the import-graph
+#       constraint: a module imported at top level by an earlier-
+#       declared module registers at the importer's position (ivfadc →
+#       semantic_dedup/similarity, scd_stream → scd).
 #   r6 (executed): the eight r5-late registrations lead — ivfadc (also
 #       CHANGED r6: residual-PQ option), emb_cov, pca_proj, ev_rollup,
 #       st_rollup, kmv_ndv, src_csv, src_jsonl (never driver-hashed;
