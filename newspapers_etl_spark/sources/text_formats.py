@@ -136,6 +136,44 @@ def csv_roundtrip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORC_ROUNDTRIP_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(count(*) AS BIGINT)       AS n_rows,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+WHERE l_quantity >= 25
+GROUP BY 1, 2
+"""
+
+
+@query("src_orc", oracle=ORC_ROUNDTRIP_ORACLE)
+def orc_roundtrip_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the fact table through ORC — Spark's second native
+    columnar format, the interchange target for Hive-era lakes — read
+    back under the DECLARED catalog schema (no inference pass), then
+    aggregate behind a pushed predicate.  The oracle runs on the
+    original parquet, so the hash match certifies the ORC encode/decode
+    value-exactly; the quantity filter reaching the ORC scan as a
+    PushedFilter (row-group skipping via ORC min/max stripe stats —
+    asserted in tests/test_schemas.py) is what makes the format a
+    first-class 100 TB citizen rather than a dump target."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="orc_src_")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").orc(f"{out}/lineitem")
+    l = spark.read.schema(SCHEMAS["lineitem"]).orc(f"{out}/lineitem")
+    return (
+        l.filter(F.col("l_quantity") >= 25)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
 JSONL_ROUNDTRIP_ORACLE = """
 SELECT lang,
        source,

@@ -87,3 +87,26 @@ def test_jsonl_audit_quarantines_malformed_lines(spark, tmp_path):
     good = {r.doc_id: r.text for r in df.filter(F.col(CORRUPT_COL).isNull()).collect()}
     assert good == {1: 'line one\nline two "quoted"', 3: "ok"}
     df.unpersist()
+
+
+def test_orc_roundtrip_pushes_filter_to_scan(spark, sf_dir):
+    """The ORC source must behave like the parquet one at scale: the
+    quantity predicate reaches the ORC scan as a PushedFilter (stripe
+    min/max skipping), and the read projects only the referenced
+    columns — never the full 16-column fact row."""
+    from newspapers_etl_spark.sources.text_formats import orc_roundtrip_pushdown
+
+    df = orc_roundtrip_pushdown(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [
+        ln for ln in plan.splitlines() if "Scan orc" in ln or "FileScan orc" in ln
+    ]
+    assert scan, f"no ORC scan in plan:\n{plan[:2000]}"
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
+        "PushedFilters: ["
+    )[1].split("]")[0], "quantity predicate not pushed to the ORC scan"
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_partkey" not in read_schema, (
+        f"unreferenced column read from ORC: {read_schema}"
+    )
