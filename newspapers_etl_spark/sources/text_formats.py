@@ -136,6 +136,48 @@ def csv_roundtrip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+XML_ROUNDTRIP_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT)     AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       max(md5(text))               AS max_text_md5
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("src_xml", oracle=XML_ROUNDTRIP_ORACLE)
+def xml_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the documents table through XML (Spark 4's native XML
+    source) under the declared catalog schema, then roll up per lang
+    with an md5 witness over the text column.  XML is the nastiest
+    escaping surface in the source layer (&amp;/&lt; entities, CDATA-
+    free quoting, whitespace handling) — the hash can only match the
+    parquet-side oracle if every document body survived entity
+    encode/decode byte-exactly.  ``ignoreSurroundingSpaces`` is forced
+    off: the reader's default trims element whitespace, which would
+    silently corrupt documents with leading/trailing spaces."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="xml_src_")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.format("xml").option("rowTag", "doc").mode("overwrite").save(
+        f"{out}/documents"
+    )
+    d = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .schema(SCHEMAS["documents"])
+        .load(f"{out}/documents")
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max(F.md5(F.encode("text", "UTF-8"))).alias("max_text_md5"),
+    )
+
+
 ORC_ROUNDTRIP_ORACLE = """
 SELECT l_returnflag,
        l_linestatus,

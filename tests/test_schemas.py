@@ -110,3 +110,34 @@ def test_orc_roundtrip_pushes_filter_to_scan(spark, sf_dir):
     assert "l_partkey" not in read_schema, (
         f"unreferenced column read from ORC: {read_schema}"
     )
+
+
+def test_xml_roundtrip_preserves_hostile_text(spark, tmp_path):
+    """Planted worst-case document bodies — entities, quotes, newlines,
+    unicode, leading/trailing whitespace — must survive the XML
+    encode/decode byte-exactly (the integrity property src_xml's md5
+    witness checks statistically, pinned here on adversarial rows)."""
+    from pyspark.sql import functions as F
+
+    hostile = [
+        (1, 'a & b < c > d "quoted" \'apos\''),
+        (2, "line one\nline two\n\ttabbed"),
+        (3, "  leading and trailing spaces  "),
+        (4, "unicode: åäö 中文 🙂  nbsp"),
+        (5, "]]> fake cdata terminator & <tag attr=\"x\"/>"),
+    ]
+    df = spark.createDataFrame(hostile, "doc_id long, text string")
+    out = str(tmp_path / "xml")
+    df.write.format("xml").option("rowTag", "doc").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .schema("doc_id long, text string")
+        .load(out)
+    )
+    got = {r.doc_id: r.text for r in back.collect()}
+    want = dict(hostile)
+    assert got == want, {
+        k: (want[k], got.get(k)) for k in want if got.get(k) != want[k]
+    }
