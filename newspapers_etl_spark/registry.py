@@ -29,8 +29,8 @@ ORACLE: dict[str, str] = {}
 #   r7 (planned): after r6, no registered query lacks a driver hash row
 #       in some round, so the rotation reverts to pure oldest-first:
 #       the r4-hashed families lead (extraction_queries 8,
-#       incremental_stream 4, corpus_overlap 2, relational's LAST 18 —
-#       its first 3 re-hash in r6 — = 32), then the oldest r5-hashed
+#       incremental_stream 4, corpus_overlap 2, relational's LAST 19 —
+#       its first 2 re-hash in r6 — = 33), then the oldest r5-hashed
 #       blocks (relational_extended 9, scd 3, multimodal 4 = 16) and
 #       dedup's first queries fill to ~50.  Any query ADDED or CHANGED
 #       in r7 preempts this order, as always.  Mind the import-graph
@@ -47,9 +47,9 @@ ORACLE: dict[str, str] = {}
 #       families whose last hash row is oldest (corpus 5 — incl.
 #       leakage, r5-new, never hashed — sampling 2, text_analysis 6,
 #       events_windows 6, pandas_surface 3, pipeline 2,
-#       sinks.verified 1 = 25; 47 total with the semantic_dedup/
+#       sinks.verified 1 = 25; 48 total with the semantic_dedup/
 #       similarity blocks that ivfadc's top-level imports realize
-#       first), then relational's first 3 queries fill the window to
+#       first), then relational's first 2 queries fill the window to
 #       exactly 50; r4/r5-hashed families
 #       ride their fresh history at the back.  Window test updated in
 #       the same commit (tests/test_sql_entrypoint.py).
@@ -95,6 +95,7 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.sources.text_formats",          # 4   never hashed (src_csv/src_jsonl); src_orc/src_xml NEW r6
     "newspapers_etl_spark.operators.dedup_scale",         # 1   NEW r6 (sh32)
     "newspapers_etl_spark.operators.model_fit",           # 3   NEW r6 (fit_pq/fit_pca/fit_anc)
+    "newspapers_etl_spark.operators.text_lm",             # 1   NEW r6 (ppl2)
     "newspapers_etl_spark.operators.data_quality",        # 1   green r5; embedding health check CHANGED r6
     "newspapers_etl_spark.operators.corpus",              # 5   4 green r3; leakage NEW r5, never hashed
     "newspapers_etl_spark.operators.sampling",            # 2   green r3, unchanged
@@ -103,8 +104,8 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.pandas_surface",      # 3   green r3, unchanged
     "newspapers_etl_spark.operators.pipeline",            # 2   green r3, unchanged
     "newspapers_etl_spark.sinks.verified",                # 1   green r3, unchanged
-    # ---- 47 queries above; relational's first 3 close the window ----
-    "newspapers_etl_spark.operators.relational",          # 21  re-hashed r4 (first 3 in-window)
+    # ---- 48 queries above; relational's first 2 close the window ----
+    "newspapers_etl_spark.operators.relational",          # 21  re-hashed r4 (first 2 in-window)
     "newspapers_etl_spark.operators.extraction_queries",  # 8   re-hashed r4
     "newspapers_etl_spark.streaming.incremental_stream",  # 4   re-hashed r4
     "newspapers_etl_spark.operators.corpus_overlap",      # 2   re-hashed r4
