@@ -184,7 +184,8 @@ def test_registry_registration_order_is_contiguous_per_module():
         "ivfadc", "emb_cov", "pca_proj", "ev_rollup", "st_rollup",
         "kmv_ndv", "src_csv", "src_jsonl", "leakage",
         # new in r6
-        "sh32", "fit_pq", "fit_pca", "fit_anc",
+        "sh32", "fit_pq", "fit_pca", "fit_anc", "src_orc", "src_xml",
+        "ppl2",
         # changed in r6 (residual-PQ plumbing; embedding health check)
         "pq_codes", "semdedup", "dq_audit",
     ):
@@ -209,3 +210,31 @@ def test_queries_md_index_matches_registry():
     )
     n_q, n_o = len(all_queries()), len(all_oracles())
     assert f"{n_q} registered queries, {n_o} with a DuckDB oracle" in text
+
+
+def test_entry_module_import_registers_nothing():
+    """__spark_entry__ must stay a thin adapter: importing it (which the
+    driver does before anything else) must not register a single query —
+    a module-scope operator import there would splice that operator's
+    block to the front of the registration order and silently shift the
+    driver's ~50-query correctness window (entry() resolving flagship
+    through the registry, not a direct import, is the other half)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    code = (
+        "import __spark_entry__\n"
+        "from newspapers_etl_spark.registry import QUERIES\n"
+        "assert QUERIES == {}, f'entry import registered {list(QUERIES)[:5]}...'\n"
+        "print('clean')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=str(Path(__file__).resolve().parent.parent),
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert proc.stdout.strip().endswith("clean")
