@@ -99,6 +99,7 @@ def fit_codebook(
     sf_dir: str,
     iters: int = CB_ITERATIONS,
     residual: bool = False,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Per-subspace k-means PQ codebook: each of the PQ_SUBSPACES
     8-dim slices gets its own PQ_CODEBOOK Lloyd-fitted centroids.
@@ -136,7 +137,12 @@ def fit_codebook(
     e = load_table(spark, sf_dir, "embeddings")
     fit = e if CB_FIT_FRACTION >= 1.0 else e.sample(CB_FIT_FRACTION, seed=11)
     if residual:
-        cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
+        # ``cents`` lets the caller share one quantizer fit between the
+        # codebook fit and the search (ivfadc_topk) — otherwise the
+        # documented end-to-end residual usage would run the distributed
+        # Lloyd fit twice per search.
+        if cents is None:
+            cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
         fit = fit.select(
             "embedding", _nearest_cell("embedding", cents).alias("cell")
         )
@@ -220,6 +226,7 @@ def ivfadc_topk(
     sf_dir: str,
     codebook: list[tuple[int, list[float]]] | None = None,
     residual: bool = False,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """PQ-compressed IVF search: returns (probe_id, vec_id, adc_dist,
     rnk) for the TOP_K nearest candidates per probe under asymmetric
@@ -242,23 +249,27 @@ def ivfadc_topk(
     — the probe relation grows by nothing (it already carries one row
     per (probe, cell)), and the corpus-side plan is unchanged: one
     map-only encode with a literal centering matrix, codes only."""
+    if residual and codebook is None:
+        # The default first-K codebook lives in RAW vector space;
+        # quantizing residuals against it scores origin-space anchors
+        # against centered vectors — recall silently degrades below
+        # even the first-K baseline.  Refuse rather than mis-rank.
+        raise ValueError(
+            "residual=True needs a residual-space codebook — pass "
+            "codebook=fit_codebook(..., residual=True)"
+        )
     e = load_table(spark, sf_dir, "embeddings")
-    cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
+    if cents is None:
+        cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
     if codebook is None:
         codebook = _collect_anchors(spark, sf_dir, k=PQ_CODEBOOK)
 
-    if residual:
-        # Two-stage select so the cell assignment fold runs once and the
-        # centering matrix indexes the materialized cell column.
-        staged = e.select(
-            "vec_id", "embedding", _nearest_cell("embedding", cents).alias("cell")
-        )
-        vcol = _residual_of(cents, "cell")
-    else:
-        staged = e.select(
-            "vec_id", "embedding", _nearest_cell("embedding", cents).alias("cell")
-        )
-        vcol = F.col("embedding")
+    # Two-stage select so the cell assignment fold runs once and (in
+    # residual mode) the centering matrix indexes the materialized cell.
+    staged = e.select(
+        "vec_id", "embedding", _nearest_cell("embedding", cents).alias("cell")
+    )
+    vcol = _residual_of(cents, "cell") if residual else F.col("embedding")
     codes = F.array(
         *[_nearest_code(m, codebook, vcol)["code"] for m in range(PQ_SUBSPACES)]
     )

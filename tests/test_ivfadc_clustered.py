@@ -123,9 +123,19 @@ def test_fitted_and_residual_pq_win_on_clustered_data(spark, clustered_dir):
     r_first = _recall(ivfadc_topk(spark, sf_dir), truth)
     fitted = fit_codebook(spark, sf_dir, iters=FIT_ITERS)
     r_fit = _recall(ivfadc_topk(spark, sf_dir, codebook=fitted), truth)
-    res_cb = fit_codebook(spark, sf_dir, iters=FIT_ITERS, residual=True)
+    # One shared quantizer fit between the residual codebook fit and the
+    # search — the cents-sharing API the end-to-end residual path uses.
+    from newspapers_etl_spark.catalog import load_table
+
+    cents = _centroids(
+        load_table(spark, sf_dir, "embeddings"), IVF_CELLS, IVF_ITERATIONS
+    )
+    res_cb = fit_codebook(
+        spark, sf_dir, iters=FIT_ITERS, residual=True, cents=cents
+    )
     r_res = _recall(
-        ivfadc_topk(spark, sf_dir, codebook=res_cb, residual=True), truth
+        ivfadc_topk(spark, sf_dir, codebook=res_cb, residual=True, cents=cents),
+        truth,
     )
 
     # The production-shaped ordering the uniform fixture inverts.

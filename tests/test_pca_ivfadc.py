@@ -282,3 +282,15 @@ def test_ivfadc_stored_index_prunes_partitions(spark, sf_dir, tmp_path):
     }
     disk = {(r.vec_id, tuple(r.codes)) for r in stored.collect()}
     assert disk == mem and disk, f"stored index diverges ({len(disk)} vs {len(mem)})"
+
+
+def test_ivfadc_residual_without_residual_codebook_refuses():
+    """residual=True with the default raw-space codebook would silently
+    mis-rank (origin-space anchors vs centered vectors) — the API must
+    refuse, not degrade."""
+    import pytest
+
+    from newspapers_etl_spark.operators.ivfadc import ivfadc_topk
+
+    with pytest.raises(ValueError, match="residual-space codebook"):
+        ivfadc_topk(None, "/nonexistent", residual=True)

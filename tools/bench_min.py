@@ -36,12 +36,26 @@ def stash() -> int:
     src = REPO / "BENCH_SELF.json"
     snap = json.loads(src.read_text())
     STASH_DIR.mkdir(exist_ok=True)
-    n = len(list(STASH_DIR.glob("capture_*.json")))
-    dst = STASH_DIR / f"capture_{n + 1}.json"
+    # max existing index + 1, NOT the file count: after a capture is
+    # hand-deleted (e.g. a known-noisy one), a count-based name would
+    # silently overwrite a surviving capture.
+    taken = [
+        int(p.stem.split("_")[1])
+        for p in STASH_DIR.glob("capture_*.json")
+        if p.stem.split("_")[1].isdigit()
+    ]
+    dst = STASH_DIR / f"capture_{max(taken, default=0) + 1}.json"
     dst.write_text(json.dumps(snap, indent=1))
     print(f"[bench_min] stashed {dst.name}: {len(snap['queries'])} queries, "
           f"sum {snap['value']}s")
     return 0
+
+
+def _registry_names() -> set[str]:
+    sys.path.insert(0, str(REPO))
+    from newspapers_etl_spark.registry import all_queries
+
+    return set(all_queries())
 
 
 def merge() -> int:
@@ -51,11 +65,18 @@ def merge() -> int:
               file=sys.stderr)
         return 1
     snaps = [json.loads(p.read_text()) for p in captures]
-    keys = set(snaps[0]["queries"])
+    # Every capture must span the CURRENT registry — captures taken
+    # before a registration (or after a removal) have mutually-equal
+    # key sets, so comparing them only against each other cannot catch
+    # a stale set; the registry is the authority.
+    keys = _registry_names()
     for p, s in zip(captures, snaps):
         if set(s["queries"]) != keys:
-            print(f"[bench_min] {p.name} covers a different query set — "
-                  "all captures must span the full registry", file=sys.stderr)
+            missing = sorted(keys - set(s["queries"]))[:5]
+            extra = sorted(set(s["queries"]) - keys)[:5]
+            print(f"[bench_min] {p.name} does not span the current registry "
+                  f"(missing {missing}, stale {extra}) — re-capture",
+                  file=sys.stderr)
             return 1
     merged = {
         q: min(s["queries"][q] for s in snaps if s["queries"][q] >= 0)
@@ -79,6 +100,13 @@ def merge() -> int:
         print(f"[bench_min] {len(better)} new best-known minima (fold into "
               f"BENCH_REF deliberately): "
               f"{ {q: f'{t}<{r}' for q, (t, r) in sorted(better.items())} }")
+    # Consume the captures: the stash dir survives rounds (gitignored),
+    # and a leftover capture from an earlier round's code would
+    # min-fold numbers the CURRENT code never achieved into a future
+    # merge — exactly the masking the protocol exists to prevent.
+    for p in captures:
+        p.unlink()
+    print(f"[bench_min] consumed {len(captures)} captures (stash cleared)")
     return 0
 
 
