@@ -36,7 +36,11 @@ ORACLE: dict[str, str] = {}
 #       in r7 preempts this order, as always.  Mind the import-graph
 #       constraint: a module imported at top level by an earlier-
 #       declared module registers at the importer's position (ivfadc →
-#       semantic_dedup/similarity, scd_stream → scd).
+#       semantic_dedup/similarity, scd_stream → scd).  Also due when
+#       dedup enters the window: fold the duplicated sh_pairs/sh32
+#       Manku pipeline into one parametric helper (deferred in r6
+#       precisely because touching dedup.py would have pulled its 10
+#       queries into an already-full window).
 #   r6 (executed): the eight r5-late registrations lead — ivfadc (also
 #       CHANGED r6: residual-PQ option), emb_cov, pca_proj, ev_rollup,
 #       st_rollup, kmv_ndv, src_csv, src_jsonl (never driver-hashed;
