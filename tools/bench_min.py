@@ -16,9 +16,13 @@ Usage:
     python tools/bench_min.py --merge    # min-merge stashes -> BENCH_SELF.json
 
 Every stashed capture must cover the full registry (a partial capture
-would silently drop queries from the min).  --merge also reports any
-query whose merged minimum beats its BENCH_REF entry (fold those in
-deliberately — BENCH_REF stays the all-time best-known).
+would silently drop queries from the min).  --merge REFUSES when any
+query failed (negative time) in any capture — an intermittent failure
+must be fixed or re-captured, not masked by its best success — and
+writes metric="wall_min_merged" so the committed number cannot be read
+as a single-run wall time.  --merge also reports any query whose merged
+minimum beats its BENCH_REF entry (fold those in deliberately —
+BENCH_REF stays the all-time best-known).
 """
 
 from __future__ import annotations
@@ -78,15 +82,30 @@ def merge() -> int:
                   f"(missing {missing}, stale {extra}) — re-capture",
                   file=sys.stderr)
             return 1
+    # A query that failed (negative time) in ANY capture is intermittent:
+    # committing its best success would mask the flake behind a number no
+    # honest single run achieved.  Refuse the merge outright — fix or
+    # re-capture first (ADVICE r6 #1).
+    flaky = sorted(
+        q for q in keys if any(s["queries"][q] < 0 for s in snaps)
+    )
+    if flaky:
+        per = {
+            q: [s["queries"][q] for s in snaps] for q in flaky
+        }
+        print(f"[bench_min] refusing merge: {len(flaky)} queries failed in "
+              f"at least one capture (times per capture): {per}",
+              file=sys.stderr)
+        return 1
     merged = {
-        q: min(s["queries"][q] for s in snaps if s["queries"][q] >= 0)
-        if any(s["queries"][q] >= 0 for s in snaps)
-        else -1.0
-        for q in sorted(keys)
+        q: min(s["queries"][q] for s in snaps) for q in sorted(keys)
     }
     out = dict(snaps[-1])
+    # Not a single-run wall time: each entry is the per-query minimum
+    # across captures_merged cold runs, and the sum is synthetic.
+    out["metric"] = "wall_min_merged"
     out["queries"] = merged
-    out["value"] = round(sum(t for t in merged.values() if t >= 0), 3)
+    out["value"] = round(sum(merged.values()), 3)
     out["captures_merged"] = len(snaps)
     (REPO / "BENCH_SELF.json").write_text(json.dumps(out, indent=1))
     print(f"[bench_min] merged {len(snaps)} captures -> BENCH_SELF.json: "
