@@ -18,6 +18,13 @@ Layout:
     streaming/      Structured Streaming windows/watermarks + incremental runner
     registry.py     the queries()/oracle_sql() registry that backs
                     __spark_entry__.py (driver correctness contract)
+    cache.py        caller-owned release path for query-internal caches
+
+Cache lifecycle: jaccard/dd_spans/sh_pairs/sh32 persist() intermediates
+that must outlive the query call (the returned DataFrame references
+them); long-lived sessions release them via
+``newspapers_etl_spark.cache.cached_intermediates`` /
+``clear_cached_intermediates`` (which see).
 """
 
 __version__ = "0.1.0"

@@ -19,6 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from itertools import combinations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -905,32 +906,48 @@ def simhash_table_keys(
     return F.array(*entries)
 
 
-@query("sh_pairs")  # rows-only: hash values are engine-specific
-def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming distance <= 3 via Manku
-    multi-table blocking with hash-value collapse.
+def manku_neardup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    bits: int,
+    widths: tuple[int, ...],
+    hamming_d: int,
+    hamming_fn: Callable[[Column, Column], Column],
+) -> DataFrame:
+    """Manku multi-table SimHash near-dup join, parametric in hash width:
+    the shared engine behind ``sh_pairs`` (16-bit fixture hash,
+    literal-mask popcount) and ``sh32`` (operators/dedup_scale.py:
+    production 32-bit hash, ``F.bit_count``).  ``hamming_fn(a, b)``
+    returns the Hamming distance between two ``bits``-wide simhash
+    columns — the one expression where the two widths genuinely want
+    different code (an inlined mask chain stops being free past 16
+    bits).
 
     A near-dup corpus is exactly the input where identical simhashes
     cluster, and an m-doc identical cluster collides in EVERY table —
-    generating and verifying its C(m,2) pairs 20 times over.  So the
+    generating and verifying its C(m,2) pairs once per table.  So the
     table join runs over DISTINCT hash values only (the Manku paper's
-    own prefix-collapse move): explode each distinct hash's 20 table
-    keys, equi-join on (table_id, key), popcount-verify, distinct —
-    recall at d <= 3 is guaranteed by construction (simhash_table_keys).
-    Doc pairs then come from two output-bounded expansions: hash pairs
-    joined back to their member docs (cross-cluster), plus one equi-join
-    on the full hash for within-cluster pairs (hamming 0).  Join
-    work is O(distinct-hash bucket pairs); the expansions are sized by
-    the answer itself."""
+    own prefix-collapse move): explode each distinct hash's C(m,3)
+    table keys, equi-join on (table_id, key), popcount-verify, distinct
+    — recall at d <= hamming_d is guaranteed by construction
+    (simhash_table_keys).  Doc pairs then come from two output-bounded
+    expansions: hash pairs joined back to their member docs
+    (cross-cluster), plus one equi-join on the full hash for
+    within-cluster pairs (hamming 0).  Join work is O(distinct-hash
+    bucket pairs); the expansions are sized by the answer itself.
+
+    Caches (doc_id, sh) for the query's lifetime — see
+    newspapers_etl_spark.cache for the caller-owned release path."""
     d = load_table(spark, sf_dir, "documents")
     # (doc_id, sh) feeds five subplans (distinct, both expansion sides,
     # both self-join sides); without persist each would re-scan the text
     # and re-run the simhash fold — the single most expensive expression
     # here.  The cached relation is two longs per doc.
-    members = d.select("doc_id", simhash("text").alias("sh")).persist()
+    members = d.select("doc_id", simhash("text", bits=bits).alias("sh")).persist()
     uniq = members.select("sh").distinct()
     keyed = uniq.select(
-        "sh", F.explode(simhash_table_keys("sh")).alias("t")
+        "sh", F.explode(simhash_table_keys("sh", widths)).alias("t")
     ).select("sh", F.col("t.table_id").alias("table_id"), F.col("t.key").alias("key"))
     a = keyed.alias("a")
     b = keyed.alias("b")
@@ -944,9 +961,9 @@ def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.sh").alias("sh_a"),
             F.col("b.sh").alias("sh_b"),
-            hamming16(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+            hamming_fn(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
         )
-        .filter(F.col("hamming") <= SIMHASH_HAMMING_D)
+        .filter(F.col("hamming") <= hamming_d)
         .distinct()
     )
     ma = members.select(F.col("doc_id").alias("m_a"), F.col("sh").alias("sh_a"))
@@ -968,6 +985,22 @@ def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("hamming"),
     )
     return cross.unionByName(within)
+
+
+@query("sh_pairs")  # rows-only: hash values are engine-specific
+def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming <= 3, 16-bit fixture width —
+    thin wrapper over manku_neardup_pairs (which see); the literal-mask
+    hamming16 verify is the 16-bit-only specialization kept for
+    bit-level auditability."""
+    return manku_neardup_pairs(
+        spark,
+        sf_dir,
+        bits=SIMHASH_BITS,
+        widths=_SIMHASH_BLOCK_WIDTHS,
+        hamming_d=SIMHASH_HAMMING_D,
+        hamming_fn=hamming16,
+    )
 
 
 @query("sh_bkts")  # rows-only: hash values are engine-specific

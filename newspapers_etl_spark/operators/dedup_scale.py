@@ -33,7 +33,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from newspapers_etl_spark.catalog import load_table
 from newspapers_etl_spark.registry import query
 
 SIMHASH32_BITS = 32
@@ -43,64 +42,22 @@ SIMHASH32_HAMMING_D = 3
 
 @query("sh32")  # rows-only: hash values are engine-specific
 def dedup_simhash32_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash near-dup pairs at Hamming <= 3, Manku multi-table
-    blocking with hash-value collapse — the corpus-scale twin of
+    """32-bit SimHash near-dup pairs at Hamming <= 3 — thin wrapper over
+    operators/dedup.py:manku_neardup_pairs, the corpus-scale twin of
     ``sh_pairs`` (see module docstring for the deliberate deltas).
-
-    Plan shape is identical: distinct hash values explode their 20
-    table keys, equi-join on (table_id, key), popcount-verify, then
-    two answer-bounded expansions back to doc pairs (cross-cluster via
-    the hash-pair join, within-cluster via one full-hash equi-join)."""
+    Verification is ``F.bit_count`` on the XOR (one JVM popcount
+    instruction); at 32+ bits the fixture's inlined literal-mask chain
+    stops being free (codegen size grows linearly with width)."""
     # Lazy import: operators.dedup registers 10 queries at import time;
     # a top-level import here would splice its block into THIS module's
     # registry slot (see test_registry_registration_order_is_contiguous).
-    from newspapers_etl_spark.operators.dedup import simhash, simhash_table_keys
+    from newspapers_etl_spark.operators.dedup import manku_neardup_pairs
 
-    d = load_table(spark, sf_dir, "documents")
-    # (doc_id, sh) feeds five subplans; persist so the 32-bit fold (2x
-    # the fixture fold cost, the dominant expression) runs once.
-    members = d.select(
-        "doc_id", simhash("text", bits=SIMHASH32_BITS).alias("sh")
-    ).persist()
-    uniq = members.select("sh").distinct()
-    keyed = uniq.select(
-        "sh",
-        F.explode(simhash_table_keys("sh", SIMHASH32_BLOCK_WIDTHS)).alias("t"),
-    ).select(
-        "sh", F.col("t.table_id").alias("table_id"), F.col("t.key").alias("key")
+    return manku_neardup_pairs(
+        spark,
+        sf_dir,
+        bits=SIMHASH32_BITS,
+        widths=SIMHASH32_BLOCK_WIDTHS,
+        hamming_d=SIMHASH32_HAMMING_D,
+        hamming_fn=lambda a, b: F.bit_count(a.bitwiseXOR(b)),
     )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    hash_pairs = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.sh") < F.col("b.sh")),
-        )
-        .select(
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= SIMHASH32_HAMMING_D)
-        .distinct()
-    )
-    ma = members.select(F.col("doc_id").alias("m_a"), F.col("sh").alias("sh_a"))
-    mb = members.select(F.col("doc_id").alias("m_b"), F.col("sh").alias("sh_b"))
-    cross = hash_pairs.join(ma, "sh_a").join(mb, "sh_b").select(
-        F.least("m_a", "m_b").alias("id_a"),
-        F.greatest("m_a", "m_b").alias("id_b"),
-        "hamming",
-    )
-    p = members.alias("p")
-    q = members.alias("q")
-    within = p.join(
-        q,
-        (F.col("p.sh") == F.col("q.sh")) & (F.col("p.doc_id") < F.col("q.doc_id")),
-    ).select(
-        F.col("p.doc_id").alias("id_a"),
-        F.col("q.doc_id").alias("id_b"),
-        F.lit(0).alias("hamming"),
-    )
-    return cross.unionByName(within)
