@@ -24,6 +24,13 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
+# Smoothed-floor pseudo-count for capped LM broadcasts (ppl/ppl2
+# vocab_cap): grams outside the top-V model score as if seen 0.5 times —
+# strictly below any real count (>= 1), so every tail gram is more
+# surprising than any retained gram with the same denominator, and the
+# capped model's score is a monotone upper bound on the exact surprisal.
+LM_FLOOR_COUNT = 0.5
+
 
 def words(col: Column | str) -> Column:
     """Whitespace tokenization to array<string>."""

@@ -18,9 +18,12 @@ Scale design (same shape as ``ppl``, one extra dim):
 * Two model aggregations — bigram counts and left-context counts —
   shuffle on their keys with map-side partials absorbing the Zipf
   skew, then broadcast back onto the bigram stream; the only
-  fact-sized shuffle is the final per-doc mean.  At 100 TB the
-  broadcast is capped to the top-V bigrams with a smoothed floor for
-  the tail (the documented ``ppl`` policy, one dim higher).
+  fact-sized shuffle is the final per-doc mean.  At 100 TB both
+  broadcasts are capped: ``text_bigram_ppl(vocab_cap=V)`` keeps the
+  top-V contexts and the top-V bigrams WITHIN retained contexts, and
+  scores the tail with the smoothed LM_FLOOR_COUNT floor (the ``ppl``
+  policy, one dim higher — see the query docstring for the exact
+  fallback ladder).
 """
 
 from __future__ import annotations
@@ -29,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
-from newspapers_etl_spark.functions.text import words
+from newspapers_etl_spark.functions.text import LM_FLOOR_COUNT, words
 from newspapers_etl_spark.registry import query
 
 BIGRAM_PPL_ORACLE = r"""
@@ -56,7 +59,9 @@ GROUP BY b.doc_id
 
 
 @query("ppl2", oracle=BIGRAM_PPL_ORACLE)
-def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_bigram_ppl(
+    spark: SparkSession, sf_dir: str, vocab_cap: int | None = None
+) -> DataFrame:
     """Average per-bigram surprisal -ln(c(w1 w2)/c(w1 ·)) under the
     corpus's own bigram model, plus its exp() as a perplexity.
 
@@ -69,7 +74,24 @@ def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 vs ~2 s for this two-stage ``zip_with``-of-slices form
     (each shifted slice evaluates the stored array once).  The
     ``size >= 2`` guard stays: ``slice`` with length −1 (empty doc)
-    errors rather than yielding empty."""
+    errors rather than yielding empty.
+
+    ``vocab_cap`` bounds BOTH model broadcasts at the 100 TB scale
+    where the raw bigram vocabulary is data-dependent and unbounded:
+    keep the top-V contexts by c(w1 ·), then the top-V bigrams whose
+    context is retained (so a retained bigram always has its exact
+    denominator, and p = c12/c1 <= 1 by construction; ties break to
+    the lexically-smaller gram).  Fallback ladder for an instance
+    (w1, bg), floor count f = LM_FLOOR_COUNT:
+      * bigram retained:           p = c12 / c1        (exact)
+      * context retained only:     p = f / c1          (tail bigram)
+      * context not retained:      p = f / N_bigrams   (near-max
+        surprisal — an unseen-context sequence is the least typical)
+    Every capped score is >= the exact score (floor < any real count),
+    head-gram documents score identically, and the broadcasts are
+    bounded at V rows each — all three pytest-pinned in
+    tests/test_lm_vocab_cap.py.  The registered default (None)
+    broadcasts the full model — exact at fixture scale."""
     d = load_table(spark, sf_dir, "documents")
     staged = d.select(
         "doc_id", F.filter(words("text"), lambda x: x != "").alias("t")
@@ -90,14 +112,33 @@ def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c12 = b.groupBy("bg").agg(F.count("*").cast("double").alias("c12"))
     c1 = b.groupBy("w1").agg(F.count("*").cast("double").alias("c1"))
-    nll = F.avg(-F.log(F.col("c12") / F.col("c1")))
-    return (
-        b.join(F.broadcast(c12), "bg")
-        .join(F.broadcast(c1), "w1")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_big"),
-            F.round(nll, 6).alias("nll2"),
-            F.round(F.exp(nll), 4).alias("ppl2"),
+    if vocab_cap is None:
+        scored = b.join(F.broadcast(c12), "bg").join(F.broadcast(c1), "w1")
+        p = F.col("c12") / F.col("c1")
+    else:
+        c1_top = c1.orderBy(F.desc("c1"), "w1").limit(vocab_cap)
+        # bg determines w1 (tokens are space-free), so the context is
+        # recoverable from the key — retain bigrams only inside retained
+        # contexts, keeping p <= 1 by construction.
+        c12_top = (
+            c12.withColumn("w1", F.substring_index("bg", " ", 1))
+            .join(c1_top.select("w1"), "w1", "semi")
+            .orderBy(F.desc("c12"), "bg")
+            .limit(vocab_cap)
         )
+        nbig = b.agg(F.count("*").cast("double").alias("nb"))
+        scored = (
+            b.join(F.broadcast(c12_top.select("bg", "c12")), "bg", "left")
+            .join(F.broadcast(c1_top), "w1", "left")
+            .crossJoin(F.broadcast(nbig))
+        )
+        p = F.when(
+            F.col("c1").isNotNull(),
+            F.coalesce(F.col("c12"), F.lit(LM_FLOOR_COUNT)) / F.col("c1"),
+        ).otherwise(F.lit(LM_FLOOR_COUNT) / F.col("nb"))
+    nll = F.avg(-F.log(p))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_big"),
+        F.round(nll, 6).alias("nll2"),
+        F.round(F.exp(nll), 4).alias("ppl2"),
     )

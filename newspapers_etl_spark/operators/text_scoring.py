@@ -19,9 +19,11 @@ skew is absorbed by map-side partial aggregation — every mapper emits
 at most |vocab-in-partition| rows per term), and the fitted
 distribution is a vocabulary-sized dim broadcast back onto the token
 stream; the only fact-sized shuffle is the final per-doc aggregation.
-At a real 100 TB corpus the vocab broadcast is capped by frequency
-(top-V covers >99.9% of token mass; the tail can fall back to a
-smoothed floor) — at fixture scale the whole vocabulary rides along.
+At a real 100 TB corpus the vocab broadcast is capped by frequency —
+``text_unigram_ppl(vocab_cap=V)`` keeps the top-V terms (>99.9% of
+token mass under Zipf) and scores the tail with the smoothed
+LM_FLOOR_COUNT floor — at fixture scale the registered default
+broadcasts the whole vocabulary.
 The histogram is a pure two-column aggregation: scan, map-side
 partial, one tiny shuffle.
 """
@@ -35,7 +37,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from newspapers_etl_spark.catalog import load_table
-from newspapers_etl_spark.functions.text import words
+from newspapers_etl_spark.functions.text import LM_FLOOR_COUNT, words
 from newspapers_etl_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -66,13 +68,26 @@ GROUP BY t.doc_id
 
 
 @query("ppl", oracle=UNIGRAM_PPL_ORACLE)
-def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_unigram_ppl(
+    spark: SparkSession, sf_dir: str, vocab_cap: int | None = None
+) -> DataFrame:
     """Average per-token surprisal -ln(count(term)/N) under the corpus
     unigram distribution, plus its exp() as a perplexity.  Three aggs:
     term counts (vocab-sized, broadcast back), corpus token total
     (1-row, broadcast), per-doc mean (the one fact-sized shuffle).
     Rounding before the hash absorbs cross-engine summation-order
-    drift in the float mean."""
+    drift in the float mean.
+
+    ``vocab_cap`` is the 100 TB knob: keep only the top-V terms by
+    count (ties to the lexically-smaller term — deterministic), so the
+    model broadcast is bounded at V rows no matter how heavy-tailed the
+    corpus vocabulary is; tail terms score the smoothed floor
+    -ln(LM_FLOOR_COUNT / N).  Top-V covers >99.9% of token mass under
+    Zipf, so head-token documents score identically to the exact model
+    (pytest: tests/test_lm_vocab_cap.py); every capped score is >= the
+    exact score because the floor count sits below any real count.  The
+    registered default (None) broadcasts the full vocabulary — exact at
+    fixture scale."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -80,10 +95,16 @@ def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tc = toks.groupBy("term").agg(F.count("*").cast("double").alias("c"))
     n = toks.agg(F.count("*").cast("double").alias("n"))
-    nll = F.avg(-F.log(F.col("c") / F.col("n")))
+    if vocab_cap is None:
+        scored = toks.join(F.broadcast(tc), "term")
+        c_eff = F.col("c")
+    else:
+        top = tc.orderBy(F.desc("c"), "term").limit(vocab_cap)
+        scored = toks.join(F.broadcast(top), "term", "left")
+        c_eff = F.coalesce(F.col("c"), F.lit(LM_FLOOR_COUNT))
+    nll = F.avg(-F.log(c_eff / F.col("n")))
     return (
-        toks.join(F.broadcast(tc), "term")
-        .crossJoin(F.broadcast(n))
+        scored.crossJoin(F.broadcast(n))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tok"),

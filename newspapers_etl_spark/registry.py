@@ -26,21 +26,30 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
-#   r7 (planned): after r6, no registered query lacks a driver hash row
-#       in some round, so the rotation reverts to pure oldest-first:
-#       the r4-hashed families lead (extraction_queries 8,
-#       incremental_stream 4, corpus_overlap 2, relational's LAST 19 —
-#       its first 2 re-hash in r6 — = 33), then the oldest r5-hashed
-#       blocks (relational_extended 9, scd 3, multimodal 4 = 16) and
-#       dedup's first queries fill to ~50.  Any query ADDED or CHANGED
-#       in r7 preempts this order, as always.  Mind the import-graph
-#       constraint: a module imported at top level by an earlier-
-#       declared module registers at the importer's position (ivfadc →
-#       semantic_dedup/similarity, scd_stream → scd).  Also due when
-#       dedup enters the window: fold the duplicated sh_pairs/sh32
-#       Manku pipeline into one parametric helper (deferred in r6
-#       precisely because touching dedup.py would have pulled its 10
-#       queries into an already-full window).
+#   r8 (planned): the out-of-window r5-hashed blocks lead —
+#       relational_extended 9, scd 3, multimodal 4, incremental 3,
+#       diagnostics/url_ops/snapshot_diff 3, events_analytics 3,
+#       sampling_extended 3, enrichment/scd_stream/stateful 3 (= 31) —
+#       then text_scoring's LAST 5 (ppl re-hashes in r7; len_hist..zipf
+#       ride r5 history) and the r6-hashed families fill to ~50
+#       (semantic_dedup, similarity, pca, rollup, sketches,
+#       text_formats, model_fit, data_quality, corpus first).  Any
+#       query ADDED or CHANGED in r8 preempts, as always.
+#   r7 (executed): CHANGED queries preempt oldest-first, so the window
+#       is: dedup 10 (sh_pairs folded into the parametric
+#       manku_neardup_pairs helper) + dedup_scale 1 (sh32 now a thin
+#       wrapper) + ivfadc 2 (ivfadc_r NEW — end-to-end residual
+#       search; lazy model imports remove the old semantic_dedup/
+#       similarity splice, so those 7 no longer ride in front) +
+#       text_lm 1 (ppl2 vocab_cap param, registered default unchanged)
+#       = 14 changed slots; then pure oldest-first r4-hashed families —
+#       extraction_queries 8, incremental_stream 4, corpus_overlap 2,
+#       relational 21 (slots 29-49; its 2 r6-fresh rows re-hash as the
+#       price of contiguity) — and text_scoring's FIRST query (ppl,
+#       CHANGED r7: vocab_cap) lands exactly at slot 50.  The planned
+#       relational_extended/scd/multimodal re-hash is displaced to r8
+#       by the changed set.  Window test updated in the same commit
+#       (tests/test_sql_entrypoint.py).
 #   r6 (executed): the eight r5-late registrations lead — ivfadc (also
 #       CHANGED r6: residual-PQ option), emb_cov, pca_proj, ev_rollup,
 #       st_rollup, kmv_ndv, src_csv, src_jsonl (never driver-hashed;
@@ -85,48 +94,46 @@ ORACLE: dict[str, str] = {}
 # that contain a query never checked in ANY window — go first; a query
 # changed in the current round must sit inside the first ~50.
 _OPERATOR_MODULES = (
-    # semantic_dedup and similarity precede ivfadc because ivfadc
-    # imports both at top level — their registration blocks realize
-    # first no matter what is declared, and the realized-order test
-    # demands the declaration tell the truth.  Both belong in the
-    # window anyway (semantic_dedup CHANGED r6; similarity rides).
-    "newspapers_etl_spark.operators.semantic_dedup",      # 2   green r5; _nearest_code vec param CHANGED r6
-    "newspapers_etl_spark.operators.similarity",          # 5   re-hashed r4 (ivfadc dependency, rides in-window)
-    "newspapers_etl_spark.operators.ivfadc",              # 1   never hashed (ivfadc); residual option NEW r6
-    "newspapers_etl_spark.operators.pca",                 # 2   never hashed (emb_cov/pca_proj)
-    "newspapers_etl_spark.operators.rollup",              # 2   never hashed (ev_rollup/st_rollup)
-    "newspapers_etl_spark.operators.sketches",            # 1   never hashed (kmv_ndv)
-    "newspapers_etl_spark.sources.text_formats",          # 4   never hashed (src_csv/src_jsonl); src_orc/src_xml NEW r6
-    "newspapers_etl_spark.operators.dedup_scale",         # 1   NEW r6 (sh32)
-    "newspapers_etl_spark.operators.model_fit",           # 3   NEW r6 (fit_pq/fit_pca/fit_anc)
-    "newspapers_etl_spark.operators.text_lm",             # 1   NEW r6 (ppl2)
-    "newspapers_etl_spark.operators.data_quality",        # 1   green r5; embedding health check CHANGED r6
-    "newspapers_etl_spark.operators.corpus",              # 5   4 green r3; leakage NEW r5, never hashed
-    "newspapers_etl_spark.operators.sampling",            # 2   green r3, unchanged
-    "newspapers_etl_spark.operators.text_analysis",       # 6   green r3, unchanged
-    "newspapers_etl_spark.operators.events_windows",      # 6   green r3, unchanged
-    "newspapers_etl_spark.operators.pandas_surface",      # 3   green r3, unchanged
-    "newspapers_etl_spark.operators.pipeline",            # 2   green r3, unchanged
-    "newspapers_etl_spark.sinks.verified",                # 1   green r3, unchanged
-    # ---- 48 queries above; relational's first 2 close the window ----
-    "newspapers_etl_spark.operators.relational",          # 21  re-hashed r4 (first 2 in-window)
-    "newspapers_etl_spark.operators.extraction_queries",  # 8   re-hashed r4
-    "newspapers_etl_spark.streaming.incremental_stream",  # 4   re-hashed r4
-    "newspapers_etl_spark.operators.corpus_overlap",      # 2   re-hashed r4
-    "newspapers_etl_spark.operators.relational_extended", # 9   re-hashed r5
-    "newspapers_etl_spark.operators.scd",                 # 3   re-hashed r5
-    "newspapers_etl_spark.operators.multimodal",          # 4   re-hashed r5
-    "newspapers_etl_spark.operators.dedup",               # 10  re-hashed r5
+    # ---- r7 window: CHANGED queries first, then oldest-first ----
+    "newspapers_etl_spark.operators.dedup",               # 10  CHANGED r7 (Manku fold); last hashed r5
+    "newspapers_etl_spark.operators.dedup_scale",         # 1   CHANGED r7 (sh32 thin wrapper); hashed r6
+    "newspapers_etl_spark.operators.ivfadc",              # 2   ivfadc_r NEW r7; ivfadc hashed r6 (lazy model imports)
+    "newspapers_etl_spark.operators.text_lm",             # 1   CHANGED r7 (vocab_cap); hashed r6
+    "newspapers_etl_spark.operators.extraction_queries",  # 8   last hashed r4 (oldest)
+    "newspapers_etl_spark.streaming.incremental_stream",  # 4   last hashed r4
+    "newspapers_etl_spark.operators.corpus_overlap",      # 2   last hashed r4
+    "newspapers_etl_spark.operators.relational",          # 21  19 last hashed r4; flagship/q1_price r6 re-ride
+    # ---- 49 queries above; text_scoring's FIRST (ppl, CHANGED r7:
+    # vocab_cap) closes the window at exactly 50; its other 5 ride r5
+    # history just outside and lead the r8 re-hash. ----
+    "newspapers_etl_spark.operators.text_scoring",        # 6   ppl CHANGED r7 (slot 50); rest r5
+    "newspapers_etl_spark.operators.relational_extended", # 9   re-hashed r5 (r8 front)
+    "newspapers_etl_spark.operators.scd",                 # 3   re-hashed r5 (r8 front)
+    "newspapers_etl_spark.operators.multimodal",          # 4   re-hashed r5 (r8 front)
     "newspapers_etl_spark.operators.incremental",         # 3   re-hashed r5
     "newspapers_etl_spark.operators.diagnostics",         # 1   re-hashed r5
     "newspapers_etl_spark.operators.url_ops",             # 1   re-hashed r5
-    "newspapers_etl_spark.operators.text_scoring",        # 6   re-hashed r5
     "newspapers_etl_spark.operators.snapshot_diff",       # 1   re-hashed r5
     "newspapers_etl_spark.operators.events_analytics",    # 3   re-hashed r5
     "newspapers_etl_spark.operators.sampling_extended",   # 3   re-hashed r5
     "newspapers_etl_spark.streaming.enrichment",          # 1   re-hashed r5
     "newspapers_etl_spark.streaming.scd_stream",          # 1   re-hashed r5
     "newspapers_etl_spark.streaming.stateful",            # 1   re-hashed r5
+    "newspapers_etl_spark.operators.semantic_dedup",      # 2   hashed r6
+    "newspapers_etl_spark.operators.similarity",          # 5   hashed r6
+    "newspapers_etl_spark.operators.pca",                 # 2   hashed r6
+    "newspapers_etl_spark.operators.rollup",              # 2   hashed r6
+    "newspapers_etl_spark.operators.sketches",            # 1   hashed r6
+    "newspapers_etl_spark.sources.text_formats",          # 4   hashed r6
+    "newspapers_etl_spark.operators.model_fit",           # 3   hashed r6
+    "newspapers_etl_spark.operators.data_quality",        # 1   hashed r6
+    "newspapers_etl_spark.operators.corpus",              # 5   hashed r6
+    "newspapers_etl_spark.operators.sampling",            # 2   hashed r6
+    "newspapers_etl_spark.operators.text_analysis",       # 6   hashed r6
+    "newspapers_etl_spark.operators.events_windows",      # 6   hashed r6
+    "newspapers_etl_spark.operators.pandas_surface",      # 3   hashed r6
+    "newspapers_etl_spark.operators.pipeline",            # 2   hashed r6
+    "newspapers_etl_spark.sinks.verified",                # 1   hashed r6
 )
 
 _loaded = False

@@ -174,22 +174,25 @@ def test_registry_registration_order_is_contiguous_per_module():
         f"realized {block_order} vs declared {declared}; a top-level "
         "cross-module operator import is splicing a whole block"
     )
-    # And the r6 window design holds: every never-driver-hashed query
-    # plus the families CHANGED this round sit inside the first 50
-    # (the driver's check window) — see the rotation ledger in
-    # registry.py.
+    # And the r7 window design holds: every query ADDED or CHANGED this
+    # round plus the stalest-history families (last hashed r4) sit
+    # inside the first 50 (the driver's check window) — see the
+    # rotation ledger in registry.py.
     window = set(names[:50])
     for required in (
-        # never hashed before r6 (r5-late registrations + leakage)
-        "ivfadc", "emb_cov", "pca_proj", "ev_rollup", "st_rollup",
-        "kmv_ndv", "src_csv", "src_jsonl", "leakage",
-        # new in r6
-        "sh32", "fit_pq", "fit_pca", "fit_anc", "src_orc", "src_xml",
-        "ppl2",
-        # changed in r6 (residual-PQ plumbing; embedding health check)
-        "pq_codes", "semdedup", "dq_audit",
+        # new in r7
+        "ivfadc_r",
+        # changed in r7 (Manku fold; vocab_cap on the LM broadcasts)
+        "sh_pairs", "sh32", "ppl", "ppl2", "ivfadc",
+        # last driver-hashed r4 (oldest history, full re-hash)
+        "ex_fall", "ex_md5", "st_tumble", "st_sess", "dd_chunk",
+        "overlap", "flagship", "expl_wrd", "agg_cdist",
     ):
         assert required in window, f"{required} fell out of the window"
+    # ppl is the boundary query: slot 50 exactly, so text_scoring's
+    # other five (r5 history) lead the r8 rotation instead of burning
+    # r7 slots.
+    assert names[49] == "ppl", f"window boundary drifted: {names[45:52]}"
 
 
 def test_queries_md_index_matches_registry():
