@@ -1,0 +1,149 @@
+"""BM25 retrieval scoring over the documents table.
+
+No reference counterpart (the reference's text handling stops at regex
+extraction, src/01-scrape-images.py:270-317); this is the retrieval
+primitive a training-data pipeline uses for query-based curation —
+"find the corpus documents most relevant to this probe query" powers
+benchmark decontamination sweeps (score every doc against each eval
+query, drop the top hits) and targeted-domain sampling, the lexical
+complement of the embedding-space searches in ``similarity.py``.
+
+Scale design (Okapi BM25, the Robertson/Spärck Jones formulation with
+Lucene's non-negative IDF):
+
+* The token stream is FILTERED to the query's terms map-side before any
+  shuffle — the per-(doc, term) tf aggregation touches |Q|/|V| of the
+  corpus tokens, not all of them.  Document length (the one per-doc
+  statistic that needs the full token array) is a map-side ``size()``
+  over the materialized token column, carried on the hit stream; the
+  only other pass is the 1-row (N, avgdl) statistics aggregate.  The
+  full token stream never shuffles.
+* The model side is tiny and broadcast: per-term document frequencies
+  (|Q| rows) and the 1-row (N, avgdl) corpus statistics — the same
+  broadcast-the-model shape as ``ppl``'s unigram distribution.
+* Per-term partial scores are scaled to 1e-9-resolution INTEGERS before
+  the per-doc sum, so the total is exact and summation-order-independent
+  — a double sum of rounded parts can still straddle the final 6-dp
+  rounding boundary between engines (observed: 1.429784 vs 1.429785 at
+  sf0.001); an integer sum cannot.  The (score, doc_id) ranking is then
+  deterministic on both sides.
+* Top-k is a global ``orderBy().limit()`` — TakeOrderedAndProject, a
+  per-partition heap + single k-row merge, never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.functions.text import words
+from newspapers_etl_spark.registry import query
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 50
+# A fixed probe query (mixed-frequency fixture vocabulary), literal so
+# the Spark plan and the DuckDB oracle score the identical term set.
+BM25_QUERY_TERMS = ("join", "vector", "stream", "window")
+
+_TERMS_SQL = "', '".join(BM25_QUERY_TERMS)
+
+BM25_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ts
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM toks),
+hits AS (
+  SELECT doc_id, unnest(ts) AS term FROM toks
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM hits WHERE term IN ('{_TERMS_SQL}')
+  GROUP BY doc_id, term
+),
+dft AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dft
+  FROM hits WHERE term IN ('{_TERMS_SQL}')
+  GROUP BY term
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(CAST(round(
+           ln(1 + (stats.n - dft.dft + 0.5) / (dft.dft + 0.5))
+           * tf.tf * ({BM25_K1} + 1)
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+           * 1e9) AS BIGINT)) AS s9
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(CAST(s9 AS DOUBLE) / 1e9, 6) AS score
+FROM scored
+ORDER BY s9 DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+"""
+
+
+@query("bm25", oracle=BM25_ORACLE)
+def retrieval_bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Top-k documents by Okapi BM25 against a literal term query:
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (Lucene's floor-at-zero
+    variant).  See the module docstring for the shuffle budget; the
+    output is (doc_id, score) for the k best, score-then-id ordered."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", F.filter(words("text"), lambda x: x != "").alias("ts")
+    )
+    # Document length rides the hit stream (max() of a per-doc constant)
+    # so no per-doc relation is shuffled for the join — only the
+    # query-term hits ever leave their scan partition.  explode_outer,
+    # not explode: InferFiltersFromGenerate would push size/isnotnull
+    # predicates below the projection with the tokenize HOF re-inlined
+    # (the dd_spans lesson); the isin filter drops the null row anyway.
+    hits = staged.select(
+        "doc_id",
+        F.size("ts").cast("double").alias("dl"),
+        F.explode_outer("ts").alias("term"),
+    ).filter(F.col("term").isin(*terms))
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf"),
+        F.max("dl").alias("dl"),
+    )
+    dft = hits.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("dft")
+    )
+    stats = staged.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.size("ts")).alias("avgdl"),
+    )
+    idf = F.log(1 + (F.col("n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
+    part9 = F.round(
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        * 1e9
+    ).cast("long")
+    return (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(part9).alias("s9"))
+        .orderBy(F.desc("s9"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round(F.col("s9") / 1e9, 6).alias("score"))
+    )

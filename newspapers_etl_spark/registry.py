@@ -26,7 +26,9 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
-#   r8 (planned): the out-of-window r5-hashed blocks lead —
+#   r8 (planned): bm25 (NEW r7, registered post-window — see the note
+#       at its declaration) leads, then the out-of-window r5-hashed
+#       blocks —
 #       relational_extended 9, scd 3, multimodal 4, incremental 3,
 #       diagnostics/url_ops/snapshot_diff 3, events_analytics 3,
 #       sampling_extended 3, enrichment/scd_stream/stateful 3 (= 31) —
@@ -107,6 +109,12 @@ _OPERATOR_MODULES = (
     # vocab_cap) closes the window at exactly 50; its other 5 ride r5
     # history just outside and lead the r8 re-hash. ----
     "newspapers_etl_spark.operators.text_scoring",        # 6   ppl CHANGED r7 (slot 50); rest r5
+    # bm25 is NEW r7 but registers POST-window: the window is exactly
+    # full (ppl at 50) and displacing an r4-stale row for it would
+    # trade verified freshness for an unhashed newcomer — it is
+    # sweep+pytest-verified this round and leads the r8 window with
+    # text_scoring's tail.
+    "newspapers_etl_spark.operators.retrieval",           # 1   NEW r7 (bm25, post-window -> r8 front)
     "newspapers_etl_spark.operators.relational_extended", # 9   re-hashed r5 (r8 front)
     "newspapers_etl_spark.operators.scd",                 # 3   re-hashed r5 (r8 front)
     "newspapers_etl_spark.operators.multimodal",          # 4   re-hashed r5 (r8 front)
