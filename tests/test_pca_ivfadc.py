@@ -294,3 +294,26 @@ def test_ivfadc_residual_without_residual_codebook_refuses():
 
     with pytest.raises(ValueError, match="residual-space codebook"):
         ivfadc_topk(None, "/nonexistent", residual=True)
+
+
+def test_registered_ivfadc_r_serves_every_probe_ranked(spark, sf_dir):
+    """The REGISTERED end-to-end residual query (`ivfadc_r`: shared
+    quantizer fit + residual codebook + residual search) honors the same
+    output contract as the component paths above — every probe served,
+    contiguous ranks, non-negative ascending ADC distances — so a
+    regression anywhere in the fit→center→encode→score composition is
+    test-visible, not just bench-visible."""
+    from newspapers_etl_spark.operators.ivfadc import ivfadc_residual_topk
+    from newspapers_etl_spark.operators.similarity import N_PROBES, TOP_K
+
+    by_probe: dict[int, list] = {}
+    for r in ivfadc_residual_topk(spark, sf_dir).collect():
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert set(by_probe) == set(range(N_PROBES))
+    for _pid, rs in by_probe.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_K
+        dists = [r.adc_dist for r in rs]
+        assert all(d >= 0 for d in dists)
+        assert dists == sorted(dists)

@@ -90,6 +90,11 @@ def main() -> int:
             status = "ERROR"
             detail = f"{type(e).__name__}: {e}"[:300]
         sec = time.perf_counter() - t0
+        # Release any query-internal persist() (jaccard/dd_spans/
+        # sh_pairs/sh32) so a full sweep doesn't accumulate cached
+        # relations across 130+ queries (ADVICE r6 #3; the documented
+        # caller-owned release path, newspapers_etl_spark/cache.py).
+        spark.catalog.clearCache()
         line = f"[sweep] {name}: {status} ({sec:.2f}s) {detail}"
         print(line, file=sys.stderr)
         if status not in ("ok", "rows_only"):
