@@ -222,6 +222,12 @@ def _centroids(
     the only viable quantizer fit; the fraction is a knob, 1.0 restores
     the exact fit."""
     fit = e if fit_fraction >= 1.0 else e.sample(fit_fraction, seed=7)
+    # Each Lloyd step is its own action (the collect below); persisting
+    # the sampled fit relation makes iterations 2..n read the cache
+    # instead of re-scanning + re-sampling the source.  A fit FUNCTION
+    # (driver-side loop, returns a model) can own the full lifecycle —
+    # unpersist before returning (cf. ivfadc.fit_codebook, same move).
+    fit = fit.persist()
     cents = [
         (int(r.vec_id), list(r.embedding))
         for r in e.filter(F.col("vec_id") < k)
@@ -244,6 +250,7 @@ def _centroids(
         # a cell empty in the (sampled) assignment keeps its old centroid
         updated = {int(r.cell): list(r.centroid) for r in new}
         cents = [(cid, updated.get(cid, c)) for cid, c in cents]
+    fit.unpersist()
     return cents
 
 
