@@ -33,7 +33,7 @@ Lucene's non-negative IDF):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
@@ -146,4 +146,78 @@ def retrieval_bm25_topk(
         .orderBy(F.desc("s9"), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", F.round(F.col("s9") / 1e9, 6).alias("score"))
+    )
+
+
+def retrieval_bm25_batch_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: dict[int, tuple[str, ...]],
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Score the corpus against MANY queries in ONE scan — the shape a
+    decontamination sweep actually runs (every eval-benchmark query vs
+    every training document): returns (query_id, doc_id, score, rnk)
+    for each query's top-k.
+
+    Same plan skeleton as the single-query path — the hit stream is
+    filtered map-side to the UNION of all query terms, tf aggregates
+    once per (doc, term) — with one addition: a broadcast (term,
+    query_id) expansion relation fans each term's partial score out to
+    the queries containing it, so per-(query, doc) totals come from one
+    more map-side broadcast join, not another corpus pass.  df/idf stay
+    per-TERM (query-independent), computed once however many queries
+    share a term.  Top-k per query is a bounded window (rank within
+    query_id), not a global sort."""
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", F.filter(words("text"), lambda x: x != "").alias("ts")
+    )
+    hits = staged.select(
+        "doc_id",
+        F.size("ts").cast("double").alias("dl"),
+        F.explode_outer("ts").alias("term"),
+    ).filter(F.col("term").isin(*all_terms))
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf"),
+        F.max("dl").alias("dl"),
+    )
+    dft = hits.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("dft")
+    )
+    stats = staged.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.size("ts")).alias("avgdl"),
+    )
+    expansion = spark.createDataFrame(
+        [(t, qid) for qid, ts in sorted(queries.items()) for t in set(ts)],
+        "term string, query_id int",
+    )
+    idf = F.log(1 + (F.col("n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
+    part9 = F.round(
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        * 1e9
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy(F.desc("s9"), F.asc("doc_id"))
+    return (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(expansion), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(part9).alias("s9"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("s9") / 1e9, 6).alias("score"),
+            "rnk",
+        )
     )

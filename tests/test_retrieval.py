@@ -59,3 +59,52 @@ def test_bm25_topk_plan_uses_heap_not_full_sort(spark, sf_dir):
         .toString()
     )
     assert f"TakeOrderedAndProject(limit={BM25_TOP_K}" in plan
+
+
+def test_bm25_batch_reproduces_single_query_scores(spark, sf_dir):
+    """One-scan batch scoring must agree exactly with the single-query
+    path for a query that appears in the batch, and serve every query
+    in the batch with contiguous ranks."""
+    from newspapers_etl_spark.operators.retrieval import (
+        retrieval_bm25_batch_topk,
+    )
+
+    batch = {
+        0: BM25_QUERY_TERMS,
+        1: ("customer", "hash"),
+        2: ("merge",),
+    }
+    rows = retrieval_bm25_batch_topk(spark, sf_dir, batch, k=10).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(batch)
+    for _qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+    single = retrieval_bm25_topk(spark, sf_dir, k=10).collect()
+    got0 = [(r["doc_id"], r["score"]) for r in by_q[0]]
+    want = [(r["doc_id"], r["score"]) for r in single]
+    assert got0 == want
+
+
+def test_bm25_batch_is_one_corpus_scan_per_stream(spark, sf_dir):
+    """The batch plan must not multiply corpus passes by query count:
+    however many queries, the documents table appears in exactly the
+    same number of scan nodes as the single-query plan (hit stream +
+    stats pass)."""
+    from newspapers_etl_spark.operators.retrieval import (
+        retrieval_bm25_batch_topk,
+    )
+
+    def n_scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Scan parquet")
+
+    single = n_scans(retrieval_bm25_topk(spark, sf_dir))
+    batch = n_scans(
+        retrieval_bm25_batch_topk(
+            spark, sf_dir, {i: BM25_QUERY_TERMS for i in range(8)}
+        )
+    )
+    assert batch == single
