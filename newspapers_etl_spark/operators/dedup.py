@@ -825,9 +825,17 @@ def simhash(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
             lambda x, y: x + y,
         ),
     )
-    # Long literals throughout: 1 << 31 no longer fits an INT literal, and
-    # a mixed int/long power array fails type resolution.
-    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    # Long literals throughout: 1 << 31 no longer fits an INT literal,
+    # and a mixed int/long power array fails type resolution.  The
+    # powers are BUILT with shiftleft rather than written as literals
+    # because 1 << 63 does not parse as a (signed) long literal at all —
+    # shiftleft(1L, 63) wraps to Long.MIN, the correct bit-63 pattern,
+    # which is what makes the documented 64-bit width actually run
+    # (the final fold's additions stay overflow-free under ANSI mode:
+    # the powers are distinct bits, so addition is bitwise OR).
+    powers = F.array(
+        *[F.shiftleft(F.lit(1).cast("long"), b) for b in range(bits)]
+    )
     return F.aggregate(
         F.zip_with(
             counts,

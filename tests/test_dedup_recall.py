@@ -368,3 +368,77 @@ def test_sh32_matches_brute_force_hamming3(spark, sf_dir):
         f"missing={set(brute) - set(got)} extra={set(got) - set(brute)}"
     )
     assert brute, "fixture planted no pairs at Hamming <= 3"
+
+
+def _to_signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_simhash64_blocking_guarantees_recall_at_d3(spark):
+    """The 64-bit instantiation of the same C(6,3) construction
+    (widths 11,11,11,11,10,10 — the SCALING.md claim), exhaustively:
+    all C(64,3) distance-3 variants of a base value must collide with
+    it in at least one table.  Values with bit 63 set are sign-wrapped
+    to Spark longs; the shift/mask key arithmetic must be unsigned-
+    correct through the sign bit."""
+    from itertools import combinations as _combos
+
+    base = 0xB2E5_6931_9C3C_A5D7
+    widths = (11, 11, 11, 11, 10, 10)
+    variants = [
+        (i + 1, _to_signed64(base ^ ((1 << a) | (1 << b) | (1 << c))))
+        for i, (a, b, c) in enumerate(_combos(range(64), 3))
+    ]
+    df = spark.createDataFrame(
+        [(0, _to_signed64(base))] + variants, "doc_id long, sh long"
+    )
+    keyed = df.select(
+        "doc_id", F.explode(simhash_table_keys("sh", widths)).alias("t")
+    ).select("doc_id", "t.table_id", "t.key")
+    base_keys = keyed.filter(F.col("doc_id") == 0).select("table_id", "key")
+    caught = (
+        keyed.filter(F.col("doc_id") != 0)
+        .join(base_keys, ["table_id", "key"])
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert caught == len(variants), (
+        f"64-bit blocking missed {len(variants) - caught} of {len(variants)}"
+    )
+
+
+def test_simhash64_end_to_end_matches_brute_force(spark, sf_dir):
+    """The full 64-bit Manku near-dup join (simhash fold through the
+    sign bit, shift-built powers, bit_count verify) returns exactly the
+    brute-force Hamming <= 3 pair set on the fixture corpus — the
+    64-bit twin of test_sh32_matches_brute_force_hamming3, proving the
+    documented widest width runs end-to-end, not just in a docstring."""
+    from newspapers_etl_spark.catalog import load_table
+    from newspapers_etl_spark.operators.dedup import manku_neardup_pairs
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in manku_neardup_pairs(
+            spark,
+            sf_dir,
+            bits=64,
+            widths=(11, 11, 11, 11, 10, 10),
+            hamming_d=3,
+            hamming_fn=lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+        ).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    members = d.select("doc_id", simhash("text", bits=64).alias("sh")).collect()
+    mask = (1 << 64) - 1
+    brute = {}
+    for i, a in enumerate(members):
+        for b in members[i + 1 :]:
+            ham = bin((a.sh ^ b.sh) & mask).count("1")
+            if ham <= 3:
+                key = (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id))
+                brute[key] = ham
+    assert got == brute, (
+        f"64-bit pairs diverge: missing={set(brute) - set(got)} "
+        f"extra={set(got) - set(brute)}"
+    )
