@@ -149,6 +149,120 @@ def retrieval_bm25_topk(
     )
 
 
+BM25_POSTING_SHARDS = 256
+
+
+def write_bm25_postings(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    shards: int = BM25_POSTING_SHARDS,
+) -> None:
+    """The stored-index half of the 100 TB contract: tokenize ONCE and
+    write the (term, doc_id, tf, dl) posting relation partitioned by a
+    term-hash shard, plus the 1-row (n, avgdl) corpus statistics —
+    after this, scoring any query reads only the query terms' shards
+    (parquet PartitionFilters on term_shard + pushed term predicate),
+    never the corpus text.  Sharding by hash, not by raw term: a
+    10^7-term vocabulary cannot be one directory per term, and hot
+    terms spread nothing here because a shard holds whole terms (the
+    skew unit is the term itself, bounded by doc frequency).  df is NOT
+    stored — it is exactly count_distinct(doc_id) within a term's
+    postings, all of which live in one shard."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", F.filter(words("text"), lambda x: x != "").alias("ts")
+    )
+    postings = (
+        staged.select(
+            "doc_id",
+            F.size("ts").cast("double").alias("dl"),
+            F.explode_outer("ts").alias("term"),
+        )
+        .filter(F.col("term").isNotNull())
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"), F.max("dl").alias("dl"))
+        .withColumn(
+            "term_shard", F.pmod(F.xxhash64("term"), F.lit(shards)).cast("int")
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("term_shard").parquet(
+        f"{path}/postings"
+    )
+    staged.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.size("ts")).alias("avgdl"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def _term_shards(
+    spark: SparkSession, terms: tuple[str, ...], shards: int
+) -> list[int]:
+    """Shard ids for the query terms, from one 1-row local computation —
+    Spark's xxhash64 is the sharding function, so ask Spark (a
+    LocalRelation projection; nothing is scanned)."""
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(F.xxhash64(F.lit(t)), F.lit(shards))
+                .cast("int")
+                .alias(f"s{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+        .collect()[0]
+    )
+    return sorted({int(v) for v in row})
+
+
+def retrieval_bm25_topk_from_postings(
+    spark: SparkSession,
+    path: str,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+    shards: int = BM25_POSTING_SHARDS,
+) -> DataFrame:
+    """Score a query against the written posting index: the scan is
+    pruned to the query terms' shards at the PARTITION level (a literal
+    term_shard IN (...) list, derived from the terms with one
+    LocalRelation projection) and to the terms themselves via a pushed
+    predicate; identical scores to the direct path by construction
+    (same tf/dl/df inputs, same integer-scaled arithmetic),
+    pytest-asserted along with the PartitionFilters pruning."""
+    wanted = _term_shards(spark, terms, shards)
+    tf = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term_shard").isin(wanted))
+        .filter(F.col("term").isin(*terms))
+        .select("doc_id", "term", "tf", "dl")
+    )
+    dft = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("dft")
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    idf = F.log(1 + (F.col("n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
+    part9 = F.round(
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        * 1e9
+    ).cast("long")
+    return (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(part9).alias("s9"))
+        .orderBy(F.desc("s9"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round(F.col("s9") / 1e9, 6).alias("score"))
+    )
+
+
 def retrieval_bm25_batch_topk(
     spark: SparkSession,
     sf_dir: str,

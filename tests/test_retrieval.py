@@ -108,3 +108,35 @@ def test_bm25_batch_is_one_corpus_scan_per_stream(spark, sf_dir):
         )
     )
     assert batch == single
+
+
+def test_bm25_stored_postings_prune_and_reproduce(spark, sf_dir, tmp_path):
+    """The stored-index contract (the ivfadc stored-index move, lexical
+    edition): postings written once, sharded by term hash; scoring a
+    query reads ONLY the query terms' shards (parquet PartitionFilters
+    on term_shard, plus a pushed term predicate) and returns exactly
+    the direct path's top-k."""
+    from newspapers_etl_spark.operators.retrieval import (
+        BM25_POSTING_SHARDS,
+        _term_shards,
+        retrieval_bm25_topk_from_postings,
+        write_bm25_postings,
+    )
+
+    path = str(tmp_path / "bm25_index")
+    write_bm25_postings(spark, sf_dir, path)
+    df = retrieval_bm25_topk_from_postings(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term_shard" in plan
+    assert "PushedFilters" in plan
+    got = [(r["doc_id"], r["score"]) for r in df.collect()]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk(spark, sf_dir).collect()
+    ]
+    assert got == want
+    # the shard list is a proper subset of the universe — the pruning
+    # is real, not a filter that happens to keep everything
+    assert len(_term_shards(spark, BM25_QUERY_TERMS, BM25_POSTING_SHARDS)) <= len(
+        BM25_QUERY_TERMS
+    ) < BM25_POSTING_SHARDS
