@@ -261,9 +261,18 @@ def test_ivfadc_stored_index_prunes_partitions(spark, sf_dir, tmp_path):
     out = str(tmp_path / "ivf_index")
     index.write.partitionBy("cell").parquet(out)
 
+    # TWO probes, not the full N_PROBES set: the contract under test is
+    # partition PRUNING, which needs the probed-cell union to be a
+    # proper subset of all cells.  2 probes x IVF_NPROBE=2 cells <= 4 <
+    # IVF_CELLS=8 cells STRUCTURALLY — the old N_PROBES-wide union
+    # sometimes covered all 8 (the Lloyd update's float avg is
+    # summation-order nondeterministic across sessions, so cell
+    # boundaries wobble by an ulp) and tripped the vacuous-test guard
+    # flakily.
+    n_pruning_probes = min(2, N_PROBES)
     probes = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in e.filter(F.col("vec_id") < N_PROBES)
+        for r in e.filter(F.col("vec_id") < n_pruning_probes)
         .select("vec_id", "embedding")
         .collect()
     ]
