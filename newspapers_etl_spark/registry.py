@@ -28,7 +28,12 @@ ORACLE: dict[str, str] = {}
 # ROTATION POLICY (one line per round, newest first):
 #   r8 (planned): bm25 (NEW r7, registered post-window — see the note
 #       at its declaration) leads, then the out-of-window r5-hashed
-#       blocks —
+#       blocks.  Also due in r8: round Lloyd centroid components
+#       driver-side in similarity._centroids — the float avg is
+#       summation-order nondeterministic across sessions (an ulp
+#       wobble that flaked a pruning test in r7), and fixing it
+#       changes ivf_topk/fit_anc results, so it must land in a round
+#       where those queries re-hash.  Then the blocks —
 #       relational_extended 9, scd 3, multimodal 4, incremental 3,
 #       diagnostics/url_ops/snapshot_diff 3, events_analytics 3,
 #       sampling_extended 3, enrichment/scd_stream/stateful 3 (= 31) —
