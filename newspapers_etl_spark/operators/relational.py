@@ -75,6 +75,13 @@ WHERE NOT EXISTS (
 
 @query("flagship", oracle=FLAGSHIP_ORACLE)
 def flagship_issue_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's daily loop as ONE declarative plan (S1+J1+A1):
+    date-range scan with the predicate pushed to the source (reference
+    src/01-scrape-images.py builds the search URL per day), fan-out to
+    items, anti-join against already-delivered keys (the skip-if-exists
+    idempotency at :357-359,462-465), and per-day success accounting
+    (downloaded vs expected, :500,553) — "process only what's missing"
+    as a query, not a crawl."""
     orders = _orders_in_range(spark, sf_dir).select(
         "o_orderkey", F.to_date("o_orderdate").alias("order_date")
     )
@@ -185,6 +192,9 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 @query("agg_cube", oracle=CUBE_ORACLE)
 def agg_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 2^2 grouping combinations in
+    one pass — map-side expansion, no query union (SURVEY §2.4; absent
+    from the reference, which has no grouped reporting at all)."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
@@ -343,6 +353,10 @@ WHERE EXISTS (
 
 @query("join_semi", oracle=SEMI_ORACLE)
 def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — existence filter without duplication: customers
+    with at least one open order, never multiplied by their order count
+    (the complement of J1's anti-join; the probe side reduces to
+    distinct keys before the join under the hood)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(

@@ -48,6 +48,10 @@ FROM documents
 
 @query("tokens", oracle=TOKEN_COUNT_ORACLE)
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under BOTH tokenizations — whitespace
+    split and the BPE-ish word/number/punct regex — the budget inputs
+    for packing and token-weighted sampling (functions/text.py); pure
+    map-side expressions, one scan, no shuffle."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
