@@ -186,9 +186,14 @@ def write_bm25_postings(
             "term_shard", F.pmod(F.xxhash64("term"), F.lit(shards)).cast("int")
         )
     )
-    postings.write.mode("overwrite").partitionBy("term_shard").parquet(
-        f"{path}/postings"
-    )
+    # Repartition ON the layout key before the partitioned write:
+    # without it every task holds rows for all shards and writes up to
+    # `shards` files — tasks × shards small files at corpus scale.
+    # After it each shard's rows land in one task → one file per shard
+    # directory, and term lookups read exactly one file.
+    postings.repartition(shards, "term_shard").write.mode("overwrite").partitionBy(
+        "term_shard"
+    ).parquet(f"{path}/postings")
     staged.agg(
         F.count("*").cast("double").alias("n"),
         F.avg(F.size("ts")).alias("avgdl"),

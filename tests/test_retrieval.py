@@ -140,3 +140,18 @@ def test_bm25_stored_postings_prune_and_reproduce(spark, sf_dir, tmp_path):
     assert len(_term_shards(spark, BM25_QUERY_TERMS, BM25_POSTING_SHARDS)) <= len(
         BM25_QUERY_TERMS
     ) < BM25_POSTING_SHARDS
+
+
+def test_bm25_postings_write_one_file_per_shard(spark, sf_dir, tmp_path):
+    """The partitioned write must repartition on the layout key first:
+    one parquet file per populated shard directory (tasks x shards
+    small files otherwise — the classic partitioned-write mistake)."""
+    from pathlib import Path
+
+    from newspapers_etl_spark.operators.retrieval import write_bm25_postings
+
+    path = str(tmp_path / "idx")
+    write_bm25_postings(spark, sf_dir, path)
+    for shard_dir in Path(path, "postings").glob("term_shard=*"):
+        files = [p for p in shard_dir.glob("*.parquet")]
+        assert len(files) == 1, f"{shard_dir.name}: {len(files)} files"
