@@ -33,7 +33,14 @@ ORACLE: dict[str, str] = {}
 #       summation-order nondeterministic across sessions (an ulp
 #       wobble that flaked a pruning test in r7), and fixing it
 #       changes ivf_topk/fit_anc results, so it must land in a round
-#       where those queries re-hash.  Then the blocks —
+#       where those queries re-hash.  Same landing window: empty-input
+#       guards for the seven literal-model queries (fit_anc/fit_pq/
+#       ivf_topk/ivfadc/ivfadc_r/pq_codes/semdedup) — an empty corpus
+#       yields an empty model and the untyped F.array() literal fails
+#       analysis with an obscure error; the guard (empty model ->
+#       typed empty result) is behavior-adding, so it rides the same
+#       re-hash (current behavior pinned in
+#       tests/test_empty_input.py).  Then the blocks —
 #       relational_extended 9, scd 3, multimodal 4, incremental 3,
 #       diagnostics/url_ops/snapshot_diff 3, events_analytics 3,
 #       sampling_extended 3, enrichment/scd_stream/stateful 3 (= 31) —
