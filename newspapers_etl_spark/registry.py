@@ -37,9 +37,12 @@ ORACLE: dict[str, str] = {}
 #       guards for the seven literal-model queries (fit_anc/fit_pq/
 #       ivf_topk/ivfadc/ivfadc_r/pq_codes/semdedup) — an empty corpus
 #       yields an empty model and the untyped F.array() literal fails
-#       analysis with an obscure error; the guard (empty model ->
-#       typed empty result) is behavior-adding, so it rides the same
-#       re-hash (current behavior pinned in
+#       analysis with an obscure error — and NULL-row guards for the
+#       same seven (the model collectors pull a NULL embedding into
+#       their seeds: filter isNotNull before fitting) plus the three
+#       Pandas-UDF decoders (mm_decode/mm_frames/pd_chunks crash on
+#       None payloads).  All behavior-adding, so they ride the same
+#       re-hash (current boundary pinned in
 #       tests/test_empty_input.py).  Then the blocks —
 #       relational_extended 9, scd 3, multimodal 4, incremental 3,
 #       diagnostics/url_ops/snapshot_diff 3, events_analytics 3,

@@ -1,15 +1,20 @@
-"""Empty-input totality sweep: a day's partition can legitimately be
-empty at 100 TB, so every registered query should either produce an
-empty (or statistics-of-nothing) result or fail with a CLEAR error.
+"""Degenerate-input totality sweeps: at 100 TB a day partition can be
+EMPTY and real corpora contain NULL rows (every fixture column is
+declared nullable), so every registered query should either produce a
+result or fail with a CLEAR error — and the current boundary is pinned
+so it can only move deliberately.
 
-Current state, pinned here: 125/132 queries are total on empty tables;
-the seven literal-model queries raise AnalysisException because an
-empty corpus yields an empty fitted model and the untyped ``F.array()``
-literal fails lambda type resolution.  The empty-model -> typed-empty-
-result guard is ledgered for r8 (registry.py), when those queries
-re-hash; this test then moves them into the tolerant set."""
+Current state: 125/132 queries are total on empty tables (the seven
+literal-model queries raise — empty corpus -> empty fitted model ->
+untyped ``F.array()`` fails lambda type resolution), and 122/132 are
+total with an all-null row present (the same seven collect the NULL
+embedding into their driver-side model seeds; the three Pandas-UDF
+decoders crash on None payloads).  Both guards are ledgered for r8
+(registry.py), when those queries re-hash; fixing one moves it out of
+the known set HERE, deliberately."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import SCHEMAS, TABLES, table_path
 from newspapers_etl_spark.registry import all_queries
@@ -54,4 +59,58 @@ def test_every_query_is_total_or_known_on_empty_tables(spark, empty_sf_dir):
     fixed = KNOWN_MODEL_BACKED_RAISERS - raised
     assert not fixed, (
         f"now tolerant — move out of KNOWN_MODEL_BACKED_RAISERS: {sorted(fixed)}"
+    )
+
+
+# The seven model collectors pull the NULL embedding into their seeds
+# ('NoneType' is not iterable); the three Pandas-UDF decoders crash on
+# None payloads.  Ledgered with the empty-input guard (registry.py r8).
+KNOWN_NULL_ROW_RAISERS = KNOWN_MODEL_BACKED_RAISERS | {
+    "mm_decode",
+    "mm_frames",
+    "pd_chunks",
+}
+
+
+@pytest.fixture(scope="module")
+def null_row_sf_dir(spark, sf_dir, tmp_path_factory):
+    """Each fixture table plus ONE row whose non-key columns are NULL —
+    in-contract input (every column is declared nullable)."""
+    tmp = str(tmp_path_factory.mktemp("null_sf"))
+    for t in TABLES:
+        df = spark.read.parquet(table_path(sf_dir, t))
+        types = dict(df.dtypes)
+        nulled = df.limit(1).select(
+            *[
+                (
+                    F.col(c)
+                    if c.endswith("_id") or c.endswith("key")
+                    else F.lit(None).cast(types[c])
+                ).alias(c)
+                for c in df.columns
+            ]
+        )
+        df.unionByName(nulled).write.mode("overwrite").parquet(
+            table_path(tmp, t)
+        )
+    return tmp
+
+
+def test_every_query_is_total_or_known_on_null_rows(spark, null_row_sf_dir):
+    outcomes: dict[str, str] = {}
+    for name, fn in all_queries().items():
+        try:
+            fn(spark, null_row_sf_dir).count()
+            outcomes[name] = "ok"
+        except Exception:
+            outcomes[name] = "raised"
+        spark.catalog.clearCache()
+    raised = {n for n, o in outcomes.items() if o == "raised"}
+    newly_broken = raised - KNOWN_NULL_ROW_RAISERS
+    assert not newly_broken, (
+        f"queries regressed to raising on a null row: {sorted(newly_broken)}"
+    )
+    fixed = KNOWN_NULL_ROW_RAISERS - raised
+    assert not fixed, (
+        f"now tolerant — move out of KNOWN_NULL_ROW_RAISERS: {sorted(fixed)}"
     )
