@@ -169,11 +169,37 @@ def write_bm25_postings(
     skew unit is the term itself, bounded by doc frequency).  df is NOT
     stored — it is exactly count_distinct(doc_id) within a term's
     postings, all of which live in one shard."""
+    staged = _staged_tokens(spark, sf_dir)
+    postings = _postings_of(staged, shards)
+    # Repartition ON the layout key before the partitioned write:
+    # without it every task holds rows for all shards and writes up to
+    # `shards` files — tasks × shards small files at corpus scale.
+    # After it each shard's rows land in one task → one file per shard
+    # directory, and term lookups read exactly one file.
+    postings.repartition(shards, "term_shard").write.mode("overwrite").partitionBy(
+        "term_shard"
+    ).parquet(f"{path}/postings")
+    # Stats are stored as the COMBINABLE pair (n, sum_dl), not avgdl:
+    # document lengths are integer-valued doubles, so sums are exact
+    # (< 2^53) and an incremental append's merged stats equal the
+    # from-scratch stats BIT-FOR-BIT — avgdl derived at query time is
+    # then identical on both paths (a stored average would drift by an
+    # ulp when combined and could flip a rounded score partial).
+    _corpus_stats(staged).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def _staged_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    staged = d.select(
+    return d.select(
         "doc_id", F.filter(words("text"), lambda x: x != "").alias("ts")
     )
-    postings = (
+
+
+def _postings_of(staged: DataFrame, shards: int) -> DataFrame:
+    """(doc_id, term, tf, dl, term_shard) posting rows from the staged
+    token relation — the one construction both the initial write and
+    the incremental append use."""
+    return (
         staged.select(
             "doc_id",
             F.size("ts").cast("double").alias("dl"),
@@ -186,18 +212,49 @@ def write_bm25_postings(
             "term_shard", F.pmod(F.xxhash64("term"), F.lit(shards)).cast("int")
         )
     )
-    # Repartition ON the layout key before the partitioned write:
-    # without it every task holds rows for all shards and writes up to
-    # `shards` files — tasks × shards small files at corpus scale.
-    # After it each shard's rows land in one task → one file per shard
-    # directory, and term lookups read exactly one file.
-    postings.repartition(shards, "term_shard").write.mode("overwrite").partitionBy(
-        "term_shard"
-    ).parquet(f"{path}/postings")
-    staged.agg(
+
+
+def _corpus_stats(staged: DataFrame) -> DataFrame:
+    return staged.agg(
         F.count("*").cast("double").alias("n"),
-        F.avg(F.size("ts")).alias("avgdl"),
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+        F.sum(F.size("ts").cast("double")).alias("sum_dl"),
+    )
+
+
+def append_bm25_postings(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    shards: int = BM25_POSTING_SHARDS,
+) -> None:
+    """Incremental index maintenance: add a NEW corpus slice's postings
+    to an existing index — O(batch) work, no rebuild.  Per-(doc, term)
+    posting rows append into the same shard layout; the (n, sum_dl)
+    stats pair combines exactly (see write_bm25_postings); df needs no
+    maintenance at all because it is derived from the postings at query
+    time.  The caller owns doc_id disjointness (same contract as any
+    append-only fact table; the incremental anti-join gate in
+    operators/incremental.py is the standard guard)."""
+    staged = _staged_tokens(spark, sf_dir)
+    _postings_of(staged, shards).repartition(
+        shards, "term_shard"
+    ).write.mode("append").partitionBy("term_shard").parquet(f"{path}/postings")
+    old = spark.read.parquet(f"{path}/stats").collect()[0]
+    batch = _corpus_stats(staged).collect()[0]
+    merged = spark.createDataFrame(
+        [(float(old["n"]) + float(batch["n"]),
+          float(old["sum_dl"] or 0.0) + float(batch["sum_dl"] or 0.0))],
+        "n double, sum_dl double",
+    )
+    # Stage-then-swap so a failed stats write never leaves the index
+    # with appended postings and stale stats half-committed.  On an
+    # object store this directory rename becomes the generation-pointer
+    # publish that sinks/verified.py's compaction already implements.
+    merged.write.mode("overwrite").parquet(f"{path}/stats_new")
+    import shutil
+
+    shutil.rmtree(f"{path}/stats")
+    shutil.move(f"{path}/stats_new", f"{path}/stats")
 
 
 def _term_shards(
@@ -245,7 +302,12 @@ def retrieval_bm25_topk_from_postings(
     dft = tf.groupBy("term").agg(
         F.count_distinct("doc_id").cast("double").alias("dft")
     )
-    stats = spark.read.parquet(f"{path}/stats")
+    # avgdl derived from the stored combinable (n, sum_dl) pair — the
+    # same division both the batch and incremental paths perform, so
+    # scores agree bit-for-bit however the index was built.
+    stats = spark.read.parquet(f"{path}/stats").select(
+        "n", (F.col("sum_dl") / F.col("n")).alias("avgdl")
+    )
     idf = F.log(1 + (F.col("n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
     part9 = F.round(
         idf

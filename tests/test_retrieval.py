@@ -155,3 +155,50 @@ def test_bm25_postings_write_one_file_per_shard(spark, sf_dir, tmp_path):
     for shard_dir in Path(path, "postings").glob("term_shard=*"):
         files = [p for p in shard_dir.glob("*.parquet")]
         assert len(files) == 1, f"{shard_dir.name}: {len(files)} files"
+
+
+def test_bm25_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Index maintenance contract: build-from-half + append-other-half
+    must equal build-from-everything BIT-FOR-BIT — possible because the
+    stored stats are the combinable (n, sum_dl) pair, not a pre-divided
+    average, and df is derived from postings at query time."""
+    from pyspark.sql import functions as F
+
+    from newspapers_etl_spark.catalog import load_table, table_path
+    from newspapers_etl_spark.operators.retrieval import (
+        append_bm25_postings,
+        retrieval_bm25_topk_from_postings,
+        write_bm25_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    cut = n_docs // 2
+    half1, half2 = str(tmp_path / "h1"), str(tmp_path / "h2")
+    docs.filter(F.col("doc_id") < cut).write.parquet(
+        table_path(half1, "documents")
+    )
+    docs.filter(F.col("doc_id") >= cut).write.parquet(
+        table_path(half2, "documents")
+    )
+
+    incr = str(tmp_path / "incr_idx")
+    write_bm25_postings(spark, half1, incr)
+    append_bm25_postings(spark, half2, incr)
+    full = str(tmp_path / "full_idx")
+    write_bm25_postings(spark, sf_dir, full)
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk_from_postings(spark, incr).collect()
+    ]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk_from_postings(spark, full).collect()
+    ]
+    assert got == want
+    direct = [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk(spark, sf_dir).collect()
+    ]
+    assert got == direct
