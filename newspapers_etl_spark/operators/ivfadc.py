@@ -349,7 +349,19 @@ def ivfadc_topk(
             "residual=True needs a residual-space codebook — pass "
             "codebook=fit_codebook(..., residual=True)"
         )
-    e = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings cannot be indexed or probed (the model collectors
+    # would pull None into literal seeds); drop them up front — at
+    # corpus scale a null row is routine, not exceptional.
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    if e.limit(1).count() == 0:
+        # Empty corpus -> empty model -> the untyped literal arrays
+        # fail analysis with an obscure lambda-type error; an empty
+        # search result is the honest total answer.
+        return spark.createDataFrame(
+            [], "probe_id int, vec_id long, adc_dist double, rnk int"
+        )
     if cents is None:
         cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
     if codebook is None:
@@ -459,7 +471,16 @@ def ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _centroids,
     )
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # Same guard as ivfadc_topk, BEFORE any model fit: an empty corpus
+    # has nothing to fit and the empty literal models fail analysis
+    # obscurely; null embeddings cannot seed a quantizer.
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    if e.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [], "probe_id int, vec_id long, adc_dist double, rnk int"
+        )
     cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
     cb = fit_codebook(spark, sf_dir, residual=True, cents=cents)
     return ivfadc_topk(spark, sf_dir, codebook=cb, residual=True, cents=cents)

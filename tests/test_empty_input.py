@@ -21,12 +21,13 @@ from newspapers_etl_spark.registry import all_queries
 
 # Literal-model queries: empty fit -> untyped F.array() -> analysis
 # error.  Shrinking this set is progress; growing it is a regression.
+# (ivfadc/ivfadc_r left the set in r7 — they guard empty input with a
+# typed empty result; the rest share out-of-window model helpers and
+# ride the r8 re-hash.)
 KNOWN_MODEL_BACKED_RAISERS = {
     "fit_anc",
     "fit_pq",
     "ivf_topk",
-    "ivfadc",
-    "ivfadc_r",
     "pq_codes",
     "semdedup",
 }
@@ -62,10 +63,14 @@ def test_every_query_is_total_or_known_on_empty_tables(spark, empty_sf_dir):
     )
 
 
-# The seven model collectors pull the NULL embedding into their seeds
-# ('NoneType' is not iterable); the three Pandas-UDF decoders crash on
-# None payloads.  Ledgered with the empty-input guard (registry.py r8).
+# The model collectors pull the NULL embedding into their seeds
+# ('NoneType' is not iterable) — ivfadc/ivfadc_r filter nulls from the
+# corpus side but their default seed pull still routes through the
+# shared (out-of-window) _collect_anchors, so they stay here until the
+# r8 re-hash; the three Pandas-UDF decoders crash on None payloads.
 KNOWN_NULL_ROW_RAISERS = KNOWN_MODEL_BACKED_RAISERS | {
+    "ivfadc",
+    "ivfadc_r",
     "mm_decode",
     "mm_frames",
     "pd_chunks",
