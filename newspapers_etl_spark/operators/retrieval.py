@@ -101,8 +101,19 @@ def retrieval_bm25_topk(
     idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (Lucene's floor-at-zero
     variant).  See the module docstring for the shuffle budget; the
     output is (doc_id, score) for the k best, score-then-id ordered."""
-    d = load_table(spark, sf_dir, "documents")
-    staged = d.select(
+    return bm25_topk_over(load_table(spark, sf_dir, "documents"), terms, k)
+
+
+def bm25_topk_over(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """The scoring core over ANY (doc_id, text) relation — the
+    registered query binds it to the fixture table; the hypothesis
+    differential test (tests/test_properties.py) runs it against the
+    DuckDB oracle on generated corpora."""
+    staged = docs.select(
         "doc_id", F.filter(words("text"), lambda x: x != "").alias("ts")
     )
     # Document length rides the hit stream (max() of a per-doc constant)

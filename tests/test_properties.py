@@ -265,3 +265,42 @@ def test_png_bitflip_never_silently_misdecodes(pos, data):
     except PngError:
         return  # detected — the required outcome
     assert got == (4, 4, 3, px), "corruption altered output without an error"
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["join", "vector", "stream", "window", "x", "yy"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_bm25_differential_vs_duckdb_on_any_corpus(spark, docs):
+    """Engine-vs-engine BM25 differential on GENERATED corpora, not just
+    the fixture: the Spark scoring core and the registered DuckDB oracle
+    SQL must produce the identical top-k (doc_id, score) list for any
+    corpus — same integer-scaled partial sums, same tie-breaks.  (The
+    only theoretical divergence is a 1-ulp ln() difference landing a
+    partial exactly on a .5 integer-scaling boundary, ~1e-7 per value.)"""
+    import duckdb
+    import pandas as pd
+
+    from newspapers_etl_spark.operators.retrieval import (
+        BM25_ORACLE,
+        bm25_topk_over,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["score"]) for r in bm25_topk_over(sdf).collect()
+    ]
+    con = duckdb.connect()
+    documents = pd.DataFrame(rows, columns=["doc_id", "text"])  # noqa: F841
+    con.register("documents", documents)
+    want = [tuple(r) for r in con.sql(BM25_ORACLE).fetchall()]
+    assert got == [(int(d), float(s)) for d, s in want]
