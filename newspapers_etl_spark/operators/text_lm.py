@@ -92,7 +92,16 @@ def text_bigram_ppl(
     bounded at V rows each — all three pytest-pinned in
     tests/test_lm_vocab_cap.py.  The registered default (None)
     broadcasts the full model — exact at fixture scale."""
-    d = load_table(spark, sf_dir, "documents")
+    return bigram_ppl_over(
+        load_table(spark, sf_dir, "documents"), vocab_cap=vocab_cap
+    )
+
+
+def bigram_ppl_over(d: DataFrame, vocab_cap: int | None = None) -> DataFrame:
+    """The scoring core over ANY (doc_id, text) relation — the
+    registered query binds it to the fixture table; the hypothesis
+    differential test (tests/test_properties.py) runs it against the
+    DuckDB oracle on generated corpora."""
     staged = d.select(
         "doc_id", F.filter(words("text"), lambda x: x != "").alias("t")
     )

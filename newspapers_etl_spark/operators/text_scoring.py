@@ -88,7 +88,18 @@ def text_unigram_ppl(
     exact score because the floor count sits below any real count.  The
     registered default (None) broadcasts the full vocabulary — exact at
     fixture scale."""
-    d = load_table(spark, sf_dir, "documents")
+    return unigram_ppl_over(
+        load_table(spark, sf_dir, "documents"), vocab_cap=vocab_cap
+    )
+
+
+def unigram_ppl_over(
+    d: DataFrame, vocab_cap: int | None = None
+) -> DataFrame:
+    """The scoring core over ANY (doc_id, text) relation — the
+    registered query binds it to the fixture table; the hypothesis
+    differential test (tests/test_properties.py) runs it against the
+    DuckDB oracle on generated corpora."""
     toks = d.select(
         "doc_id",
         F.explode(F.filter(words("text"), lambda x: x != "")).alias("term"),

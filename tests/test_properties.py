@@ -304,3 +304,50 @@ def test_bm25_differential_vs_duckdb_on_any_corpus(spark, docs):
     con.register("documents", documents)
     want = [tuple(r) for r in con.sql(BM25_ORACLE).fetchall()]
     assert got == [(int(d), float(s)) for d, s in want]
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "join", "x"]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_lm_surprisal_differential_vs_duckdb_on_any_corpus(spark, docs):
+    """Unigram AND bigram LM surprisal vs their registered DuckDB
+    oracles on generated corpora: per-doc (n, nll, ppl) rows must match
+    exactly — the model aggregations, broadcasts, and the size>=2
+    bigram guard all under arbitrary inputs (empty docs, one-token
+    docs, repeated grams)."""
+    import duckdb
+    import pandas as pd
+
+    from newspapers_etl_spark.operators.text_lm import (
+        BIGRAM_PPL_ORACLE,
+        bigram_ppl_over,
+    )
+    from newspapers_etl_spark.operators.text_scoring import (
+        UNIGRAM_PPL_ORACLE,
+        unigram_ppl_over,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    documents = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con.register("documents", documents)
+    for core, oracle in (
+        (unigram_ppl_over, UNIGRAM_PPL_ORACLE),
+        (bigram_ppl_over, BIGRAM_PPL_ORACLE),
+    ):
+        got = sorted(tuple(r) for r in core(sdf).collect())
+        want = sorted(
+            (int(d), int(n), float(nll), float(p))
+            for d, n, nll, p in con.sql(oracle).fetchall()
+        )
+        assert got == want, f"{core.__name__} diverges"
