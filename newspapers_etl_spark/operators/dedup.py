@@ -37,7 +37,11 @@ from newspapers_etl_spark.registry import query
 EXACT_DEDUP_ORACLE = """
 WITH fp AS (
   SELECT doc_id,
-         md5(array_to_string(list_sort(list_filter(list_distinct(string_split_regex(text, '\\s+')), x -> x != '')), ' '))
+         -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+         -- array_join([]) is '' — an EMPTY document must fingerprint as
+         -- md5('') on both sides, not NULL (found by the generated-
+         -- corpus differential, tests/test_properties.py)
+         md5(coalesce(array_to_string(list_sort(list_filter(list_distinct(string_split_regex(text, '\\s+')), x -> x != '')), ' '), ''))
            AS fingerprint
   FROM documents
 )

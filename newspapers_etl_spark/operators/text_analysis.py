@@ -229,7 +229,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FINGERPRINT_ORACLE = """
 SELECT doc_id,
-       md5(array_to_string(list_sort(list_filter(list_distinct(string_split_regex(text, '\\s+')), x -> x != '')), ' '))
+       -- COALESCE: DuckDB array_to_string([]) is NULL vs Spark
+       -- array_join([]) '' — empty docs fingerprint as md5('') on both
+       -- sides (same fix as EXACT_DEDUP_ORACLE, operators/dedup.py)
+       md5(coalesce(array_to_string(list_sort(list_filter(list_distinct(string_split_regex(text, '\\s+')), x -> x != '')), ' '), ''))
          AS fingerprint,
        list_min(list_transform(list_distinct(string_split_regex(text, '\\s+')),
                                t -> md5(t))) AS min_token_hash

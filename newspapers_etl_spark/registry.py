@@ -66,7 +66,13 @@ ORACLE: dict[str, str] = {}
 #       CHANGED r7: vocab_cap) lands exactly at slot 50.  The planned
 #       relational_extended/scd/multimodal re-hash is displaced to r8
 #       by the changed set.  Window test updated in the same commit
-#       (tests/test_sql_entrypoint.py).
+#       (tests/test_sql_entrypoint.py).  Late-r7 ORACLE-side fix
+#       (fixture-neutral, full-sweep-verified): dd_exact (in-window)
+#       and text_fp (out-of-window) oracles gained COALESCE around
+#       array_to_string — DuckDB returns NULL for an empty list where
+#       Spark returns '' — found by the generated-corpus differential
+#       (tests/test_properties.py); text_fp's Spark side is unchanged,
+#       so its r5 hash row still describes current behavior.
 #   r6 (executed): the eight r5-late registrations lead — ivfadc (also
 #       CHANGED r6: residual-PQ option), emb_cov, pca_proj, ev_rollup,
 #       st_rollup, kmv_ndv, src_csv, src_jsonl (never driver-hashed;

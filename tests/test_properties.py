@@ -351,3 +351,69 @@ def test_lm_surprisal_differential_vs_duckdb_on_any_corpus(spark, docs):
             for d, n, nll, p in con.sql(oracle).fetchall()
         )
         assert got == want, f"{core.__name__} diverges"
+
+
+# Exact-arithmetic documents-only queries whose oracle must agree on
+# ANY corpus, not just the fixture: md5 fingerprints, integer counts,
+# histogram buckets, deterministic hash splits.  (Float-regression and
+# regex-dialect-sensitive queries are deliberately excluded — their
+# fixture-sweep agreement is the contract; adversarial unicode would
+# test DuckDB's regex engine, not this repo.)
+_GENERATED_CORPUS_QUERIES = (
+    "dd_exact",
+    "dd_chunk",
+    "tokens",
+    "len_hist",
+    "lang_id",
+    "split3",
+    "strat",
+    "pack_seqs",
+    "text_fp",
+)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["the", "och", "data", "batch", "x", "pix"]),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    langs=st.lists(st.sampled_from(["en", "sv"]), min_size=10, max_size=10),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_queries_match_oracle_on_any_corpus(spark, tmp_path_factory, docs, langs):
+    """The driver's differential check generalized to GENERATED corpora:
+    write the corpus as a documents table, run each exact-arithmetic
+    query against its registered oracle SQL with the driver's own
+    comparison semantics.  Catches fixture-shape assumptions (token
+    counts on empty docs, chunk boundaries on short docs, split hashing
+    on tiny key spaces) that a fixed corpus can never exercise."""
+    import duckdb
+
+    from conftest import assert_matches_oracle
+    from newspapers_etl_spark.catalog import table_path
+    from newspapers_etl_spark.registry import all_oracles, all_queries
+
+    rows = [
+        (i, " ".join(ws), langs[i % len(langs)], f"s{i % 3}", len(" ".join(ws)))
+        for i, ws in enumerate(docs)
+    ]
+    tmp = str(tmp_path_factory.mktemp("gen_sf"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(table_path(tmp, "documents"))
+    con = duckdb.connect()
+    # Spark writes a part-file DIRECTORY where the driver fixtures are
+    # single files — glob the parts for DuckDB.
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{table_path(tmp, 'documents')}/*.parquet')"
+    )
+    queries, oracles = all_queries(), all_oracles()
+    for name in _GENERATED_CORPUS_QUERIES:
+        assert_matches_oracle(queries[name](spark, tmp), con, oracles[name])
