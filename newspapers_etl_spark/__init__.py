@@ -23,8 +23,8 @@ Layout:
 Cache lifecycle: jaccard/dd_spans/sh_pairs/sh32 persist() intermediates
 that must outlive the query call (the returned DataFrame references
 them); long-lived sessions release them via
-``newspapers_etl_spark.cache.cached_intermediates`` /
-``clear_cached_intermediates`` (which see).
+``newspapers_etl_spark.cache.all_session_caches_cleared`` /
+``clear_all_session_caches`` (session-GLOBAL by design — which see).
 """
 
 __version__ = "0.1.0"

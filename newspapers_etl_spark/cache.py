@@ -10,9 +10,18 @@ cache must outlive the call so the caller's action can use it.  In the
 bench harness every measured run clears the cache between queries
 (bench.py); a LONG-LIVED interactive session, or a sweep that runs many
 queries on one SparkSession, owns the release instead — wrap the work in
-:func:`cached_intermediates` or call :func:`clear_cached_intermediates`
-when done.  Both are storage-only operations: they never change results,
-only free executor storage memory.
+:func:`all_session_caches_cleared` or call
+:func:`clear_all_session_caches` when done.
+
+The scope is deliberately SESSION-GLOBAL, and the names say so: Spark
+exposes no per-relation registry of the queries' internal persists (the
+DataFrames never escape the query functions), so the only reliable
+release is ``spark.catalog.clearCache()`` — which also drops any cache
+the caller persisted for unrelated work.  Both operations are
+storage-only: they never change results, only free executor storage
+memory, and a cleared relation re-materializes on next use.  Callers
+that need surviving caches should re-``persist()`` them after the
+block rather than expecting a scoped release.
 """
 
 from __future__ import annotations
@@ -23,24 +32,26 @@ from contextlib import contextmanager
 from pyspark.sql import SparkSession
 
 
-def clear_cached_intermediates(spark: SparkSession) -> None:
-    """Release every cached relation on the session, including the
-    intermediates persisted inside jaccard/dd_spans/sh_pairs/sh32.
-    Safe at any point: a cleared cache re-materializes on next use."""
+def clear_all_session_caches(spark: SparkSession) -> None:
+    """Release EVERY cached relation on the session — the intermediates
+    persisted inside jaccard/dd_spans/sh_pairs/sh32 and any caches the
+    caller created.  Safe at any point: a cleared cache re-materializes
+    on next use."""
     spark.catalog.clearCache()
 
 
 @contextmanager
-def cached_intermediates(spark: SparkSession) -> Iterator[SparkSession]:
-    """Scope query-internal caches to a block::
+def all_session_caches_cleared(spark: SparkSession) -> Iterator[SparkSession]:
+    """Run a block, then release every session cache (see module
+    docstring for why the scope is global)::
 
-        with cached_intermediates(spark):
+        with all_session_caches_cleared(spark):
             sh_pairs_df = all_queries()["sh_pairs"](spark, sf_dir)
             sh_pairs_df.count()
-        # (doc_id, sh) cache released here
+        # ALL session caches released here, incl. (doc_id, sh)
 
     Clears on exit even when the block raises."""
     try:
         yield spark
     finally:
-        clear_cached_intermediates(spark)
+        clear_all_session_caches(spark)

@@ -940,8 +940,10 @@ def manku_neardup_pairs(
     cluster, and an m-doc identical cluster collides in EVERY table —
     generating and verifying its C(m,2) pairs once per table.  So the
     table join runs over DISTINCT hash values only (the Manku paper's
-    own prefix-collapse move): explode each distinct hash's C(m,3)
-    table keys, equi-join on (table_id, key), popcount-verify, distinct
+    own prefix-collapse move): explode each distinct hash's
+    C(len(widths), 3) table keys (20 for the default 6 blocks — ``m``
+    stays reserved for cluster size), equi-join on (table_id, key),
+    popcount-verify, distinct
     — recall at d <= hamming_d is guaranteed by construction
     (simhash_table_keys).  Doc pairs then come from two output-bounded
     expansions: hash pairs joined back to their member docs

@@ -187,8 +187,19 @@ def fit_codebook(
     )
 
     sub_dim = EMB_DIM // PQ_SUBSPACES
-    e = load_table(spark, sf_dir, "embeddings")
-    fit = e if CB_FIT_FRACTION >= 1.0 else e.sample(CB_FIT_FRACTION, seed=11)
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    # fraction= must be KEYWORD: PySpark's sample() arg-compat shim
+    # treats a positional float as withReplacement and DROPS a
+    # keyword seed silently — the fit then samples different rows
+    # every call (found by the r8 cross-layout determinism test; the
+    # real cause of the r7 'ulp wobble' flake).
+    fit = (
+        e
+        if CB_FIT_FRACTION >= 1.0
+        else e.sample(fraction=CB_FIT_FRACTION, seed=11)
+    )
     if residual:
         # ``cents`` lets the caller share one quantizer fit between the
         # codebook fit and the search (ivfadc_topk) — otherwise the
@@ -196,6 +207,11 @@ def fit_codebook(
         # Lloyd fit twice per search.
         if cents is None:
             cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
+        if not cents:
+            # Empty corpus -> no quantizer -> nothing to center on;
+            # an empty codebook is the honest total answer (see
+            # similarity._centroids).
+            return []
         # MATERIALIZE the residual in its own projection: higher-order
         # functions never enter codegen/CSE, so referencing the
         # centering zip_with inside every per-subspace _nearest_code
@@ -210,6 +226,8 @@ def fit_codebook(
     else:
         vcol = F.col("embedding")
         codebook = _collect_anchors(spark, sf_dir, k=PQ_CODEBOOK)
+    if not codebook:
+        return []
     dim_aggs = [
         F.avg(F.element_at("sl", d + 1)).alias(f"d{d}") for d in range(sub_dim)
     ]
@@ -355,17 +373,20 @@ def ivfadc_topk(
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    if e.limit(1).count() == 0:
-        # Empty corpus -> empty model -> the untyped literal arrays
-        # fail analysis with an obscure lambda-type error; an empty
-        # search result is the honest total answer.
-        return spark.createDataFrame(
-            [], "probe_id int, vec_id long, adc_dist double, rnk int"
-        )
     if cents is None:
         cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
     if codebook is None:
         codebook = _collect_anchors(spark, sf_dir, k=PQ_CODEBOOK)
+    if not cents or not codebook:
+        # Empty corpus -> empty models -> the untyped literal arrays
+        # would fail analysis with an obscure lambda-type error; an
+        # empty search result is the honest total answer.  Checked on
+        # the already-collected models, so (unlike the r7 limit(1)
+        # guard) the non-empty path pays no extra job beyond the model
+        # pulls every call performs anyway (ADVICE r7 #3).
+        return spark.createDataFrame(
+            [], "probe_id int, vec_id long, adc_dist double, rnk int"
+        )
 
     # Two-stage select so the cell assignment fold runs once and (in
     # residual mode) the centering matrix indexes the materialized cell;
@@ -471,16 +492,20 @@ def ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _centroids,
     )
 
-    # Same guard as ivfadc_topk, BEFORE any model fit: an empty corpus
-    # has nothing to fit and the empty literal models fail analysis
-    # obscurely; null embeddings cannot seed a quantizer.
+    # Null embeddings cannot seed a quantizer; an empty corpus yields
+    # an empty model, caught on the collected model itself (no extra
+    # eager job — ADVICE r7 #3, same shape as ivfadc_topk's guard).
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    if e.limit(1).count() == 0:
+    cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
+    if not cents:
         return spark.createDataFrame(
             [], "probe_id int, vec_id long, adc_dist double, rnk int"
         )
-    cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
     cb = fit_codebook(spark, sf_dir, residual=True, cents=cents)
+    if not cb:
+        return spark.createDataFrame(
+            [], "probe_id int, vec_id long, adc_dist double, rnk int"
+        )
     return ivfadc_topk(spark, sf_dir, codebook=cb, residual=True, cents=cents)

@@ -203,13 +203,15 @@ def render_png_batches(
     """mapInPandas stage 1: (doc_id, content) → (doc_id, png).  The PNG
     bytes cross the Arrow boundary as a genuine binary column — the
     same shape a binaryFile read or a fetcher (sources/fetcher.py)
-    produces."""
+    produces.  A NULL payload (nullable column; routine at corpus
+    scale) renders to NULL rather than crashing the batch — the decode
+    stage reports it as decode_ok=false."""
     for pdf in it:
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "png": [
-                    _render_png(i, b)
+                    None if b is None else _render_png(i, b)
                     for i, b in zip(pdf["doc_id"], pdf["content"])
                 ],
             }
@@ -222,7 +224,7 @@ def decode_image_batches(
     """mapInPandas stage 2: one Arrow batch of (doc_id, png) in, one
     batch of decoded metadata out.  The decode is the REAL parser
     (functions/codecs.py:decode_png): CRC-verified chunk walk, IDAT
-    inflate, filter reconstruction.  A malformed payload yields
+    inflate, filter reconstruction.  A malformed or NULL payload yields
     decode_ok=False rather than poisoning the batch."""
     from newspapers_etl_spark.functions.codecs import PngError, decode_png
 
@@ -230,6 +232,8 @@ def decode_image_batches(
         ids, ws, hs, cs, oks = [], [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["png"]):
             try:
+                if payload is None:
+                    raise PngError("null payload")
                 w, h, c, _pixels = decode_png(bytes(payload))
                 ok = True
             except PngError:
@@ -292,13 +296,14 @@ def _render_wav(doc_id: int, content: bytes) -> bytes:
 def render_wav_batches(
     it: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas stage 1: (doc_id, content) → (doc_id, wav)."""
+    """mapInPandas stage 1: (doc_id, content) → (doc_id, wav).  NULL
+    payloads render to NULL (see render_png_batches)."""
     for pdf in it:
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "wav": [
-                    _render_wav(i, b)
+                    None if b is None else _render_wav(i, b)
                     for i, b in zip(pdf["doc_id"], pdf["content"])
                 ],
             }
@@ -320,6 +325,11 @@ def sample_frame_batches(
     for pdf in it:
         ids, idxs, feats = [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+            if payload is None:
+                # an undecodable container has no frames to sample —
+                # the doc simply contributes no rows (same verdict the
+                # oracle reaches: NULL text -> no sample range)
+                continue
             _rate, samples = decode_wav(bytes(payload))
             n_frames = max(1, len(samples) // FRAME_SAMPLES)
             for fi in range(0, n_frames, FRAME_STRIDE):

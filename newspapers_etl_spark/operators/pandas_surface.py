@@ -101,6 +101,11 @@ class ChunkDoc:
     column first)."""
 
     def eval(self, text: str):
+        if text is None:
+            # nullable column: a NULL document has no chunks (the
+            # DuckDB oracle reaches the same verdict — NULL splits to
+            # NULL and the unnest range is empty)
+            return
         toks = text.split()
         n = len(toks)
         starts = range(0, max(n, 1), CHUNK_STRIDE)

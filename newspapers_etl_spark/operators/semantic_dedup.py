@@ -68,10 +68,17 @@ def _collect_anchors(
     """The first-k fixture anchors, pulled to the driver once (O(k)
     rows — the same legitimate driver pull as similarity.py's centroid
     fit).  ``k`` is explicit so a caller wanting PQ_CODEBOOK entries
-    can never silently receive N_ANCHORS instead."""
+    can never silently receive N_ANCHORS instead.
+
+    NULL embeddings are filtered before the pull — a null row is
+    routine at corpus scale and a None element would poison the literal
+    model seeds; an empty corpus yields an EMPTY anchor list, for which
+    callers return a typed empty result (the untyped ``F.array()``
+    literal an empty model would produce fails analysis obscurely)."""
     e = load_table(spark, sf_dir, "embeddings")
     rows = (
-        e.filter(F.col("vec_id") < k)
+        e.filter(F.col("embedding").isNotNull())
+        .filter(F.col("vec_id") < k)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -201,6 +208,12 @@ def semdedup(
     join on vec_id only — embeddings never re-shuffle for it."""
     if anchors is None:
         anchors = _collect_anchors(spark, sf_dir)
+    if not anchors:
+        # Empty corpus -> no anchors to cluster against; typed empty
+        # verdict relation (see _collect_anchors).
+        return spark.createDataFrame(
+            [], "vec_id long, cluster_id int, is_pruned boolean"
+        )
     e = load_table(spark, sf_dir, "embeddings")
     mem = e.select(
         "vec_id",
@@ -324,6 +337,12 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace k-means (same sampled fit as similarity.py); the fixture
     uses the first PQ_CODEBOOK vectors so the oracle can mirror it."""
     codebook = _collect_anchors(spark, sf_dir, k=PQ_CODEBOOK)
+    if not codebook:
+        # Empty corpus -> no codebook; typed empty encoding (see
+        # _collect_anchors).
+        return spark.createDataFrame(
+            [], "vec_id long, subspace int, code int, sq_err double"
+        )
     e = load_table(spark, sf_dir, "embeddings")
     per_sub = F.array(
         *[

@@ -220,8 +220,30 @@ def _centroids(
     cell assignment in the caller touches the full corpus, cutting the
     full-corpus passes from 3 to 1.  At 100 TB a fixed-size sample is
     the only viable quantizer fit; the fraction is a knob, 1.0 restores
-    the exact fit."""
-    fit = e if fit_fraction >= 1.0 else e.sample(fit_fraction, seed=7)
+    the exact fit.
+
+    Totality: NULL embeddings are filtered before both the seed pull
+    and the fit (a null row is routine at corpus scale, and a None seed
+    would poison the literal model); an empty corpus yields an EMPTY
+    model — callers return a typed empty result for it rather than
+    letting an untyped ``F.array()`` literal fail analysis.
+
+    Determinism: every refined component is rounded to 9 decimals
+    DRIVER-SIDE before re-entering the plan.  ``F.avg`` accumulates in
+    summation order, which varies across sessions by an ulp (~1e-16
+    relative); unrounded, two sessions fit models differing in the last
+    bit and downstream rounded-to-6dp scores can flip across a .5
+    boundary (this flaked a pruning-subset guard in r7).  9 dp is far
+    below any score the model influences and far above the ulp wobble,
+    so the fitted model is bit-identical across sessions."""
+    e = e.filter(F.col("embedding").isNotNull())
+    # fraction= must be KEYWORD: PySpark's sample() arg-compat shim
+    # treats a positional float as withReplacement and DROPS a keyword
+    # seed silently, so this fit sampled DIFFERENT rows on every call —
+    # the actual root cause of the r7 cross-session model wobble (the
+    # 9-dp rounding below then handles the remaining true ulp-level
+    # F.avg summation-order drift).
+    fit = e if fit_fraction >= 1.0 else e.sample(fraction=fit_fraction, seed=7)
     # Each Lloyd step is its own action (the collect below); persisting
     # the sampled fit relation makes iterations 2..n read the cache
     # instead of re-scanning + re-sampling the source.  A fit FUNCTION
@@ -234,6 +256,9 @@ def _centroids(
         .select("vec_id", "embedding")
         .collect()
     ]
+    if not cents:
+        fit.unpersist()
+        return []
     for _ in range(iters):
         assigned = fit.select(
             "embedding", _nearest_cell("embedding", cents).alias("cell")
@@ -247,8 +272,12 @@ def _centroids(
             .select("cell", F.col("comps.m").alias("centroid"))
             .collect()
         )
-        # a cell empty in the (sampled) assignment keeps its old centroid
-        updated = {int(r.cell): list(r.centroid) for r in new}
+        # a cell empty in the (sampled) assignment keeps its old
+        # centroid; components round to 9 dp (see docstring: kills the
+        # cross-session summation-order ulp wobble of F.avg)
+        updated = {
+            int(r.cell): [round(float(x), 9) for x in r.centroid] for r in new
+        }
         cents = [(cid, updated.get(cid, c)) for cid, c in cents]
     fit.unpersist()
     return cents
@@ -309,8 +338,19 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FAISS-style billion-scale search.  One linear scan assigns cells,
     the probe join is an equi-join on cell id with the probe side
     broadcast; expected scan fraction is nprobe/cells."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
+    if not cents:
+        # Empty corpus -> empty quantizer -> the untyped literal arrays
+        # would fail analysis obscurely; an empty search result is the
+        # honest total answer.  The _centroids seed pull already ran
+        # (model fits are eager at construction — see cache.py's
+        # contract note), so this adds no extra Spark job.
+        return spark.createDataFrame(
+            [], "probe_id long, vec_id long, sim double, rnk int"
+        )
 
     corpus = e.select(
         "vec_id",

@@ -26,32 +26,44 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
-#   r8 (planned): bm25 (NEW r7, registered post-window — see the note
-#       at its declaration) leads, then the out-of-window r5-hashed
-#       blocks.  Also due in r8: round Lloyd centroid components
-#       driver-side in similarity._centroids — the float avg is
-#       summation-order nondeterministic across sessions (an ulp
-#       wobble that flaked a pruning test in r7), and fixing it
-#       changes ivf_topk/fit_anc results, so it must land in a round
-#       where those queries re-hash.  Same landing window: empty-input
-#       guards for the seven literal-model queries (fit_anc/fit_pq/
-#       ivf_topk/ivfadc/ivfadc_r/pq_codes/semdedup) — an empty corpus
-#       yields an empty model and the untyped F.array() literal fails
-#       analysis with an obscure error — and NULL-row guards for the
-#       same seven (the model collectors pull a NULL embedding into
-#       their seeds: filter isNotNull before fitting) plus the three
-#       Pandas-UDF decoders (mm_decode/mm_frames/pd_chunks crash on
-#       None payloads).  All behavior-adding, so they ride the same
-#       re-hash (current boundary pinned in
-#       tests/test_empty_input.py).  Then the blocks —
-#       relational_extended 9, scd 3, multimodal 4, incremental 3,
-#       diagnostics/url_ops/snapshot_diff 3, events_analytics 3,
-#       sampling_extended 3, enrichment/scd_stream/stateful 3 (= 31) —
-#       then text_scoring's LAST 5 (ppl re-hashes in r7; len_hist..zipf
-#       ride r5 history) and the r6-hashed families fill to ~50
-#       (semantic_dedup, similarity, pca, rollup, sketches,
-#       text_formats, model_fit, data_quality, corpus first).  Any
-#       query ADDED or CHANGED in r8 preempts, as always.
+#   r8 (executed): the window is exactly 50 and every slot is earned —
+#       bm25 (NEW r7, post-window then; also CHANGED r8: exact-integer
+#       avgdl) takes slot 1 for its first driver hash row.  Then the
+#       r8-CHANGED model/UDF families, which land the four ledgered
+#       fixes in one window: (a) Lloyd determinism — TWO causes fixed:
+#       the sampled fits were never actually seeded (PySpark's
+#       sample() arg-compat shim silently drops a keyword seed when
+#       the fraction is positional — every fit sampled different rows;
+#       found by the new cross-layout determinism test, and the true
+#       root cause of the r7 pruning-test flake), plus centroid
+#       components now round to 9 dp driver-side in
+#       similarity._centroids (the residual F.avg summation-order ulp
+#       wobble); (b) isNotNull filters before every model-seed
+#       collect (_centroids, semantic_dedup._collect_anchors); (c)
+#       typed-empty results on empty corpora for the five literal-model
+#       raisers (fit_anc/fit_pq/ivf_topk/pq_codes/semdedup — ivfadc's
+#       r7 guard pattern, now checked on the already-collected model so
+#       no extra eager job); (d) None-payload guards in the three
+#       Pandas-UDF decoders (mm_decode/mm_frames/pd_chunks).  Both
+#       degenerate-input known-raiser sets are now EMPTY
+#       (tests/test_empty_input.py).  Window: similarity 5 (ivf_topk
+#       changed; bf_topk/centroids/lsh_topk/ann_stats ride r6 history
+#       as the price of contiguity) + model_fit 3 + semantic_dedup 2 +
+#       pandas_surface 3 + multimodal 4 (also r5-stale) = slots 2-18;
+#       then the r5-stale blocks — relational_extended 9, scd 3,
+#       incremental 3, diagnostics/url_ops/snapshot_diff 3,
+#       events_analytics 3, sampling_extended 3, enrichment/scd_stream/
+#       stateful 3 (slots 19-45) — and text_scoring's five r5-stale
+#       queries close the window at slots 46-50 (ppl, re-hashed r7,
+#       was MOVED to the module tail so it rides at 51 instead of
+#       burning a slot).  ivfadc 2 sit at 52-53, deliberately outside:
+#       both are rows-only with fresh r7 driver rows, their r8 change
+#       is the shared-helper rounding/guards (sweep- and
+#       pytest-verified), and displacing two r5-stale oracle-backed
+#       rows for them would trade verified freshness the union math
+#       actually needs — they lead r9 with ppl.  No new registrations,
+#       so rename wave 4 (BASELINE.md) stays unexecuted and the stdout
+#       budget stays 1981/1990.
 #   r7 (executed): CHANGED queries preempt oldest-first, so the window
 #       is: dedup 10 (sh_pairs folded into the parametric
 #       manku_neardup_pairs helper) + dedup_scale 1 (sh32 now a thin
@@ -117,50 +129,49 @@ ORACLE: dict[str, str] = {}
 # that contain a query never checked in ANY window — go first; a query
 # changed in the current round must sit inside the first ~50.
 _OPERATOR_MODULES = (
-    # ---- r7 window: CHANGED queries first, then oldest-first ----
-    "newspapers_etl_spark.operators.dedup",               # 10  CHANGED r7 (Manku fold); last hashed r5
-    "newspapers_etl_spark.operators.dedup_scale",         # 1   CHANGED r7 (sh32 thin wrapper); hashed r6
-    "newspapers_etl_spark.operators.ivfadc",              # 2   ivfadc_r NEW r7; ivfadc hashed r6 (lazy model imports)
-    "newspapers_etl_spark.operators.text_lm",             # 1   CHANGED r7 (vocab_cap); hashed r6
-    "newspapers_etl_spark.operators.extraction_queries",  # 8   last hashed r4 (oldest)
-    "newspapers_etl_spark.streaming.incremental_stream",  # 4   last hashed r4
-    "newspapers_etl_spark.operators.corpus_overlap",      # 2   last hashed r4
-    "newspapers_etl_spark.operators.relational",          # 21  19 last hashed r4; flagship/q1_price r6 re-ride
-    # ---- 49 queries above; text_scoring's FIRST (ppl, CHANGED r7:
-    # vocab_cap) closes the window at exactly 50; its other 5 ride r5
-    # history just outside and lead the r8 re-hash. ----
-    "newspapers_etl_spark.operators.text_scoring",        # 6   ppl CHANGED r7 (slot 50); rest r5
-    # bm25 is NEW r7 but registers POST-window: the window is exactly
-    # full (ppl at 50) and displacing an r4-stale row for it would
-    # trade verified freshness for an unhashed newcomer — it is
-    # sweep+pytest-verified this round and leads the r8 window with
-    # text_scoring's tail.
-    "newspapers_etl_spark.operators.retrieval",           # 1   NEW r7 (bm25, post-window -> r8 front)
-    "newspapers_etl_spark.operators.relational_extended", # 9   re-hashed r5 (r8 front)
-    "newspapers_etl_spark.operators.scd",                 # 3   re-hashed r5 (r8 front)
-    "newspapers_etl_spark.operators.multimodal",          # 4   re-hashed r5 (r8 front)
-    "newspapers_etl_spark.operators.incremental",         # 3   re-hashed r5
-    "newspapers_etl_spark.operators.diagnostics",         # 1   re-hashed r5
-    "newspapers_etl_spark.operators.url_ops",             # 1   re-hashed r5
-    "newspapers_etl_spark.operators.snapshot_diff",       # 1   re-hashed r5
-    "newspapers_etl_spark.operators.events_analytics",    # 3   re-hashed r5
-    "newspapers_etl_spark.operators.sampling_extended",   # 3   re-hashed r5
-    "newspapers_etl_spark.streaming.enrichment",          # 1   re-hashed r5
-    "newspapers_etl_spark.streaming.scd_stream",          # 1   re-hashed r5
-    "newspapers_etl_spark.streaming.stateful",            # 1   re-hashed r5
-    "newspapers_etl_spark.operators.semantic_dedup",      # 2   hashed r6
-    "newspapers_etl_spark.operators.similarity",          # 5   hashed r6
+    # ---- r8 window (slots 1-50): CHANGED queries + the stalest (r5)
+    # blocks; see the rotation ledger above for the slot math ----
+    "newspapers_etl_spark.operators.retrieval",           # 1   bm25: first driver row (NEW r7, post-window) + CHANGED r8 (exact avgdl)
+    "newspapers_etl_spark.operators.similarity",          # 5   ivf_topk CHANGED r8 (Lloyd rounding + guards); 4 ride r6
+    "newspapers_etl_spark.operators.model_fit",           # 3   fit_anc/fit_pq CHANGED r8 (shared fit path); fit_pca rides r6
+    "newspapers_etl_spark.operators.semantic_dedup",      # 2   CHANGED r8 (_collect_anchors guards)
+    "newspapers_etl_spark.operators.pandas_surface",      # 3   pd_chunks CHANGED r8 (None guard); 2 ride r6
+    "newspapers_etl_spark.operators.multimodal",          # 4   mm_decode/mm_frames CHANGED r8 (None guards); all r5-stale
+    "newspapers_etl_spark.operators.relational_extended", # 9   last hashed r5
+    "newspapers_etl_spark.operators.scd",                 # 3   last hashed r5
+    "newspapers_etl_spark.operators.incremental",         # 3   last hashed r5
+    "newspapers_etl_spark.operators.diagnostics",         # 1   last hashed r5
+    "newspapers_etl_spark.operators.url_ops",             # 1   last hashed r5
+    "newspapers_etl_spark.operators.snapshot_diff",       # 1   last hashed r5
+    "newspapers_etl_spark.operators.events_analytics",    # 3   last hashed r5
+    "newspapers_etl_spark.operators.sampling_extended",   # 3   last hashed r5
+    "newspapers_etl_spark.streaming.enrichment",          # 1   last hashed r5
+    "newspapers_etl_spark.streaming.scd_stream",          # 1   last hashed r5
+    "newspapers_etl_spark.streaming.stateful",            # 1   last hashed r5
+    # ---- 45 above; text_scoring's five r5-stale queries close the
+    # window at slots 46-50 (ppl is declared at the module TAIL — r7
+    # row, rides at 51). ----
+    "newspapers_etl_spark.operators.text_scoring",        # 6   5 last hashed r5 (slots 46-50); ppl r7 at 51
+    # ivfadc: rows-only, fresh r7 rows; its r8 change is shared-helper
+    # rounding/guards (sweep+pytest-verified) — deliberately at 52-53
+    # rather than displacing two r5-stale oracle-backed rows (ledger).
+    "newspapers_etl_spark.operators.ivfadc",              # 2   hashed r7 (rows-only); leads r9 with ppl
+    "newspapers_etl_spark.operators.dedup",               # 10  re-hashed r7
+    "newspapers_etl_spark.operators.dedup_scale",         # 1   re-hashed r7
+    "newspapers_etl_spark.operators.text_lm",             # 1   re-hashed r7
+    "newspapers_etl_spark.operators.extraction_queries",  # 8   re-hashed r7
+    "newspapers_etl_spark.streaming.incremental_stream",  # 4   re-hashed r7
+    "newspapers_etl_spark.operators.corpus_overlap",      # 2   re-hashed r7
+    "newspapers_etl_spark.operators.relational",          # 21  re-hashed r7
     "newspapers_etl_spark.operators.pca",                 # 2   hashed r6
     "newspapers_etl_spark.operators.rollup",              # 2   hashed r6
     "newspapers_etl_spark.operators.sketches",            # 1   hashed r6
     "newspapers_etl_spark.sources.text_formats",          # 4   hashed r6
-    "newspapers_etl_spark.operators.model_fit",           # 3   hashed r6
     "newspapers_etl_spark.operators.data_quality",        # 1   hashed r6
     "newspapers_etl_spark.operators.corpus",              # 5   hashed r6
     "newspapers_etl_spark.operators.sampling",            # 2   hashed r6
     "newspapers_etl_spark.operators.text_analysis",       # 6   hashed r6
     "newspapers_etl_spark.operators.events_windows",      # 6   hashed r6
-    "newspapers_etl_spark.operators.pandas_surface",      # 3   hashed r6
     "newspapers_etl_spark.operators.pipeline",            # 2   hashed r6
     "newspapers_etl_spark.sinks.verified",                # 1   hashed r6
 )

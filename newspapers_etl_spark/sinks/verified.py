@@ -154,6 +154,57 @@ def read_current(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(current_data_path(path))
 
 
+def allocate_generation(path: str) -> tuple[int, str]:
+    """The next generation number and directory NAME under ``path`` —
+    write the new data there, then ``publish_generation``.  A crash
+    after the write but before the publish leaves only a stray
+    ``_gen-N`` directory (invisible to readers, overwritten by the next
+    successful attempt); the pointer — and therefore every reader —
+    still sees the previous generation."""
+    ptr = _read_pointer(path)
+    gen_no = 1 if ptr is None else int(ptr["generation"]) + 1
+    return gen_no, f"{_GEN_PREFIX}{gen_no:08d}"
+
+
+def publish_generation(
+    path: str, gen_no: int, dir_name: str, keep_old_generation: bool = False
+) -> None:
+    """Atomically repoint readers of ``path`` at ``dir_name`` (temp file
+    + ``os.replace`` locally; on an object store the same single-key PUT
+    of the pointer object), then reap the superseded generation unless
+    ``keep_old_generation``.  Readers resolving through ``read_current``
+    see either the old generation or the new one at every instant — no
+    directory-rename window where the path is absent."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    prev_ptr = _read_pointer(path)
+    old_dir = current_data_path(path)
+    tmp = os.path.join(path, f".{CURRENT_PTR}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"generation": gen_no, "dir": dir_name}, f)
+    os.replace(tmp, os.path.join(path, CURRENT_PTR))
+
+    if keep_old_generation:
+        return
+    if prev_ptr is None:
+        # Legacy root layout: reap root-level data entries only —
+        # underscore/dot entries (the pointer, generations, _SUCCESS)
+        # stay.
+        for name in os.listdir(path):
+            if name.startswith(("_", ".")):
+                continue
+            entry = os.path.join(path, name)
+            if os.path.isdir(entry):
+                shutil.rmtree(entry)
+            else:
+                os.remove(entry)
+    else:
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -191,15 +242,10 @@ def compact_partitions(
     lost/duplicated-rows hazard.
 
     Returns the new generation's data directory."""
-    import json
     import os
-    import shutil
-    import uuid
 
-    ptr = _read_pointer(path)
-    gen_no = 1 if ptr is None else int(ptr["generation"]) + 1
+    gen_no, new_name = allocate_generation(path)
     old_dir = current_data_path(path)
-    new_name = f"{_GEN_PREFIX}{gen_no:08d}"
     new_dir = os.path.join(path, new_name)
 
     df = spark.read.parquet(old_dir)
@@ -216,27 +262,7 @@ def compact_partitions(
         .parquet(new_dir)
     )
 
-    # Atomic publish: temp file + rename within the same directory.
-    tmp = os.path.join(path, f".{CURRENT_PTR}.{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"generation": gen_no, "dir": new_name}, f)
-    os.replace(tmp, os.path.join(path, CURRENT_PTR))
-
-    if not keep_old_generation:
-        if ptr is None:
-            # Legacy root layout: reap root-level data entries only —
-            # underscore/dot entries (the pointer, generations, _SUCCESS)
-            # stay.
-            for name in os.listdir(path):
-                if name.startswith(("_", ".")):
-                    continue
-                entry = os.path.join(path, name)
-                if os.path.isdir(entry):
-                    shutil.rmtree(entry)
-                else:
-                    os.remove(entry)
-        else:
-            shutil.rmtree(old_dir, ignore_errors=True)
+    publish_generation(path, gen_no, new_name, keep_old_generation)
     return new_dir
 
 

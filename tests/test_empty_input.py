@@ -4,14 +4,14 @@ declared nullable), so every registered query should either produce a
 result or fail with a CLEAR error — and the current boundary is pinned
 so it can only move deliberately.
 
-Current state: 125/132 queries are total on empty tables (the seven
-literal-model queries raise — empty corpus -> empty fitted model ->
-untyped ``F.array()`` fails lambda type resolution), and 122/132 are
-total with an all-null row present (the same seven collect the NULL
-embedding into their driver-side model seeds; the three Pandas-UDF
-decoders crash on None payloads).  Both guards are ledgered for r8
-(registry.py), when those queries re-hash; fixing one moves it out of
-the known set HERE, deliberately."""
+Current state (r8): 132/132 total on BOTH sweeps.  The literal-model
+queries return typed empty results on empty corpora (an empty fitted
+model's untyped ``F.array()`` would fail analysis obscurely), the model
+collectors filter NULL embeddings before seeding
+(similarity._centroids, semantic_dedup._collect_anchors), and the three
+Pandas-UDF decoders treat None payloads as undecodable rather than
+crashing the Arrow batch.  The known-raiser sets below are EMPTY; any
+query that regresses to raising lands in the assertion diff."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -19,18 +19,9 @@ from pyspark.sql import functions as F
 from newspapers_etl_spark.catalog import SCHEMAS, TABLES, table_path
 from newspapers_etl_spark.registry import all_queries
 
-# Literal-model queries: empty fit -> untyped F.array() -> analysis
-# error.  Shrinking this set is progress; growing it is a regression.
-# (ivfadc/ivfadc_r left the set in r7 — they guard empty input with a
-# typed empty result; the rest share out-of-window model helpers and
-# ride the r8 re-hash.)
-KNOWN_MODEL_BACKED_RAISERS = {
-    "fit_anc",
-    "fit_pq",
-    "ivf_topk",
-    "pq_codes",
-    "semdedup",
-}
+# Empty as of r8 (was the five literal-model queries through r7):
+# growing this set is a regression and needs a ledger entry.
+KNOWN_MODEL_BACKED_RAISERS: set[str] = set()
 
 
 @pytest.fixture(scope="module")
@@ -63,18 +54,9 @@ def test_every_query_is_total_or_known_on_empty_tables(spark, empty_sf_dir):
     )
 
 
-# The model collectors pull the NULL embedding into their seeds
-# ('NoneType' is not iterable) — ivfadc/ivfadc_r filter nulls from the
-# corpus side but their default seed pull still routes through the
-# shared (out-of-window) _collect_anchors, so they stay here until the
-# r8 re-hash; the three Pandas-UDF decoders crash on None payloads.
-KNOWN_NULL_ROW_RAISERS = KNOWN_MODEL_BACKED_RAISERS | {
-    "ivfadc",
-    "ivfadc_r",
-    "mm_decode",
-    "mm_frames",
-    "pd_chunks",
-}
+# Empty as of r8 (was the literal-model queries + ivfadc/ivfadc_r +
+# the three Pandas-UDF decoders through r7).
+KNOWN_NULL_ROW_RAISERS: set[str] = set()
 
 
 @pytest.fixture(scope="module")

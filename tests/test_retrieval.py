@@ -202,3 +202,66 @@ def test_bm25_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
         for r in retrieval_bm25_topk(spark, sf_dir).collect()
     ]
     assert got == direct
+
+
+def test_bm25_append_crash_before_stats_publish_leaves_index_readable(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Failure injection on the one non-atomic maintenance step
+    (VERDICT r7 #6): if the append dies AFTER the postings append but
+    BEFORE the stats generation-pointer publish, the index must remain
+    readable with the PREVIOUS stats — never unreadable, never
+    half-published.  Both injection points are exercised: before the
+    new generation is allocated, and after its data is written but
+    before the pointer flips."""
+    from pyspark.sql import functions as F
+
+    from newspapers_etl_spark.catalog import load_table, table_path
+    from newspapers_etl_spark.operators.retrieval import (
+        append_bm25_postings,
+        retrieval_bm25_topk_from_postings,
+        write_bm25_postings,
+    )
+    from newspapers_etl_spark.sinks import verified
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.count() // 2
+    half1, half2 = str(tmp_path / "h1"), str(tmp_path / "h2")
+    docs.filter(F.col("doc_id") < cut).write.parquet(
+        table_path(half1, "documents")
+    )
+    docs.filter(F.col("doc_id") >= cut).write.parquet(
+        table_path(half2, "documents")
+    )
+    path = str(tmp_path / "idx")
+    write_bm25_postings(spark, half1, path)
+    old_stats = verified.read_current(spark, f"{path}/stats").collect()[0]
+
+    # --- crash point 1: before the new stats generation exists
+    def boom_alloc(p):
+        raise RuntimeError("injected: died before stats generation write")
+
+    monkeypatch.setattr(verified, "allocate_generation", boom_alloc)
+    try:
+        append_bm25_postings(spark, half2, path)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    now = verified.read_current(spark, f"{path}/stats").collect()[0]
+    assert (now["n"], now["sum_dl"]) == (old_stats["n"], old_stats["sum_dl"])
+    # the index serves queries throughout — appended postings + the
+    # previous generation's stats, never an absent stats directory
+    assert retrieval_bm25_topk_from_postings(spark, path).count() > 0
+
+    # --- crash point 2: generation data written, pointer never flips
+    def boom_publish(p, gen_no, dir_name, keep_old_generation=False):
+        raise RuntimeError("injected: died before pointer publish")
+
+    monkeypatch.setattr(verified, "publish_generation", boom_publish)
+    try:
+        append_bm25_postings(spark, half2, path)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    now = verified.read_current(spark, f"{path}/stats").collect()[0]
+    assert (now["n"], now["sum_dl"]) == (old_stats["n"], old_stats["sum_dl"])

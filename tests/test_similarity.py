@@ -64,3 +64,39 @@ def test_ivf_includes_self_and_scores_match_exact(spark, sf_dir):
         for r in rows:
             if (probe_id, r.vec_id) in exact_sims:
                 assert abs(r.sim - exact_sims[(probe_id, r.vec_id)]) < 1e-9
+
+
+def test_lloyd_centroids_are_deterministic_across_plans(spark, sf_dir):
+    """The fitted quantizer must be BIT-IDENTICAL however Spark
+    schedules the fit: F.avg accumulates in partition/summation order,
+    which varies across sessions and shuffle layouts by an ulp, and an
+    unrounded model let two sessions disagree in downstream rounded
+    scores (this flaked the pruning-subset guard in r7).  The fix is
+    driver-side 9-dp rounding of every refined component — asserted
+    here by fitting under two different shuffle layouts and comparing
+    exactly, and by checking the components actually carry <= 9
+    decimals."""
+    from newspapers_etl_spark.catalog import load_table
+    from newspapers_etl_spark.operators.similarity import (
+        IVF_CELLS,
+        IVF_ITERATIONS,
+        _centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
+        # same source partitioning (the seeded sample is per-partition
+        # deterministic) but a different aggregation layout: the
+        # groupBy(cell, pos) exchange merges partials in a different
+        # order, which is exactly the wobble the rounding must absorb
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b, "fitted quantizer differs across shuffle layouts"
+    for _cid, vec in a:
+        for x in vec:
+            assert x == round(x, 9), f"component {x!r} not 9-dp rounded"

@@ -174,25 +174,33 @@ def test_registry_registration_order_is_contiguous_per_module():
         f"realized {block_order} vs declared {declared}; a top-level "
         "cross-module operator import is splicing a whole block"
     )
-    # And the r7 window design holds: every query ADDED or CHANGED this
-    # round plus the stalest-history families (last hashed r4) sit
+    # And the r8 window design holds: bm25's first-ever driver row at
+    # slot 1, every query CHANGED this round (the Lloyd-rounding /
+    # degenerate-input-guard landing), and all 36 r5-stale queries sit
     # inside the first 50 (the driver's check window) — see the
     # rotation ledger in registry.py.
     window = set(names[:50])
     for required in (
-        # new in r7
-        "ivfadc_r",
-        # changed in r7 (Manku fold; vocab_cap on the LM broadcasts)
-        "sh_pairs", "sh32", "ppl", "ppl2", "ivfadc",
-        # last driver-hashed r4 (oldest history, full re-hash)
-        "ex_fall", "ex_md5", "st_tumble", "st_sess", "dd_chunk",
-        "overlap", "flagship", "expl_wrd", "agg_cdist",
+        # the one query with no driver hash row in the r1-r7 union
+        "bm25",
+        # changed in r8 (shared model helpers: rounding + guards;
+        # Pandas-UDF None guards; bm25's exact avgdl)
+        "ivf_topk", "fit_anc", "fit_pq", "semdedup", "pq_codes",
+        "pd_chunks", "mm_decode", "mm_frames",
+        # last driver-hashed r5 (stalest history, full re-hash)
+        "q3_ship", "cohorts", "scd2", "scd_enr", "incr_cont", "skew",
+        "url_canon", "snap_diff", "ev_anom", "qual_samp", "st_enrich",
+        "st_scd", "st_state", "len_hist", "zipf", "mm_manif",
     ):
         assert required in window, f"{required} fell out of the window"
-    # ppl is the boundary query: slot 50 exactly, so text_scoring's
-    # other five (r5 history) lead the r8 rotation instead of burning
-    # r7 slots.
-    assert names[49] == "ppl", f"window boundary drifted: {names[45:52]}"
+    assert names[0] == "bm25", f"bm25 must lead the r8 window: {names[:3]}"
+    # zipf closes the window; ppl (r7-fresh, moved to the module tail)
+    # and the two rows-only r7-fresh ivfadc queries ride at 51-53
+    # (rotation ledger: they lead r9).
+    assert names[49] == "zipf", f"window boundary drifted: {names[45:52]}"
+    assert names[50:53] == ["ppl", "ivfadc", "ivfadc_r"], (
+        f"boundary riders drifted: {names[50:54]}"
+    )
 
 
 def test_queries_md_index_matches_registry():
