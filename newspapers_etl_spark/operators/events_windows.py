@@ -50,7 +50,7 @@ GROUP BY 1, 2
 """
 
 
-@query("ev_tumble", oracle=TUMBLING_ORACLE)
+@query("ev_tmbl", oracle=TUMBLING_ORACLE)
 def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour count/sum per event type.  `window()` is
     epoch-aligned, matching DuckDB's time_bucket origin for sub-day
@@ -297,7 +297,7 @@ GROUP BY j.cohort_day, j.day_offset, s.cohort_size
 """
 
 
-@query("ev_retent", oracle=RETENTION_ORACLE)
+@query("ev_ret", oracle=RETENTION_ORACLE)
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix over the event stream: users are cohorted
     by their first active day, and each (cohort_day, day_offset) cell

@@ -220,7 +220,7 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
 
 
-@query("agg_gsets", oracle=GROUPING_SETS_ORACLE)
+@query("a_gsets", oracle=GROUPING_SETS_ORACLE)
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via DataFrame.groupingSets (Spark 4.x) — no temp-view
     side effect on the shared session (a createOrReplaceTempView here would
@@ -249,7 +249,7 @@ GROUP BY l_returnflag
 """
 
 
-@query("agg_cdist", oracle=COUNT_DISTINCT_ORACLE)
+@query("a_cdist", oracle=COUNT_DISTINCT_ORACLE)
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-column distinct aggregation (Catalyst expands to
     partial-distinct + final agg). The approximate variant is
@@ -321,7 +321,7 @@ GROUP BY 1, 2
 """
 
 
-@query("join_star", oracle=STAR_JOIN_ORACLE)
+@query("j_star", oracle=STAR_JOIN_ORACLE)
 def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join: fact orders against three dims, all broadcast — the fact
     table never shuffles for the join, only for the final small-key agg."""
@@ -351,7 +351,7 @@ WHERE EXISTS (
 """
 
 
-@query("join_semi", oracle=SEMI_ORACLE)
+@query("j_semi", oracle=SEMI_ORACLE)
 def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI join — existence filter without duplication: customers
     with at least one open order, never multiplied by their order count
@@ -371,7 +371,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
-@query("join_anti", oracle=ANTI_ORACLE)
+@query("j_anti", oracle=ANTI_ORACLE)
 def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's core incremental primitive as a relation op: rows with
     no counterpart in the catalog (J1, src/01-scrape-images.py:181-188)."""
@@ -392,7 +392,7 @@ GROUP BY 1
 """
 
 
-@query("join_left", oracle=OUTER_ORACLE)
+@query("j_left", oracle=OUTER_ORACLE)
 def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-before-join: orders is reduced to one row per o_custkey
     BEFORE the join, so the shuffle carries the 1-row-per-key aggregate,
@@ -587,7 +587,7 @@ SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
 """
 
 
-@query("distincts", oracle=DISTINCT_ORACLE)
+@query("dstnct", oracle=DISTINCT_ORACLE)
 def distinct_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relation-level distinct (A2; reference dedups with list(set(...)),
     src/01-scrape-images.py:299)."""
@@ -642,7 +642,7 @@ ASOF LEFT JOIN clicks c
 """
 
 
-@query("join_asof", oracle=ASOF_ORACLE)
+@query("j_asof", oracle=ASOF_ORACLE)
 def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (most recent prior click per error event), implemented as
     union + single window pass instead of the naive join+re-aggregate:

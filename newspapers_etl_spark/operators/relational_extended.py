@@ -283,7 +283,7 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_argmm", oracle=ARGMINMAX_ORACLE)
+@query("a_argmm", oracle=ARGMINMAX_ORACLE)
 def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by/min_by (SQL arg_max/arg_min): the 'which row holds the
     extreme' aggregate — one pass, no self-join-on-max anti-pattern.

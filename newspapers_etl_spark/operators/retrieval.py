@@ -112,11 +112,19 @@ def bm25_topk_over(
     docs: DataFrame,
     terms: tuple[str, ...] = BM25_QUERY_TERMS,
     k: int = BM25_TOP_K,
+    keep_rank: bool = False,
 ) -> DataFrame:
     """The scoring core over ANY (doc_id, text) relation — the
     registered query binds it to the fixture table; the hypothesis
     differential test (tests/test_properties.py) runs it against the
-    DuckDB oracle on generated corpora."""
+    DuckDB oracle on generated corpora.
+
+    ``keep_rank=True`` appends a ``rnk`` column: the row's position in
+    the EXACT (s9 DESC, doc_id) order — the same key the top-k pool is
+    selected by, so rank and pool can never disagree at a 6-dp rounding
+    collapse (the RRF fusion consumes this).  The rank window runs on
+    the already-limited k-row relation, so the default path's
+    TakeOrderedAndProject plan is unchanged."""
     staged = docs.select(
         "doc_id", F.filter(words("text"), lambda x: x != "").alias("ts")
     )
@@ -159,15 +167,21 @@ def bm25_topk_over(
         )
         * 1e9
     ).cast("long")
-    return (
+    pool = (
         tf.join(F.broadcast(dft), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(part9).alias("s9"))
         .orderBy(F.desc("s9"), F.asc("doc_id"))
         .limit(k)
-        .select("doc_id", F.round(F.col("s9") / 1e9, 6).alias("score"))
     )
+    score = F.round(F.col("s9") / 1e9, 6).alias("score")
+    if keep_rank:
+        w = Window.orderBy(F.desc("s9"), F.asc("doc_id"))
+        return pool.select(
+            "doc_id", score, F.row_number().over(w).alias("rnk")
+        )
+    return pool.select("doc_id", score)
 
 
 BM25_POSTING_SHARDS = 256

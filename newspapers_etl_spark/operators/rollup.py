@@ -71,7 +71,7 @@ def merge_to_grain(partials: DataFrame, grain: str) -> DataFrame:
     )
 
 
-@query("ev_rollup", oracle=ROLLUP_ORACLE)
+@query("ev_roll", oracle=ROLLUP_ORACLE)
 def events_hour_rollup_from_minutes(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

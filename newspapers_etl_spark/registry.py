@@ -61,9 +61,16 @@ ORACLE: dict[str, str] = {}
 #       is the shared-helper rounding/guards (sweep- and
 #       pytest-verified), and displacing two r5-stale oracle-backed
 #       rows for them would trade verified freshness the union math
-#       actually needs — they lead r9 with ppl.  No new registrations,
-#       so rename wave 4 (BASELINE.md) stays unexecuted and the stdout
-#       budget stays 1981/1990.
+#       actually needs — they lead r9 with ppl.  Late r8 additions:
+#       bm25_b (one-scan batch BM25, the decontamination shape) and
+#       rrf (reciprocal-rank-fusion hybrid retrieval), both
+#       oracle-backed, registered post-window in retrieval_fusion (see
+#       the note at its declaration) — they lead the r9 window with
+#       ppl/ivfadc/ivfadc_r.  Their registration overflowed the
+#       1-decimal bench stdout line (1981/1990 before them), so rename
+#       wave 4 executed as prepared (BASELINE.md r7 notes): 13 renames,
+#       "r8" map in RENAMES.json, BENCH_REF/BENCH_SELF keys updated in
+#       the same commit.
 #   r7 (executed): CHANGED queries preempt oldest-first, so the window
 #       is: dedup 10 (sh_pairs folded into the parametric
 #       manku_neardup_pairs helper) + dedup_scale 1 (sh32 now a thin
@@ -174,6 +181,13 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.events_windows",      # 6   hashed r6
     "newspapers_etl_spark.operators.pipeline",            # 2   hashed r6
     "newspapers_etl_spark.sinks.verified",                # 1   hashed r6
+    # bm25_b/rrf are NEW r8 and register POST-window (the bm25-in-r7
+    # precedent): the window was designed full at exactly 50 before
+    # they landed, and displacing r5-stale oracle rows for unhashed
+    # newcomers would trade verified freshness.  Both are judge-sweep
+    # oracle-backed + pytest-covered this round and LEAD the r9 window
+    # together with ppl and the two ivfadc queries at 51-53.
+    "newspapers_etl_spark.operators.retrieval_fusion",    # 2   NEW r8 (post-window -> r9 front)
 )
 
 _loaded = False
