@@ -259,8 +259,14 @@ def fit_codebook(
             .agg(*dim_aggs)
             .collect()
         )
+        # 9-dp driver-side rounding, the similarity._centroids
+        # discipline: F.avg accumulates in summation order, and an
+        # unrounded codebook lets two sessions disagree at the last
+        # bit — which can flip a rounded-to-6dp ADC distance.
         updated = {
-            (int(r["m"]), int(r["code"])): [float(r[f"d{d}"]) for d in range(sub_dim)]
+            (int(r["m"]), int(r["code"])): [
+                round(float(r[f"d{d}"]), 9) for d in range(sub_dim)
+            ]
             for r in rows
         }
         codebook = [

@@ -130,7 +130,11 @@ def fit_pca(
     )
     mean = [0.0] * EMB_DIM
     for r in mean_rows:
-        mean[r["k"]] = float(r["m"])
+        # 9-dp driver-side rounding (the similarity._centroids
+        # discipline): the covariance above is already rounded before
+        # eigh, but an unrounded mean would leak F.avg's summation-
+        # order ulp wobble into the rounded-to-6dp projections.
+        mean[r["k"]] = round(float(r["m"]), 9)
     vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
     order = np.argsort(vals)[::-1][:k]
     comps: list[list[float]] = []
