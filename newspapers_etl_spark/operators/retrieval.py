@@ -409,8 +409,20 @@ def retrieval_bm25_batch_topk(
     per-TERM (query-independent), computed once however many queries
     share a term.  Top-k per query is a bounded window (rank within
     query_id), not a global sort."""
+    return bm25_batch_topk_over(load_table(spark, sf_dir, "documents"), queries, k)
+
+
+def bm25_batch_topk_over(
+    d: DataFrame,
+    queries: dict[int, tuple[str, ...]],
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """The batch-scoring core over ANY (doc_id, text) relation — same
+    split as ``bm25_topk_over`` so the hypothesis differential
+    (tests/test_properties.py) can run it against the DuckDB oracle and
+    the single-query path on generated corpora."""
+    spark = d.sparkSession
     all_terms = sorted({t for ts in queries.values() for t in ts})
-    d = load_table(spark, sf_dir, "documents")
     staged = d.select(
         "doc_id", F.filter(words("text"), lambda x: x != "").alias("ts")
     )

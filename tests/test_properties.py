@@ -417,3 +417,66 @@ def test_exact_queries_match_oracle_on_any_corpus(spark, tmp_path_factory, docs,
     queries, oracles = all_queries(), all_oracles()
     for name in _GENERATED_CORPUS_QUERIES:
         assert_matches_oracle(queries[name](spark, tmp), con, oracles[name])
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["join", "vector", "stream", "window", "customer",
+                 "hash", "merge", "x", "yy"]
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_bm25_batch_differential_and_single_query_agreement(spark, docs):
+    """Batch BM25 on GENERATED corpora, two independent checks per
+    corpus: (a) the one-scan batch scorer matches the registered DuckDB
+    batch oracle exactly (same integer-scaled partials, same per-query
+    ranks); (b) for EVERY query in the batch, the batch rows equal the
+    single-query path's top-k — the scan-amortization can never change
+    a score (the term→query expansion fans out identical per-term
+    partials)."""
+    import duckdb
+    import pandas as pd
+
+    from newspapers_etl_spark.operators.retrieval import (
+        bm25_batch_topk_over,
+        bm25_topk_over,
+    )
+    from newspapers_etl_spark.operators.retrieval_fusion import (
+        BM25_BATCH_K,
+        BM25_BATCH_ORACLE,
+        BM25_BATCH_QUERIES,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rnk"])
+        for r in bm25_batch_topk_over(sdf, BM25_BATCH_QUERIES, BM25_BATCH_K).collect()
+    )
+    con = duckdb.connect()
+    documents = pd.DataFrame(rows, columns=["doc_id", "text"])  # noqa: F841
+    con.register("documents", documents)
+    want = sorted(
+        (int(q), int(d), float(s), int(r))
+        for q, d, s, r in con.sql(BM25_BATCH_ORACLE).fetchall()
+    )
+    assert got == want
+    for qid, terms in BM25_BATCH_QUERIES.items():
+        single = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_over(sdf, terms, BM25_BATCH_K).collect()
+        ]
+        batch_q = [
+            (d, s)
+            for q, d, s, _r in sorted(got, key=lambda t: (t[0], t[3]))
+            if q == qid
+        ]
+        assert batch_q == single
