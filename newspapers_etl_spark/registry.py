@@ -26,6 +26,21 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
+#   r9 (planned): retrieval_fusion 2 (bm25_b/rrf — NEW r8, registered
+#       post-window, the only queries without a driver row after r8)
+#       lead, then ivfadc 2 (rows-only; changed r8: seed fix + 9-dp
+#       rounding + guards, r7 rows describe pre-change values) and
+#       pca 2 (pca_proj changed late-r8: mean rounding; emb_cov rides
+#       for contiguity), then the r6-hashed families — rollup 2,
+#       sketches 1, text_formats 4, data_quality 1, corpus 5,
+#       sampling 2, text_analysis 6, events_windows 6, pipeline 2,
+#       sinks.verified 1 (= 30) — and the oldest r7-hashed families
+#       fill to ~50 (dedup 10, dedup_scale 1, text_lm 1).  ppl
+#       (r7-fresh) waits for r10 with extraction_queries/
+#       incremental_stream/corpus_overlap/relational.  Any query ADDED
+#       or CHANGED in r9 preempts, as always; a new registration
+#       triggers rename wave 5 (candidates ann_stats→ann_st,
+#       lsh_stats→lsh_st — the line sits ~1971/1990).
 #   r8 (executed): the window is exactly 50 and every slot is earned —
 #       bm25 (NEW r7, post-window then; also CHANGED r8: exact-integer
 #       avgdl) takes slot 1 for its first driver hash row.  Then the
