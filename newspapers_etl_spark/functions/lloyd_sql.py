@@ -1,0 +1,132 @@
+"""DuckDB mirror of the distributed Lloyd centroid fit
+(``similarity._centroids`` with ``fit_fraction=1.0``) as composable CTE
+fragments — what lets the IVF family register value-hash ORACLES instead
+of rows-only checks (VERDICT r8 next-round #4).
+
+Faithfulness contract, clause by clause:
+- seeds: the first ``k`` NON-NULL vectors in vec_id order, renumbered
+  0..k−1 by rank — exactly ``_centroids``' driver pull;
+- assignment: argmax of the UNROUNDED double dot product, ties to the
+  smallest cell (``_nearest_cell``'s first-wins fold ==
+  ``row_number() ... ORDER BY dot DESC, cell``);
+- update: per-(cell, position) mean of double-cast components, rounded
+  to 9 decimals (the Spark side rounds DRIVER-side for cross-session
+  determinism; both engines' rounded doubles agree far above the
+  summation-order ulp), empty cells keep their previous centroid;
+- the whole recursion only matches when the Spark side fits on the FULL
+  corpus (``fit_fraction=1.0``) — Spark's seeded Bernoulli sample is
+  XORShiftRandom-partition-dependent and no other engine can replay it,
+  which is why the sampled production fit stays a parameter and the
+  registered queries use the exact fit.
+
+Float discipline is the bf_topk oracle's (similarity.py): spell out the
+sequential double fold (``list_sum`` over ``list_transform``) rather
+than DuckDB's float32 ``list_dot_product``, and cast the float32
+embedding side to DOUBLE inside the lambda (exact promotion).
+"""
+
+from __future__ import annotations
+
+SQL_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "z -> CAST(z[1] AS DOUBLE)*z[2]))"
+)
+SQL_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*x)))"
+
+
+def lloyd_centroid_ctes(k: int, iters: int) -> str:
+    """CTE fragment fitting ``c{iters}(cell, cvec)`` over the non-null
+    corpus CTE ``nn(vec_id, embedding)`` (which the fragment also
+    defines).  Compose as::
+
+        WITH {lloyd_centroid_ctes(8, 2)}, <your query CTEs...>
+    """
+    parts = [
+        "nn AS (\n"
+        "  SELECT vec_id, embedding FROM embeddings\n"
+        "  WHERE embedding IS NOT NULL\n"
+        ")",
+        # seeds, renumbered 0..k-1 by vec_id rank; cast to DOUBLE so
+        # every c{n} CTE carries the same list type (the Spark literal
+        # model is double — float32 -> double promotion is exact)
+        "c0 AS (\n"
+        "  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,\n"
+        "         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec\n"
+        f"  FROM (SELECT vec_id, embedding FROM nn ORDER BY vec_id LIMIT {k})\n"
+        ")",
+    ]
+    dot = SQL_DOT.format(a="n_.embedding", b="c.cvec")
+    for n in range(1, iters + 1):
+        parts.append(
+            f"a{n} AS (\n"
+            "  SELECT vec_id, embedding, cell FROM (\n"
+            "    SELECT n_.vec_id, n_.embedding, c.cell,\n"
+            "           row_number() OVER (\n"
+            "             PARTITION BY n_.vec_id\n"
+            f"             ORDER BY {dot} DESC, c.cell\n"
+            "           ) AS rk\n"
+            f"    FROM nn n_ CROSS JOIN c{n - 1} c\n"
+            "  ) WHERE rk = 1\n"
+            ")"
+        )
+        parts.append(
+            f"m{n} AS (\n"
+            "  SELECT cell, i - 1 AS pos,\n"
+            "         round(avg(CAST(embedding[i] AS DOUBLE)), 9) AS m\n"
+            f"  FROM a{n}, unnest(range(1, len(embedding) + 1)) AS t(i)\n"
+            "  GROUP BY cell, i\n"
+            ")"
+        )
+        parts.append(
+            f"c{n} AS (\n"
+            "  SELECT c.cell, coalesce(u.cvec, c.cvec) AS cvec\n"
+            f"  FROM c{n - 1} c LEFT JOIN (\n"
+            f"    SELECT cell, list(m ORDER BY pos) AS cvec FROM m{n} GROUP BY cell\n"
+            "  ) u ON c.cell = u.cell\n"
+            ")"
+        )
+    return ",\n".join(parts)
+
+
+def final_assignment_cte(name: str, cents: str) -> str:
+    """CTE assigning every ``nn`` row to its nearest ``{cents}``
+    centroid (argmax dot, ties to the smallest cell) with its L2 norm —
+    the corpus side of the IVF search."""
+    dot = SQL_DOT.format(a="n_.embedding", b="c.cvec")
+    nrm = SQL_NORM.format(a="embedding")
+    return (
+        f"{name} AS (\n"
+        f"  SELECT vec_id, embedding, {nrm} AS nrm, cell FROM (\n"
+        "    SELECT n_.vec_id, n_.embedding, c.cell,\n"
+        "           row_number() OVER (\n"
+        "             PARTITION BY n_.vec_id\n"
+        f"             ORDER BY {dot} DESC, c.cell\n"
+        "           ) AS rk\n"
+        f"    FROM nn n_ CROSS JOIN {cents} c\n"
+        "  ) WHERE rk = 1\n"
+        ")"
+    )
+
+
+def probe_cells_cte(
+    name: str, cents: str, n_probes: int, nprobe: int
+) -> str:
+    """CTE expanding each probe (vec_id < ``n_probes``) to its
+    ``nprobe`` nearest cells by dot product, ties to the smaller cell —
+    ``_ranked_cells`` / ``ivf_topk``'s ranked-cell slice."""
+    dot = SQL_DOT.format(a="p.embedding", b="c.cvec")
+    nrm = SQL_NORM.format(a="p.embedding")
+    return (
+        f"{name} AS (\n"
+        "  SELECT probe_id, pvec, pnrm, cell FROM (\n"
+        f"    SELECT p.vec_id AS probe_id, p.embedding AS pvec,\n"
+        f"           {nrm} AS pnrm, c.cell,\n"
+        "           row_number() OVER (\n"
+        "             PARTITION BY p.vec_id\n"
+        f"             ORDER BY {dot} DESC, c.cell\n"
+        "           ) AS rk\n"
+        f"    FROM nn p CROSS JOIN {cents} c\n"
+        f"    WHERE p.vec_id < {n_probes}\n"
+        f"  ) WHERE rk <= {nprobe}\n"
+        ")"
+    )

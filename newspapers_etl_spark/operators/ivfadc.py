@@ -87,10 +87,10 @@ def _residual_of(cents: list[tuple[int, list[float]]], cell):
     the plan as ONE literal array-of-arrays indexed by the row's
     assigned cell (cells are 0..k−1 by construction — first-k seeds).
 
-    The positional lookup is only correct under that construction, so it
-    is asserted: a centroid model whose cell ids are not exactly
-    0..k−1 (e.g. seeded from a dataset missing some vec_id < k) would
-    silently center rows on the WRONG centroid (ADVICE r6 #2)."""
+    The positional lookup is only correct under that construction.
+    Since r9 the seed collectors renumber seeds 0..k−1 by vec_id rank,
+    so contiguity holds by construction for every corpus; the assertion
+    stays as a safety net against hand-built models (ADVICE r6 #2)."""
     ids = [cid for cid, _vec in sorted(cents)]
     if ids != list(range(len(cents))):
         raise ValueError(

@@ -47,7 +47,7 @@ from newspapers_etl_spark.catalog import load_table
 from newspapers_etl_spark.functions.vectors import dot, l2_norm
 from newspapers_etl_spark.registry import query
 
-N_ANCHORS = 16          # fixture anchor set: vec_id < 16 (oracle-mirrored)
+N_ANCHORS = 16          # anchor set: first 16 by vec_id rank (oracle-mirrored)
 SEMDEDUP_THRESHOLD = 0.30  # same bar as dd_emb's NEARDUP_COS_THRESHOLD
 PQ_SUBSPACES = 8        # 64-dim fixture vectors -> 8 subvectors of 8 dims
 PQ_CODEBOOK = 16        # codebook entries per subspace (fixture: anchors)
@@ -65,26 +65,34 @@ ZERO_NORM_SIM = -2.0
 def _collect_anchors(
     spark: SparkSession, sf_dir: str, k: int = N_ANCHORS
 ) -> list[tuple[int, list[float]]]:
-    """The first-k fixture anchors, pulled to the driver once (O(k)
-    rows — the same legitimate driver pull as similarity.py's centroid
-    fit).  ``k`` is explicit so a caller wanting PQ_CODEBOOK entries
-    can never silently receive N_ANCHORS instead.
+    """The first k non-null anchors in vec_id order, renumbered 0..k−1
+    by that rank and pulled to the driver once (O(k) rows — the same
+    legitimate driver pull as similarity.py's centroid fit).  ``k`` is
+    explicit so a caller wanting PQ_CODEBOOK entries can never silently
+    receive N_ANCHORS instead.
 
     NULL embeddings are filtered before the pull — a null row is
     routine at corpus scale and a None element would poison the literal
-    model seeds; an empty corpus yields an EMPTY anchor list, for which
+    model seeds.  Seeding by RANK (not ``vec_id < k``) means an empty
+    anchor list occurs exactly when the corpus has no non-null
+    embeddings (ADVICE r8 #1: ids that don't start at 0, or null first
+    rows, seed from the first k usable rows instead of silently
+    producing an empty model); only for that truly-empty case do
     callers return a typed empty result (the untyped ``F.array()``
-    literal an empty model would produce fails analysis obscurely)."""
+    literal an empty model would produce fails analysis obscurely).
+    The rank renumbering also guarantees contiguous 0..k−1 ids — the
+    invariant ivfadc's residual centering matrix indexes by."""
     e = load_table(spark, sf_dir, "embeddings")
     rows = (
         e.filter(F.col("embedding").isNotNull())
-        .filter(F.col("vec_id") < k)
         .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(k)
         .collect()
     )
-    anchors = sorted(
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
-    )
+    anchors = [
+        (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(rows)
+    ]
     for aid, vec in anchors:
         if not any(x != 0.0 for x in vec):
             raise ValueError(f"anchor {aid} has zero norm — cosine undefined")
@@ -160,13 +168,21 @@ WITH norms AS (
   SELECT vec_id, embedding, {_ORACLE_NORM.format(a="embedding")} AS nrm
   FROM embeddings
 ),
-anchors AS (SELECT * FROM norms WHERE vec_id < {N_ANCHORS}),
+anchors AS (
+  -- mirror of _collect_anchors: first k non-null rows in vec_id order,
+  -- renumbered 0..k-1 by that rank (identical to vec_id < k on the
+  -- dense-0-based fixtures, and to the Spark side on ANY corpus)
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS anchor_id,
+         embedding, nrm
+  FROM (SELECT vec_id, embedding, nrm FROM norms
+        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {N_ANCHORS})
+),
 assign AS (
-  SELECT n.vec_id, n.embedding, n.nrm, a.vec_id AS cluster_id,
+  SELECT n.vec_id, n.embedding, n.nrm, a.anchor_id AS cluster_id,
          row_number() OVER (
            PARTITION BY n.vec_id
            ORDER BY round({_ORACLE_DOT.format(a="n.embedding", b="a.embedding")}
-                          / (n.nrm * a.nrm), 6) DESC, a.vec_id
+                          / (n.nrm * a.nrm), 6) DESC, a.anchor_id
          ) AS rk
   FROM norms n CROSS JOIN anchors a
 ),
@@ -298,7 +314,11 @@ def _nearest_code(
 
 PQ_ORACLE = f"""
 WITH codebook AS (
-  SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < {PQ_CODEBOOK}
+  -- mirror of _collect_anchors: first k non-null rows in vec_id order,
+  -- renumbered 0..k-1 by that rank (see SEMDEDUP_ORACLE)
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {PQ_CODEBOOK})
 ),
 dists AS (
   SELECT e.vec_id, s.sub, c.code,

@@ -213,7 +213,8 @@ def _centroids(
     (tiny, literal-embedded) centroid set, the update is a posexplode/
     groupBy mean so no executor ever materializes a cell's vectors.
     Only k×dim floats ever reach the driver (the fitted model, not
-    data); seeds are the first k vectors for determinism.
+    data); seeds are the first k non-null vectors in vec_id order,
+    renumbered 0..k−1 by that rank, for determinism.
 
     The Lloyd steps fit on a seeded SAMPLE of the corpus (coarse
     centroids need cluster shape, not every point) — only the final
@@ -224,9 +225,14 @@ def _centroids(
 
     Totality: NULL embeddings are filtered before both the seed pull
     and the fit (a null row is routine at corpus scale, and a None seed
-    would poison the literal model); an empty corpus yields an EMPTY
-    model — callers return a typed empty result for it rather than
-    letting an untyped ``F.array()`` literal fail analysis.
+    would poison the literal model).  Because seeds come from the first
+    k rows BY RANK — not from ``vec_id < k`` — an empty model means
+    exactly "the corpus has no non-null embeddings" (ADVICE r8 #1: a
+    corpus whose ids don't start at 0, or whose first k embeddings are
+    all null, now seeds from its first k usable rows instead of
+    silently producing an empty result); only for that truly-empty case
+    do callers return a typed empty result rather than letting an
+    untyped ``F.array()`` literal fail analysis.
 
     Determinism: every refined component is rounded to 9 decimals
     DRIVER-SIDE before re-entering the plan.  ``F.avg`` accumulates in
@@ -250,11 +256,16 @@ def _centroids(
     # (driver-side loop, returns a model) can own the full lifecycle —
     # unpersist before returning (cf. ivfadc.fit_codebook, same move).
     fit = fit.persist()
+    # Rank-renumbered seeds (0..k−1 in vec_id order, an O(k)
+    # TakeOrderedAndProject pull): contiguous ids by CONSTRUCTION, which
+    # the residual centering matrix (ivfadc._residual_of) indexes by,
+    # and identical to the old ``vec_id < k`` pull on any corpus with
+    # dense 0-based ids (the fixtures).
     cents = [
-        (int(r.vec_id), list(r.embedding))
-        for r in e.filter(F.col("vec_id") < k)
-        .select("vec_id", "embedding")
-        .collect()
+        (i, list(r.embedding))
+        for i, r in enumerate(
+            e.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
+        )
     ]
     if not cents:
         fit.unpersist()
