@@ -36,6 +36,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.functions.lloyd_sql import (
+    final_assignment_cte,
+    lloyd_centroid_ctes,
+    probe_cells_cte,
+)
 from newspapers_etl_spark.registry import query
 
 CB_ITERATIONS = 2  # Lloyd steps per subspace codebook
@@ -320,13 +325,94 @@ def _ranked_cells(probe: list[float], cents: list[tuple[int, list[float]]]) -> l
     return [cid for _neg, cid in scored[:IVF_NPROBE]]
 
 
-@query("ivfadc")  # rows-only: scores are model-derived, like ivf_topk
+# Oracle-side copies of the model constants (cells/iters/probes/top-k
+# from similarity.py, codebook size/subspaces from semantic_dedup.py).
+# The canonical modules register queries at import time and ivfadc may
+# be declared BEFORE them in the driver window (registration order is
+# positional — see registry._OPERATOR_MODULES), so the oracle string,
+# which must exist at import, cannot pull them in without splicing
+# their registration blocks into this module's slot; a pytest pins
+# these copies to the canonical values (tests/test_pca_ivfadc.py).
+_OC_CELLS, _OC_ITERS, _OC_N_PROBES, _OC_NPROBE, _OC_TOP_K = 8, 2, 5, 2, 10
+_OC_CODES, _OC_SUBS, _OC_SUB_DIM = 16, 8, 8
+
+
+def _oc_sqdist(a: str, b: str) -> str:
+    """Per-subspace squared L2 between the ``m``-th slices of two
+    vectors (both sides cast to DOUBLE — exact float32 promotion),
+    summed in list order: the sequential fold Spark's ``_nearest_code``
+    and the driver-side ``_adc_table`` both perform."""
+    lo = f"s.m*{_OC_SUB_DIM} + 1"
+    hi = f"s.m*{_OC_SUB_DIM} + {_OC_SUB_DIM}"
+    return (
+        "list_sum(list_transform("
+        f"list_zip(list_slice({a}, {lo}, {hi}), list_slice({b}, {lo}, {hi})), "
+        "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+        " * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))))"
+    )
+
+
+IVFADC_ORACLE = f"""
+WITH {lloyd_centroid_ctes(_OC_CELLS, _OC_ITERS)},
+{final_assignment_cte("corpus", f"c{_OC_ITERS}")},
+{probe_cells_cte("probes", f"c{_OC_ITERS}", _OC_N_PROBES, _OC_NPROBE)},
+cb AS (
+  -- PQ codebook: first {_OC_CODES} non-null vectors by vec_id rank
+  -- (semantic_dedup._collect_anchors)
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+  FROM (SELECT vec_id, embedding FROM nn ORDER BY vec_id LIMIT {_OC_CODES})
+),
+subs AS (SELECT unnest(range({_OC_SUBS})) AS m),
+enc AS (
+  -- per (vector, subspace): nearest code by 6-dp-rounded squared L2,
+  -- ties to the smallest code (_nearest_code)
+  SELECT vec_id, cell, m, code FROM (
+    SELECT a.vec_id, a.cell, s.m, c.code,
+           row_number() OVER (
+             PARTITION BY a.vec_id, s.m
+             ORDER BY round({_oc_sqdist("a.embedding", "c.embedding")}, 6),
+                      c.code
+           ) AS rk
+    FROM corpus a CROSS JOIN subs s CROSS JOIN cb c
+  ) WHERE rk = 1
+),
+subd AS (
+  -- the probe's ADC lookup table (_adc_table): unrounded squared L2
+  -- between each probe subvector and each codebook slice
+  SELECT pr.probe_id, s.m, c.code,
+         {_oc_sqdist("pr.pvec", "c.embedding")} AS d
+  FROM (SELECT DISTINCT probe_id, pvec FROM probes) pr
+  CROSS JOIN subs s CROSS JOIN cb c
+),
+cands AS (
+  -- candidates = probed cells' rows; ADC distance = the M table
+  -- lookups summed in subspace order (list(... ORDER BY m) pins the
+  -- sequential fold Spark's aggregate performs), rounded to 6 dp
+  SELECT CAST(pr.probe_id AS INTEGER) AS probe_id, v.vec_id,
+         round(list_sum(list(sd.d ORDER BY sd.m)), 6) AS adc_dist
+  FROM probes pr
+  JOIN corpus v ON v.cell = pr.cell
+  JOIN enc en ON en.vec_id = v.vec_id
+  JOIN subd sd ON sd.probe_id = pr.probe_id
+              AND sd.m = en.m AND sd.code = en.code
+  GROUP BY pr.probe_id, v.vec_id
+)
+SELECT probe_id, vec_id, adc_dist,
+       CAST(row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc_dist, vec_id) AS INTEGER) AS rnk
+FROM cands
+QUALIFY rnk <= {_OC_TOP_K}
+"""
+
+
+@query("ivfadc", oracle=IVFADC_ORACLE)
 def ivfadc_topk(
     spark: SparkSession,
     sf_dir: str,
     codebook: list[tuple[int, list[float]]] | None = None,
     residual: bool = False,
     cents: list[tuple[int, list[float]]] | None = None,
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
     """PQ-compressed IVF search: returns (probe_id, vec_id, adc_dist,
     rnk) for the TOP_K nearest candidates per probe under asymmetric
@@ -380,7 +466,15 @@ def ivfadc_topk(
         F.col("embedding").isNotNull()
     )
     if cents is None:
-        cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
+        # Registered default: EXACT quantizer fit (fit_fraction=1.0) so
+        # the DuckDB oracle can replay the Lloyd recursion and hash-
+        # verify the search (functions/lloyd_sql.py — Spark's seeded
+        # Bernoulli sample is not replayable by another engine).  At
+        # 100 TB pass fit_fraction=IVF_FIT_FRACTION for the sampled
+        # fit; the search plan is identical either way.
+        cents = _centroids(
+            e, IVF_CELLS, IVF_ITERATIONS, fit_fraction=fit_fraction
+        )
     if codebook is None:
         codebook = _collect_anchors(spark, sf_dir, k=PQ_CODEBOOK)
     if not cents or not codebook:
@@ -478,7 +572,9 @@ def ivfadc_topk(
     )
 
 
-@query("ivfadc_r")  # rows-only: scores are model-derived, like ivfadc
+@query("ivfadc_r")  # rows-only: the residual codebook fit SAMPLES
+# (CB_FIT_FRACTION) and a seeded Bernoulli sample is not replayable in
+# SQL — unlike ivfadc, whose registered exact fit is oracle-mirrored
 def ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end residual IVFADC — the full Jegou et al. recipe as one
     registered query, so the production path (residual codebook fit +

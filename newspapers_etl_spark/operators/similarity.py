@@ -29,6 +29,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.functions.lloyd_sql import (
+    final_assignment_cte,
+    lloyd_centroid_ctes,
+    probe_cells_cte,
+)
 from newspapers_etl_spark.functions.vectors import dot, l2_norm
 from newspapers_etl_spark.registry import query
 
@@ -341,18 +346,49 @@ def _nearest_cell(vec: Column | str, cents: list[tuple[int, list[float]]]) -> Co
     return best.getField("cell")
 
 
-@query("ivf_topk")  # rows-only: cell assignment is model-derived
-def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+_C_FINAL = f"c{IVF_ITERATIONS}"
+
+IVF_TOPK_ORACLE = f"""
+WITH {lloyd_centroid_ctes(IVF_CELLS, IVF_ITERATIONS)},
+{final_assignment_cte("corpus", _C_FINAL)},
+{probe_cells_cte("probes", _C_FINAL, N_PROBES, IVF_NPROBE)},
+sims AS (
+  SELECT pr.probe_id, co.vec_id,
+         round({_SQL_DOT.format(a="co.embedding", b="pr.pvec")}
+               / (pr.pnrm * co.nrm), 6) AS sim
+  FROM corpus co JOIN probes pr ON co.cell = pr.cell
+)
+SELECT probe_id, vec_id, sim,
+       CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id)
+            AS INTEGER) AS rnk
+FROM sims
+QUALIFY rnk <= {TOP_K}
+"""
+
+
+@query("ivf_topk", oracle=IVF_TOPK_ORACLE)
+def sim_ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, fit_fraction: float = 1.0
+) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into IVF_CELLS Voronoi cells
     (k-means, 2 Lloyd iterations), then score each probe only against
     its IVF_NPROBE nearest cells — the inverted-file pattern behind
     FAISS-style billion-scale search.  One linear scan assigns cells,
     the probe join is an equi-join on cell id with the probe side
-    broadcast; expected scan fraction is nprobe/cells."""
+    broadcast; expected scan fraction is nprobe/cells.
+
+    The registered default fits the quantizer on the FULL corpus
+    (``fit_fraction=1.0``): the Lloyd recursion then has no sampling
+    step, so the DuckDB oracle replays it exactly (rank seeds → argmax
+    assignment → 9-dp rounded means, ``functions/lloyd_sql.py``) and the
+    query is value-hash-verified instead of rows-only (VERDICT r8 #4).
+    At 100 TB pass ``fit_fraction=IVF_FIT_FRACTION`` for the seeded
+    sampled fit — only the fit input changes; the search plan (and the
+    one full-corpus assignment pass) is identical."""
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
+    cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS, fit_fraction=fit_fraction)
     if not cents:
         # Empty corpus -> empty quantizer -> the untyped literal arrays
         # would fail analysis obscurely; an empty search result is the
