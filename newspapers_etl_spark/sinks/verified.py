@@ -124,18 +124,46 @@ CURRENT_PTR = "_CURRENT"
 _GEN_PREFIX = "_gen-"
 
 
+def local_fs_path(path: str) -> str:
+    """The OS path for ``path``, REFUSING remote URIs: the pointer ops
+    here are plain-file I/O (``open``/``os.replace``/``shutil``), which
+    is only atomic — only meaningful — on a local filesystem.  On
+    HDFS/S3/GCS the pointer protocol is the same single-key PUT of the
+    pointer object, but it must go through that store's API (Hadoop
+    FileSystem / boto / gcsfs), which this sandbox build does not ship;
+    failing loudly here beats silently writing a ``file:/...`` pointer
+    next to an object-store table (ADVICE r8 #4)."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        return parsed.path if parsed.scheme == "file" else path
+    raise NotImplementedError(
+        f"generation-pointer I/O requires a local filesystem path; got "
+        f"scheme {parsed.scheme!r} in {path!r} — route pointer reads/"
+        "writes through the object store's API for remote tables"
+    )
+
+
 def _read_pointer(path: str) -> dict | None:
     """The current-generation pointer, or None for a legacy root-layout
     table (data files directly under ``path``)."""
     import json
     import os
 
-    p = os.path.join(path, CURRENT_PTR)
+    p = os.path.join(local_fs_path(path), CURRENT_PTR)
     try:
         with open(p) as f:
             return json.load(f)
     except FileNotFoundError:
         return None
+
+
+def current_pointer(path: str) -> dict | None:
+    """Public read of the generation pointer (callers that publish with
+    ``meta=...`` read their bookkeeping back through this — e.g. the
+    BM25 append's ``applied_batches`` idempotency ledger)."""
+    return _read_pointer(path)
 
 
 def current_data_path(path: str) -> str:
@@ -167,25 +195,44 @@ def allocate_generation(path: str) -> tuple[int, str]:
 
 
 def publish_generation(
-    path: str, gen_no: int, dir_name: str, keep_old_generation: bool = False
+    path: str,
+    gen_no: int,
+    dir_name: str,
+    keep_old_generation: bool = False,
+    meta: dict | None = None,
 ) -> None:
     """Atomically repoint readers of ``path`` at ``dir_name`` (temp file
-    + ``os.replace`` locally; on an object store the same single-key PUT
+    + ``os.replace`` on the local filesystem this module requires — see
+    ``local_fs_path``; on an object store the analogous single-key PUT
     of the pointer object), then reap the superseded generation unless
     ``keep_old_generation``.  Readers resolving through ``read_current``
     see either the old generation or the new one at every instant — no
-    directory-rename window where the path is absent."""
+    directory-rename window where the path is absent.
+
+    ``meta`` entries are stored alongside ``generation``/``dir`` in the
+    pointer (read back via ``current_pointer``) — e.g. the BM25
+    append's ``applied_batches`` idempotency ledger.
+
+    SINGLE WRITER ASSUMED: the allocate→write→publish sequence is a
+    read-modify-write of the pointer with no lock, so two concurrent
+    publishers can interleave allocate() and lose one update (the
+    classic lost-update race).  Every caller in this repo is a
+    driver-side maintenance operation (compaction, index append) that
+    the surrounding pipeline serializes; a multi-writer deployment
+    needs a coordination layer (e.g. a conditional PUT / CAS on the
+    pointer object) that plain files cannot provide."""
     import json
     import os
     import shutil
     import uuid
 
+    os_path = local_fs_path(path)
     prev_ptr = _read_pointer(path)
     old_dir = current_data_path(path)
-    tmp = os.path.join(path, f".{CURRENT_PTR}.{uuid.uuid4().hex}.tmp")
+    tmp = os.path.join(os_path, f".{CURRENT_PTR}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
-        json.dump({"generation": gen_no, "dir": dir_name}, f)
-    os.replace(tmp, os.path.join(path, CURRENT_PTR))
+        json.dump({"generation": gen_no, "dir": dir_name, **(meta or {})}, f)
+    os.replace(tmp, os.path.join(os_path, CURRENT_PTR))
 
     if keep_old_generation:
         return
@@ -193,16 +240,16 @@ def publish_generation(
         # Legacy root layout: reap root-level data entries only —
         # underscore/dot entries (the pointer, generations, _SUCCESS)
         # stay.
-        for name in os.listdir(path):
+        for name in os.listdir(os_path):
             if name.startswith(("_", ".")):
                 continue
-            entry = os.path.join(path, name)
+            entry = os.path.join(os_path, name)
             if os.path.isdir(entry):
                 shutil.rmtree(entry)
             else:
                 os.remove(entry)
     else:
-        shutil.rmtree(old_dir, ignore_errors=True)
+        shutil.rmtree(local_fs_path(old_dir), ignore_errors=True)
 
 
 def compact_partitions(

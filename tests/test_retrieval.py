@@ -254,7 +254,7 @@ def test_bm25_append_crash_before_stats_publish_leaves_index_readable(
     assert retrieval_bm25_topk_from_postings(spark, path).count() > 0
 
     # --- crash point 2: generation data written, pointer never flips
-    def boom_publish(p, gen_no, dir_name, keep_old_generation=False):
+    def boom_publish(p, gen_no, dir_name, keep_old_generation=False, meta=None):
         raise RuntimeError("injected: died before pointer publish")
 
     monkeypatch.setattr(verified, "publish_generation", boom_publish)
@@ -265,3 +265,32 @@ def test_bm25_append_crash_before_stats_publish_leaves_index_readable(
     monkeypatch.undo()
     now = verified.read_current(spark, f"{path}/stats").collect()[0]
     assert (now["n"], now["sum_dl"]) == (old_stats["n"], old_stats["sum_dl"])
+
+    # --- retry convergence (ADVICE r8 #3): after BOTH injected crashes
+    # — each of which already wrote the batch's postings — a plain
+    # retry must yield exactly the rebuild-from-everything index, not a
+    # tf-doubled one: the batch overwrites its own postings root and
+    # the stats publish records it in the pointer's applied_batches.
+    append_bm25_postings(spark, half2, path)
+    full = str(tmp_path / "full_idx")
+    write_bm25_postings(spark, sf_dir, full)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk_from_postings(spark, path).collect()
+    ]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk_from_postings(spark, full).collect()
+    ]
+    assert got == want
+
+    # --- retry after full success is a no-op: the pointer (generation
+    # and ledger) is untouched, scores unchanged.
+    ptr_before = verified.current_pointer(f"{path}/stats")
+    append_bm25_postings(spark, half2, path)
+    assert verified.current_pointer(f"{path}/stats") == ptr_before
+    again = [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk_from_postings(spark, path).collect()
+    ]
+    assert again == want

@@ -164,3 +164,18 @@ def test_manifest_digest_is_order_insensitive(spark, sf_dir):
         src.orderBy(F.desc("doc_id")).repartition(7), ["lang"], "text"
     )
     assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
+
+
+def test_pointer_io_refuses_remote_schemes():
+    """Generation-pointer I/O is plain-file I/O, so remote URIs must
+    fail LOUDLY (ADVICE r8 #4) — never write a file: pointer next to an
+    object-store table."""
+    import pytest
+
+    from newspapers_etl_spark.sinks.verified import local_fs_path
+
+    assert local_fs_path("/tmp/t") == "/tmp/t"
+    assert local_fs_path("file:/tmp/t") == "/tmp/t"
+    for uri in ("s3a://bucket/table", "hdfs://nn/table", "gs://b/t"):
+        with pytest.raises(NotImplementedError):
+            local_fs_path(uri)
