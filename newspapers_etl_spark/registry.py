@@ -26,21 +26,40 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
-#   r9 (planned): retrieval_fusion 2 (bm25_b/rrf — NEW r8, registered
+#   r10 (planned): model_fit 3 (changed r9: seed-by-rank in the shared
+#       _centroids/_collect_anchors helpers — fixture-identical, so
+#       deferred under the policy exception below with this note) and
+#       text_lm 1 lead, then the oldest r7-hashed families — dedup 10,
+#       extraction_queries 8, relational 21 — and text_scoring 6 (ppl
+#       r7 rides at its tail) + retrieval 1 (bm25, r8) close at ~50.
+#   r9 (executed): retrieval_fusion 2 (bm25_b/rrf — NEW r8, registered
 #       post-window, the only queries without a driver row after r8)
-#       lead, then ivfadc 2 (rows-only; changed r8: seed fix + 9-dp
-#       rounding + guards, r7 rows describe pre-change values) and
-#       pca 2 (pca_proj changed late-r8: mean rounding; emb_cov rides
-#       for contiguity), then the r6-hashed families — rollup 2,
-#       sketches 1, text_formats 4, data_quality 1, corpus 5,
-#       sampling 2, text_analysis 6, events_windows 6, pipeline 2,
-#       sinks.verified 1 (= 30) — and the oldest r7-hashed families
-#       fill to ~50 (dedup 10, dedup_scale 1, text_lm 1).  ppl
-#       (r7-fresh) waits for r10 with extraction_queries/
-#       incremental_stream/corpus_overlap/relational.  Any query ADDED
-#       or CHANGED in r9 preempts, as always; a new registration
-#       triggers rename wave 5 (candidates ann_stats→ann_st,
-#       lsh_stats→lsh_st — the line sits ~1971/1990).
+#       lead.  Then the queries CHANGED r8/r9: ivfadc 2 (r8 seed fix +
+#       9-dp rounding; r9 ivfadc gains an ORACLE via the exact-fit
+#       default — the Lloyd recursion is replayed in DuckDB SQL,
+#       functions/lloyd_sql.py — while ivfadc_r stays rows-only, its
+#       residual codebook fit SAMPLES), similarity 5 (ivf_topk changed
+#       r9 the same way: oracle + exact-fit default + rank seeding —
+#       VERDICT r8 #4 executed; bf_topk/cntrds/lsh_topk/ann_stats ride
+#       r8 history as the price of contiguity), semantic_dedup 2
+#       (changed r9: _collect_anchors seeds by RANK, renumbered 0..k−1
+#       — ADVICE r8 #1 — with the oracles mirroring the rank pull),
+#       pca 2 (pca_proj changed late-r8: mean rounding; emb_cov rides).
+#       Then the 30 r6-hashed queries — rollup 2, sketches 1,
+#       text_formats 4, data_quality 1, corpus 5, sampling 2,
+#       text_analysis 6, events_windows 6, pipeline 2,
+#       sinks.verified 1 — and the oldest r7-hashed SMALL families fill
+#       to exactly 50: dedup_scale 1, corpus_overlap 2,
+#       incremental_stream 4 (st_sess closes at slot 50).  dedup 10 /
+#       text_lm 1 / extraction 8 / relational 21 keep their r7 rows and
+#       rotate in r10 (the similarity/semantic_dedup preemption
+#       displaced dedup from the r8-planned fill — changed queries
+#       preempt, as always).  model_fit 3 changed r9 only through the
+#       shared seed helpers (outputs fixture-identical, sweep- and
+#       pytest-verified) and defers to r10 under the policy exception
+#       below.  No new registrations — rename wave 5 (ann_stats→ann_st,
+#       lsh_stats→lsh_st, prepared in BASELINE.md) stays parked; the
+#       1-decimal stdout line holds at ~1971/1990.
 #   r8 (executed): the window is exactly 50 and every slot is earned —
 #       bm25 (NEW r7, post-window then; also CHANGED r8: exact-integer
 #       avgdl) takes slot 1 for its first driver hash row.  Then the
@@ -150,42 +169,21 @@ ORACLE: dict[str, str] = {}
 # Rule of thumb: families whose last green hash row is oldest — or
 # that contain a query never checked in ANY window — go first; a query
 # changed in the current round must sit inside the first ~50.
+# EXCEPTION (codified r9, ADVICE r8 #2): a change that provably cannot
+# alter any fixture output — a degenerate-input-only guard, or a
+# refactor verified output-identical by the full oracle sweep — on a
+# query whose existing driver row is ≤1 round old MAY defer its re-hash
+# one round, with an explicit ledger note naming the queries.  Anything
+# that changes fixture values re-hashes in the round it changes, no
+# exceptions.
 _OPERATOR_MODULES = (
-    # ---- r8 window (slots 1-50): CHANGED queries + the stalest (r5)
-    # blocks; see the rotation ledger above for the slot math ----
-    "newspapers_etl_spark.operators.retrieval",           # 1   bm25: first driver row (NEW r7, post-window) + CHANGED r8 (exact avgdl)
-    "newspapers_etl_spark.operators.similarity",          # 5   ivf_topk CHANGED r8 (Lloyd rounding + guards); 4 ride r6
-    "newspapers_etl_spark.operators.model_fit",           # 3   fit_anc/fit_pq CHANGED r8 (shared fit path); fit_pca rides r6
-    "newspapers_etl_spark.operators.semantic_dedup",      # 2   CHANGED r8 (_collect_anchors guards)
-    "newspapers_etl_spark.operators.pandas_surface",      # 3   pd_chunks CHANGED r8 (None guard); 2 ride r6
-    "newspapers_etl_spark.operators.multimodal",          # 4   mm_decode/mm_frames CHANGED r8 (None guards); all r5-stale
-    "newspapers_etl_spark.operators.relational_extended", # 9   last hashed r5
-    "newspapers_etl_spark.operators.scd",                 # 3   last hashed r5
-    "newspapers_etl_spark.operators.incremental",         # 3   last hashed r5
-    "newspapers_etl_spark.operators.diagnostics",         # 1   last hashed r5
-    "newspapers_etl_spark.operators.url_ops",             # 1   last hashed r5
-    "newspapers_etl_spark.operators.snapshot_diff",       # 1   last hashed r5
-    "newspapers_etl_spark.operators.events_analytics",    # 3   last hashed r5
-    "newspapers_etl_spark.operators.sampling_extended",   # 3   last hashed r5
-    "newspapers_etl_spark.streaming.enrichment",          # 1   last hashed r5
-    "newspapers_etl_spark.streaming.scd_stream",          # 1   last hashed r5
-    "newspapers_etl_spark.streaming.stateful",            # 1   last hashed r5
-    # ---- 45 above; text_scoring's five r5-stale queries close the
-    # window at slots 46-50 (ppl is declared at the module TAIL — r7
-    # row, rides at 51). ----
-    "newspapers_etl_spark.operators.text_scoring",        # 6   5 last hashed r5 (slots 46-50); ppl r7 at 51
-    # ivfadc: rows-only, fresh r7 rows; its r8 change is shared-helper
-    # rounding/guards (sweep+pytest-verified) — deliberately at 52-53
-    # rather than displacing two r5-stale oracle-backed rows (ledger).
-    "newspapers_etl_spark.operators.ivfadc",              # 2   hashed r7 (rows-only); leads r9 with ppl
-    "newspapers_etl_spark.operators.dedup",               # 10  re-hashed r7
-    "newspapers_etl_spark.operators.dedup_scale",         # 1   re-hashed r7
-    "newspapers_etl_spark.operators.text_lm",             # 1   re-hashed r7
-    "newspapers_etl_spark.operators.extraction_queries",  # 8   re-hashed r7
-    "newspapers_etl_spark.streaming.incremental_stream",  # 4   re-hashed r7
-    "newspapers_etl_spark.operators.corpus_overlap",      # 2   re-hashed r7
-    "newspapers_etl_spark.operators.relational",          # 21  re-hashed r7
-    "newspapers_etl_spark.operators.pca",                 # 2   hashed r6
+    # ---- r9 window (slots 1-50): first-driver-row + CHANGED queries +
+    # the full r6-stale tail; see the rotation ledger for slot math ----
+    "newspapers_etl_spark.operators.retrieval_fusion",    # 2   bm25_b/rrf: first driver rows (NEW r8, post-window)
+    "newspapers_etl_spark.operators.ivfadc",              # 2   ivfadc CHANGED r9 (oracle + exact-fit default); ivfadc_r changed r8
+    "newspapers_etl_spark.operators.similarity",          # 5   ivf_topk CHANGED r9 (oracle + exact-fit + rank seeds); 4 ride r8
+    "newspapers_etl_spark.operators.semantic_dedup",      # 2   CHANGED r9 (rank seeding, oracle mirrors)
+    "newspapers_etl_spark.operators.pca",                 # 2   pca_proj CHANGED late-r8 (mean rounding); emb_cov rides
     "newspapers_etl_spark.operators.rollup",              # 2   hashed r6
     "newspapers_etl_spark.operators.sketches",            # 1   hashed r6
     "newspapers_etl_spark.sources.text_formats",          # 4   hashed r6
@@ -196,13 +194,34 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.events_windows",      # 6   hashed r6
     "newspapers_etl_spark.operators.pipeline",            # 2   hashed r6
     "newspapers_etl_spark.sinks.verified",                # 1   hashed r6
-    # bm25_b/rrf are NEW r8 and register POST-window (the bm25-in-r7
-    # precedent): the window was designed full at exactly 50 before
-    # they landed, and displacing r5-stale oracle rows for unhashed
-    # newcomers would trade verified freshness.  Both are judge-sweep
-    # oracle-backed + pytest-covered this round and LEAD the r9 window
-    # together with ppl and the two ivfadc queries at 51-53.
-    "newspapers_etl_spark.operators.retrieval_fusion",    # 2   NEW r8 (post-window -> r9 front)
+    # ---- 43 above; the three smallest r7-hashed families close the
+    # window at exactly 50 (st_sess is slot 50). ----
+    "newspapers_etl_spark.operators.dedup_scale",         # 1   re-hashed r7
+    "newspapers_etl_spark.operators.corpus_overlap",      # 2   re-hashed r7
+    "newspapers_etl_spark.streaming.incremental_stream",  # 4   re-hashed r7 (closes the window)
+    # ---- tail: fresh r7/r8 history, rotating forward per the ledger
+    # (model_fit changed r9 fixture-identically — policy exception,
+    # leads r10 with text_lm/dedup/extraction/relational/text_scoring).
+    "newspapers_etl_spark.operators.model_fit",           # 3   hashed r8; changed r9 (shared seed helpers, fixture-identical)
+    "newspapers_etl_spark.operators.text_lm",             # 1   re-hashed r7
+    "newspapers_etl_spark.operators.dedup",               # 10  re-hashed r7
+    "newspapers_etl_spark.operators.extraction_queries",  # 8   re-hashed r7
+    "newspapers_etl_spark.operators.relational",          # 21  re-hashed r7
+    "newspapers_etl_spark.operators.text_scoring",        # 6   5 hashed r8; ppl r7 at the module tail
+    "newspapers_etl_spark.operators.retrieval",           # 1   hashed r8
+    "newspapers_etl_spark.operators.pandas_surface",      # 3   hashed r8
+    "newspapers_etl_spark.operators.multimodal",          # 4   hashed r8
+    "newspapers_etl_spark.operators.relational_extended", # 9   hashed r8
+    "newspapers_etl_spark.operators.scd",                 # 3   hashed r8 (must precede scd_stream: top-level import)
+    "newspapers_etl_spark.operators.incremental",         # 3   hashed r8
+    "newspapers_etl_spark.operators.diagnostics",         # 1   hashed r8
+    "newspapers_etl_spark.operators.url_ops",             # 1   hashed r8
+    "newspapers_etl_spark.operators.snapshot_diff",       # 1   hashed r8
+    "newspapers_etl_spark.operators.events_analytics",    # 3   hashed r8
+    "newspapers_etl_spark.operators.sampling_extended",   # 3   hashed r8
+    "newspapers_etl_spark.streaming.enrichment",          # 1   hashed r8
+    "newspapers_etl_spark.streaming.scd_stream",          # 1   hashed r8
+    "newspapers_etl_spark.streaming.stateful",            # 1   hashed r8
 )
 
 _loaded = False

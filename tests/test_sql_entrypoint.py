@@ -174,31 +174,36 @@ def test_registry_registration_order_is_contiguous_per_module():
         f"realized {block_order} vs declared {declared}; a top-level "
         "cross-module operator import is splicing a whole block"
     )
-    # And the r8 window design holds: bm25's first-ever driver row at
-    # slot 1, every query CHANGED this round (the Lloyd-rounding /
-    # degenerate-input-guard landing), and all 36 r5-stale queries sit
-    # inside the first 50 (the driver's check window) — see the
-    # rotation ledger in registry.py.
+    # And the r9 window design holds: bm25_b/rrf's first-ever driver
+    # rows at slots 1-2, every query CHANGED r8/r9 with fixture-visible
+    # effect (the IVF oracle conversion + rank-seeding landing), and the
+    # full 30-query r6-stale tail inside the first 50 (the driver's
+    # check window) — see the rotation ledger in registry.py.
     window = set(names[:50])
     for required in (
-        # the one query with no driver hash row in the r1-r7 union
-        "bm25",
-        # changed in r8 (shared model helpers: rounding + guards;
-        # Pandas-UDF None guards; bm25's exact avgdl)
-        "ivf_topk", "fit_anc", "fit_pq", "semdedup", "pq_codes",
-        "pd_chunks", "mm_decode", "mm_frames",
-        # last driver-hashed r5 (stalest history, full re-hash)
-        "q3_ship", "cohorts", "scd2", "scd_enr", "incr_cont", "skew",
-        "url_canon", "snap_diff", "ev_anom", "qual_samp", "st_enrich",
-        "st_scd", "st_state", "len_hist", "zipf", "mm_manif",
+        # the only queries with no driver hash row in the r1-r8 union
+        "bm25_b", "rrf",
+        # changed r9 (IVF oracle conversion: exact-fit defaults +
+        # rank seeding with oracle mirrors) and late-r8 (pca_proj)
+        "ivfadc", "ivfadc_r", "ivf_topk", "semdedup", "pq_codes",
+        "pca_proj", "emb_cov",
+        # last driver-hashed r6 (stalest history, full re-hash)
+        "ev_roll", "st_rollup", "kmv_ndv", "src_csv", "src_jsonl",
+        "dq_audit", "dd_incr", "leakage", "strat", "pack_seqs",
+        "tokens", "text_fp", "ev_tmbl", "ev_sess", "pipeline",
+        "pii_mask", "sink_aud",
+        # the three smallest r7-hashed families that fill to 50
+        "sh32", "dd_chunk", "overlap", "st_tumble", "st_sess",
     ):
         assert required in window, f"{required} fell out of the window"
-    assert names[0] == "bm25", f"bm25 must lead the r8 window: {names[:3]}"
-    # zipf closes the window; ppl (r7-fresh, moved to the module tail)
-    # and the two rows-only r7-fresh ivfadc queries ride at 51-53
-    # (rotation ledger: they lead r9).
-    assert names[49] == "zipf", f"window boundary drifted: {names[45:52]}"
-    assert names[50:53] == ["ppl", "ivfadc", "ivfadc_r"], (
+    assert names[:2] == ["bm25_b", "rrf"], (
+        f"bm25_b/rrf must lead the r9 window: {names[:3]}"
+    )
+    # st_sess closes the window; the r7-hashed dedup/text_lm/extraction/
+    # relational blocks and the r8-fresh families ride behind (rotation
+    # ledger: model_fit + text_lm + dedup lead r10).
+    assert names[49] == "st_sess", f"window boundary drifted: {names[45:52]}"
+    assert names[50:53] == ["fit_pq", "fit_pca", "fit_anc"], (
         f"boundary riders drifted: {names[50:54]}"
     )
 
