@@ -108,6 +108,117 @@ def final_assignment_cte(name: str, cents: str) -> str:
     )
 
 
+def residual_codebook_ctes(
+    cents: str,
+    codes: int,
+    subs: int,
+    sub_dim: int,
+    iters: int,
+) -> tuple[str, str, str]:
+    """CTE fragment mirroring ``ivfadc.fit_codebook(residual=True)``
+    with an exact fit: returns ``(sql, rescorpus, kbook)`` where
+    ``rescorpus(vec_id, cell, rv)`` is the residual corpus (x −
+    centroid[cell], doubles) and ``kbook(code, kvec)`` is the fitted
+    residual codebook after ``iters`` per-subspace Lloyd steps.
+
+    Mirrors, clause by clause:
+    - seeds: the first ``codes`` anchors (rank-renumbered), each
+      centered on its own nearest cell by argmax dot, ties to the
+      smallest cell (``_seed_residual_codebook``);
+    - assignment: per (row, subspace) argmin of the 6-dp-ROUNDED
+      squared L2 between the residual slice and each codebook slice,
+      ties to the smallest code (``_nearest_code``);
+    - update: per-(subspace, code, position) mean rounded to 9 dp
+      (driver-side rounding in ``fit_codebook``); a (subspace, code)
+      pair with no assigned rows keeps its previous slice — codebook
+      entries are stitched per code from the per-subspace slices in
+      subspace order (``flatten(list(... ORDER BY m))``).
+
+    Requires the ``nn`` and ``{cents}`` CTEs from
+    ``lloyd_centroid_ctes`` and a ``corpus`` CTE from
+    ``final_assignment_cte`` in scope.
+    """
+    dot = SQL_DOT.format(a="b.embedding", b="c.cvec")
+    center = (
+        "list_transform(list_zip({v}, c.cvec), "
+        "z -> CAST(z[1] AS DOUBLE) - z[2])"
+    )
+
+    def slice_d(a: str, b: str) -> str:
+        lo = f"s.m*{sub_dim} + 1"
+        hi = f"s.m*{sub_dim} + {sub_dim}"
+        return (
+            "list_sum(list_transform("
+            f"list_zip(list_slice({a}, {lo}, {hi}), "
+            f"list_slice({b}, {lo}, {hi})), "
+            "z -> (z[1] - z[2]) * (z[1] - z[2])))"
+        )
+
+    parts = [
+        "rescorpus AS (\n"
+        "  SELECT a.vec_id, a.cell,\n"
+        f"         {center.format(v='a.embedding')} AS rv\n"
+        f"  FROM corpus a JOIN {cents} c ON a.cell = c.cell\n"
+        ")",
+        "rcb AS (\n"
+        "  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding\n"
+        f"  FROM (SELECT vec_id, embedding FROM nn ORDER BY vec_id LIMIT {codes})\n"
+        ")",
+        "rcbcell AS (\n"
+        "  SELECT code, embedding, cell FROM (\n"
+        "    SELECT b.code, b.embedding, c.cell,\n"
+        "           row_number() OVER (PARTITION BY b.code\n"
+        f"             ORDER BY {dot} DESC, c.cell) AS rk\n"
+        f"    FROM rcb b CROSS JOIN {cents} c\n"
+        "  ) WHERE rk = 1\n"
+        ")",
+        "k0 AS (\n"
+        "  SELECT b.code,\n"
+        f"         {center.format(v='b.embedding')} AS kvec\n"
+        f"  FROM rcbcell b JOIN {cents} c ON b.cell = c.cell\n"
+        ")",
+        f"rsubs AS (SELECT unnest(range({subs})) AS m)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"re{t} AS (\n"
+            "  SELECT vec_id, m, code FROM (\n"
+            "    SELECT r.vec_id, s.m, k.code,\n"
+            "           row_number() OVER (PARTITION BY r.vec_id, s.m\n"
+            f"             ORDER BY round({slice_d('r.rv', 'k.kvec')}, 6),"
+            " k.code) AS rk\n"
+            f"    FROM rescorpus r CROSS JOIN rsubs s CROSS JOIN k{t - 1} k\n"
+            "  ) WHERE rk = 1\n"
+            ")",
+        )
+        parts.append(
+            f"ru{t} AS (\n"
+            "  SELECT e.m, e.code, list(val ORDER BY pos) AS sl FROM (\n"
+            "    SELECT e.m, e.code, d.i - 1 AS pos,\n"
+            f"           round(avg(r.rv[e.m*{sub_dim} + d.i]), 9) AS val\n"
+            f"    FROM re{t} e JOIN rescorpus r USING (vec_id),\n"
+            f"         unnest(range(1, {sub_dim} + 1)) AS d(i)\n"
+            "    GROUP BY e.m, e.code, d.i\n"
+            "  ) e GROUP BY e.m, e.code\n"
+            ")",
+        )
+        parts.append(
+            f"k{t} AS (\n"
+            "  SELECT k.code,\n"
+            "         flatten(list(coalesce(u.sl,\n"
+            f"           list_slice(k.kvec, s.m*{sub_dim} + 1,"
+            f" s.m*{sub_dim} + {sub_dim}))\n"
+            "           ORDER BY s.m)) AS kvec\n"
+            f"  FROM k{t - 1} k CROSS JOIN rsubs s\n"
+            "  LEFT JOIN ru{t} u ON u.m = s.m AND u.code = k.code\n".replace(
+                "{t}", str(t)
+            )
+            + "  GROUP BY k.code\n"
+            ")",
+        )
+    return ",\n".join(parts), "rescorpus", f"k{iters}"
+
+
 def probe_cells_cte(
     name: str, cents: str, n_probes: int, nprobe: int
 ) -> str:

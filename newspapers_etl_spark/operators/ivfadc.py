@@ -25,9 +25,14 @@ Pipeline shape (the 100 TB contract):
 
 Accuracy is traded for the 16-32x compression: the pytest contract is
 recall@k against the exact brute-force ranking plus an ADC-identity
-check against a NumPy reimplementation; hash-level determinism holds
-(seeded fits, rounded scores, id tie-breaks) but the values are
-model-derived, so the query is registered rows-only like ``ivf_topk``.
+check against a NumPy reimplementation.  Since r9 BOTH registered
+queries are value-hash ORACLE-verified: the registered defaults fit
+their models exact (``fit_fraction=1.0``), so the DuckDB oracle
+replays the entire fit→encode→score composition — coarse Lloyd
+recursion, residual centering, per-subspace codebook Lloyd, PQ
+encode, ADC fold (``functions/lloyd_sql.py``).  The sampled
+production fits remain parameters (a seeded Bernoulli sample is not
+replayable by another engine).
 """
 
 from __future__ import annotations
@@ -40,6 +45,7 @@ from newspapers_etl_spark.functions.lloyd_sql import (
     final_assignment_cte,
     lloyd_centroid_ctes,
     probe_cells_cte,
+    residual_codebook_ctes,
 )
 from newspapers_etl_spark.registry import query
 
@@ -143,6 +149,7 @@ def fit_codebook(
     iters: int = CB_ITERATIONS,
     residual: bool = False,
     cents: list[tuple[int, list[float]]] | None = None,
+    fit_fraction: float = CB_FIT_FRACTION,
 ) -> list[tuple[int, list[float]]]:
     """Per-subspace k-means PQ codebook: each of the PQ_SUBSPACES
     8-dim slices gets its own PQ_CODEBOOK Lloyd-fitted centroids.
@@ -202,8 +209,8 @@ def fit_codebook(
     # real cause of the r7 'ulp wobble' flake).
     fit = (
         e
-        if CB_FIT_FRACTION >= 1.0
-        else e.sample(fraction=CB_FIT_FRACTION, seed=11)
+        if fit_fraction >= 1.0
+        else e.sample(fraction=fit_fraction, seed=11)
     )
     if residual:
         # ``cents`` lets the caller share one quantizer fit between the
@@ -572,10 +579,74 @@ def ivfadc_topk(
     )
 
 
-@query("ivfadc_r")  # rows-only: the residual codebook fit SAMPLES
-# (CB_FIT_FRACTION) and a seeded Bernoulli sample is not replayable in
-# SQL — unlike ivfadc, whose registered exact fit is oracle-mirrored
-def ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+_R_SQL, _R_CORPUS, _R_KBOOK = residual_codebook_ctes(
+    f"c{_OC_ITERS}", _OC_CODES, _OC_SUBS, _OC_SUB_DIM, 2
+)
+
+IVFADC_R_ORACLE = f"""
+WITH {lloyd_centroid_ctes(_OC_CELLS, _OC_ITERS)},
+{final_assignment_cte("corpus", f"c{_OC_ITERS}")},
+{probe_cells_cte("probes", f"c{_OC_ITERS}", _OC_N_PROBES, _OC_NPROBE)},
+{_R_SQL},
+renc AS (
+  -- final residual encode under the fitted codebook (_nearest_code
+  -- over the residual column): 6-dp-rounded argmin, ties to the
+  -- smallest code
+  SELECT vec_id, m, code FROM (
+    SELECT r.vec_id, s.m, k.code,
+           row_number() OVER (PARTITION BY r.vec_id, s.m
+             ORDER BY round(list_sum(list_transform(
+               list_zip(list_slice(r.rv, s.m*{_OC_SUB_DIM} + 1,
+                                   s.m*{_OC_SUB_DIM} + {_OC_SUB_DIM}),
+                        list_slice(k.kvec, s.m*{_OC_SUB_DIM} + 1,
+                                   s.m*{_OC_SUB_DIM} + {_OC_SUB_DIM})),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), k.code) AS rk
+    FROM {_R_CORPUS} r CROSS JOIN rsubs s CROSS JOIN {_R_KBOOK} k
+  ) WHERE rk = 1
+),
+pres AS (
+  -- per (probe, probed cell): the residual probe q - centroid[cell]
+  -- (the per-cell ADC table of ivfadc_topk's residual mode)
+  SELECT pr.probe_id, pr.cell,
+         list_transform(list_zip(pr.pvec, c.cvec),
+                        z -> CAST(z[1] AS DOUBLE) - z[2]) AS qres
+  FROM probes pr JOIN c{_OC_ITERS} c ON pr.cell = c.cell
+),
+rsubd AS (
+  SELECT p.probe_id, p.cell, s.m, k.code,
+         list_sum(list_transform(
+           list_zip(list_slice(p.qres, s.m*{_OC_SUB_DIM} + 1,
+                               s.m*{_OC_SUB_DIM} + {_OC_SUB_DIM}),
+                    list_slice(k.kvec, s.m*{_OC_SUB_DIM} + 1,
+                               s.m*{_OC_SUB_DIM} + {_OC_SUB_DIM})),
+           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+  FROM pres p CROSS JOIN rsubs s CROSS JOIN {_R_KBOOK} k
+),
+rcands AS (
+  SELECT CAST(pr.probe_id AS INTEGER) AS probe_id, v.vec_id,
+         round(list_sum(list(sd.d ORDER BY sd.m)), 6) AS adc_dist
+  FROM probes pr
+  JOIN {_R_CORPUS} v ON v.cell = pr.cell
+  JOIN renc en ON en.vec_id = v.vec_id
+  JOIN rsubd sd ON sd.probe_id = pr.probe_id AND sd.cell = pr.cell
+               AND sd.m = en.m AND sd.code = en.code
+  GROUP BY pr.probe_id, v.vec_id
+)
+SELECT probe_id, vec_id, adc_dist,
+       CAST(row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc_dist, vec_id) AS INTEGER) AS rnk
+FROM rcands
+QUALIFY rnk <= {_OC_TOP_K}
+"""
+
+
+@query("ivfadc_r", oracle=IVFADC_R_ORACLE)
+def ivfadc_residual_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    fit_fraction: float = 1.0,
+    cb_fit_fraction: float = 1.0,
+) -> DataFrame:
     """End-to-end residual IVFADC — the full Jegou et al. recipe as one
     registered query, so the production path (residual codebook fit +
     map-side centering + residual ADC tables) has a per-round bench and
@@ -587,7 +658,15 @@ def ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit_codebook would otherwise re-run the distributed Lloyd fit); the
     search plan is ivfadc_topk's, unchanged: map-only encode (centering
     matrix is a literal indexed by the materialized cell), broadcast
-    probe join on cell, ADC fold, bounded window top-k."""
+    probe join on cell, ADC fold, bounded window top-k.
+
+    The registered defaults fit BOTH models exact (r9): the coarse
+    Lloyd recursion AND the residual per-subspace codebook fit are then
+    replayed in the DuckDB oracle (functions/lloyd_sql.py
+    residual_codebook_ctes), hash-verifying the complete
+    fit→center→encode→score composition.  At 100 TB pass the sampled
+    fractions (IVF_FIT_FRACTION / CB_FIT_FRACTION) — the plans are
+    identical, only the fit inputs shrink."""
     from newspapers_etl_spark.operators.similarity import (
         IVF_CELLS,
         IVF_ITERATIONS,
@@ -600,12 +679,14 @@ def ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS)
+    cents = _centroids(e, IVF_CELLS, IVF_ITERATIONS, fit_fraction=fit_fraction)
     if not cents:
         return spark.createDataFrame(
             [], "probe_id int, vec_id long, adc_dist double, rnk int"
         )
-    cb = fit_codebook(spark, sf_dir, residual=True, cents=cents)
+    cb = fit_codebook(
+        spark, sf_dir, residual=True, cents=cents, fit_fraction=cb_fit_fraction
+    )
     if not cb:
         return spark.createDataFrame(
             [], "probe_id int, vec_id long, adc_dist double, rnk int"

@@ -35,10 +35,10 @@ ORACLE: dict[str, str] = {}
 #   r9 (executed): retrieval_fusion 2 (bm25_b/rrf — NEW r8, registered
 #       post-window, the only queries without a driver row after r8)
 #       lead.  Then the queries CHANGED r8/r9: ivfadc 2 (r8 seed fix +
-#       9-dp rounding; r9 ivfadc gains an ORACLE via the exact-fit
-#       default — the Lloyd recursion is replayed in DuckDB SQL,
-#       functions/lloyd_sql.py — while ivfadc_r stays rows-only, its
-#       residual codebook fit SAMPLES), similarity 5 (ivf_topk changed
+#       9-dp rounding; r9 BOTH gain ORACLES via exact-fit defaults —
+#       the Lloyd recursion, and for ivfadc_r the residual per-subspace
+#       codebook fit too, are replayed in DuckDB SQL,
+#       functions/lloyd_sql.py), similarity 5 (ivf_topk changed
 #       r9 the same way: oracle + exact-fit default + rank seeding —
 #       VERDICT r8 #4 executed; bf_topk/cntrds/lsh_topk/ann_stats ride
 #       r8 history as the price of contiguity), semantic_dedup 2
