@@ -210,10 +210,8 @@ def residual_codebook_ctes(
             f" s.m*{sub_dim} + {sub_dim}))\n"
             "           ORDER BY s.m)) AS kvec\n"
             f"  FROM k{t - 1} k CROSS JOIN rsubs s\n"
-            "  LEFT JOIN ru{t} u ON u.m = s.m AND u.code = k.code\n".replace(
-                "{t}", str(t)
-            )
-            + "  GROUP BY k.code\n"
+            f"  LEFT JOIN ru{t} u ON u.m = s.m AND u.code = k.code\n"
+            "  GROUP BY k.code\n"
             ")",
         )
     return ",\n".join(parts), "rescorpus", f"k{iters}"

@@ -547,7 +547,7 @@ def candidate_pairs(
     )
 
 
-@query("lsh_stats")  # rows-only: hash values are engine-specific
+@query("lsh_st")  # rows-only: hash values are engine-specific (ex lsh_stats, wave-5 rename)
 def dedup_minhash_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH bucket statistics: per band, how many buckets,
     the largest bucket, and the implied candidate-pair count

@@ -446,7 +446,7 @@ def sim_ann_ivf_topk(
     )
 
 
-@query("ann_stats")  # rows-only: bucket ids are hash-derived
+@query("ann_st")  # rows-only: bucket ids are hash-derived (ex ann_stats, wave-5 rename)
 def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket-occupancy histogram — the skew diagnostic for the ANN
     path: bucket count, mean/max occupancy.  At 100 TB this is the query

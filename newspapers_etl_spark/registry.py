@@ -26,12 +26,17 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
-#   r10 (planned): model_fit 3 (changed r9: seed-by-rank in the shared
-#       _centroids/_collect_anchors helpers — fixture-identical, so
-#       deferred under the policy exception below with this note) and
-#       text_lm 1 lead, then the oldest r7-hashed families — dedup 10,
-#       extraction_queries 8, relational 21 — and text_scoring 6 (ppl
-#       r7 rides at its tail) + retrieval 1 (bm25, r8) close at ~50.
+#   r10 (planned): drift_monitor 1 + retrieval_eval 1 (NEW r9,
+#       registered post-window — the only queries without a driver row
+#       after r9) lead, then model_fit 3 (changed r9: seed-by-rank in
+#       the shared _centroids/_collect_anchors helpers —
+#       fixture-identical, so deferred under the policy exception below
+#       with this note; also the fit_anc/fit_pq exact-fit oracle
+#       conversions are candidates to land with it) and text_lm 1,
+#       then the oldest r7-hashed families — dedup 10,
+#       extraction_queries 8, text_scoring 6 (ppl r7 at its tail),
+#       relational 21 fills to ~50 (its last ~1 rides with
+#       retrieval 1 (bm25, r8) to r11).
 #   r9 (executed): retrieval_fusion 2 (bm25_b/rrf — NEW r8, registered
 #       post-window, the only queries without a driver row after r8)
 #       lead.  Then the queries CHANGED r8/r9: ivfadc 2 (r8 seed fix +
@@ -57,9 +62,15 @@ ORACLE: dict[str, str] = {}
 #       preempt, as always).  model_fit 3 changed r9 only through the
 #       shared seed helpers (outputs fixture-identical, sweep- and
 #       pytest-verified) and defers to r10 under the policy exception
-#       below.  No new registrations — rename wave 5 (ann_stats→ann_st,
-#       lsh_stats→lsh_st, prepared in BASELINE.md) stays parked; the
-#       1-decimal stdout line holds at ~1971/1990.
+#       below.  Late-r9 additions: drift (PSI snapshot-drift monitor,
+#       operators/drift_monitor.py) and ndcg (retrieval-quality
+#       evaluation, operators/retrieval_eval.py), both oracle-backed,
+#       registered post-window (see the note at their declarations) —
+#       they lead r10.  Their registration would have pushed the
+#       1-decimal bench stdout line over 1990, so rename wave 5
+#       executed as prepared in BASELINE.md (ann_stats→ann_st,
+#       lsh_stats→lsh_st; "r9" map in RENAMES.json; line 1985/1990
+#       after).
 #   r8 (executed): the window is exactly 50 and every slot is earned —
 #       bm25 (NEW r7, post-window then; also CHANGED r8: exact-integer
 #       avgdl) takes slot 1 for its first driver hash row.  Then the
@@ -222,6 +233,15 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.streaming.enrichment",          # 1   hashed r8
     "newspapers_etl_spark.streaming.scd_stream",          # 1   hashed r8
     "newspapers_etl_spark.streaming.stateful",            # 1   hashed r8
+    # drift/ndcg are NEW r9 and register POST-window (the bm25-in-r7 /
+    # bm25_b-in-r8 precedent): the r9 window was designed full at
+    # exactly 50 before they landed.  Both are oracle-backed,
+    # sweep-green and pytest-covered this round and LEAD the r10
+    # window with model_fit/text_lm.  Their registration triggered
+    # rename wave 5 ("r9" map in RENAMES.json: ann_stats→ann_st,
+    # lsh_stats→lsh_st) to keep the 1-decimal bench stdout band.
+    "newspapers_etl_spark.operators.drift_monitor",       # 1   NEW r9 (post-window -> r10 front)
+    "newspapers_etl_spark.operators.retrieval_eval",      # 1   NEW r9 (post-window -> r10 front)
 )
 
 _loaded = False
