@@ -1,10 +1,11 @@
 """Caller-owned release path for query-internal caches.
 
-Four registered queries persist an intermediate relation because it
+Five registered queries persist an intermediate relation because it
 feeds multiple subplans of the one DataFrame they return (``jaccard``'s
 shingle sets, ``dd_spans``'s window stream + repeated-key set,
 ``sh_pairs``/``sh32``'s (doc_id, sh) members — see
-operators/dedup.py:manku_neardup_pairs).  The query contract (return an
+operators/dedup.py:manku_neardup_pairs — and ``ndcg``'s
+posting-bounded relevance relation).  The query contract (return an
 unexecuted DataFrame) makes in-query ``unpersist()`` impossible: the
 cache must outlive the call so the caller's action can use it.  In the
 bench harness every measured run clears the cache between queries
@@ -34,7 +35,7 @@ from pyspark.sql import SparkSession
 
 def clear_all_session_caches(spark: SparkSession) -> None:
     """Release EVERY cached relation on the session — the intermediates
-    persisted inside jaccard/dd_spans/sh_pairs/sh32 and any caches the
+    persisted inside jaccard/dd_spans/sh_pairs/sh32/ndcg and any caches the
     caller created.  Safe at any point: a cleared cache re-materializes
     on next use."""
     spark.catalog.clearCache()

@@ -16,8 +16,11 @@ Scale design:
 - Reference vs candidate membership is a map-side predicate (here:
   doc_id parity as the snapshot surrogate; production passes any
   predicate — a date column, a snapshot id).
-- The per-feature totals join is a BROADCAST of a features-row
-  relation; output is features × buckets rows (bounded, tiny).
+- Per-feature totals are WINDOW sums over the (features × buckets)
+  aggregate — never a self-join back onto the counts lineage, which
+  would re-run the corpus scan (Spark recomputes unpersisted common
+  subplans); the window's shuffle moves only the bounded counts
+  relation.  Output is features × buckets rows (bounded, tiny).
 - Laplace smoothing (+0.5 per bucket) keeps PSI finite on buckets one
   side never hit — deterministic and exactly mirrored in the oracle,
   no epsilon tuning.
@@ -29,7 +32,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
@@ -108,16 +111,25 @@ def snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_ref").cast("long").alias("ref_n"),
         F.sum(1 - F.col("is_ref")).cast("long").alias("cand_n"),
     )
-    tot = counts.groupBy("feature").agg(
-        F.sum("ref_n").cast("double").alias("ref_tot"),
-        F.sum("cand_n").cast("double").alias("cand_tot"),
-        F.count("*").cast("double").alias("n_buckets"),
+    # Totals as window aggregates over the already-bounded counts
+    # relation: a groupBy+join-back would make `counts` a shared
+    # subplan and re-run the corpus scan (2 scans in the executed
+    # plan); the window costs one bucket-grain exchange instead.
+    w = Window.partitionBy("feature")
+    counts = counts.select(
+        "feature",
+        "bucket",
+        "ref_n",
+        "cand_n",
+        F.sum("ref_n").over(w).cast("double").alias("ref_tot"),
+        F.sum("cand_n").over(w).cast("double").alias("cand_tot"),
+        F.count("*").over(w).cast("double").alias("n_buckets"),
     )
     p = (F.col("ref_n") + 0.5) / (F.col("ref_tot") + 0.5 * F.col("n_buckets"))
     q = (F.col("cand_n") + 0.5) / (
         F.col("cand_tot") + 0.5 * F.col("n_buckets")
     )
-    return counts.join(F.broadcast(tot), "feature").select(
+    return counts.select(
         "feature",
         "bucket",
         "ref_n",

@@ -20,8 +20,10 @@ Scale design:
   scorer's hit stream already touches — never a corpus-wide dense
   matrix.  The DCG join is (queries × k) rows against that bounded rel
   relation; the IDCG window partitions by query over rel > 0 docs only.
-- One corpus scan feeds both the ranking (bm25_batch_topk_over's
-  single-scan batch plan) and the relevance stream.
+- The ranking side reuses bm25_batch_topk_over's amortized batch plan
+  (its scan count is independent of query count); the relevance stream
+  adds ONE tokenize scan, persisted because both DCG and IDCG consume
+  it (cache.py owns the release).
 """
 
 from __future__ import annotations
@@ -115,10 +117,17 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+    # rel feeds TWO subplans of the returned DataFrame (the DCG join
+    # and the IDCG window); unpersisted, Spark would recompute the
+    # tokenize scan for each — persist materializes it once (the
+    # jaccard/dd_spans pattern; release path: cache.py).  The persisted
+    # relation is posting-bounded (docs holding >=1 query term), far
+    # smaller than the corpus.
     rel = (
         toks.select("doc_id", per_query_rel.alias("x"))
         .select("doc_id", "x.query_id", "x.rel")
         .filter(F.col("rel") > 0)
+        .persist()
     )
 
     # A scored doc necessarily contains >=1 query term, so rel >= 1 for

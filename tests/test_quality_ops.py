@@ -106,3 +106,40 @@ def test_ndcg_matches_pure_python_assembly(spark, sf_dir):
             want[qid],
         )
         assert 0.0 < got[qid] <= 1.0
+
+
+def test_drift_plan_is_single_scan(spark, sf_dir):
+    """The PSI monitor's scale contract: ONE corpus scan, totals as
+    window sums over the bounded counts relation — a groupBy+join-back
+    on the unpersisted counts lineage would re-run the scan (the bug
+    this pins out), and nothing in the plan may shuffle documents."""
+    from newspapers_etl_spark.operators.drift_monitor import snapshot_drift_psi
+
+    plan = (
+        snapshot_drift_psi(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_ndcg_rel_is_persisted_not_recomputed(spark, sf_dir):
+    """DCG and IDCG both consume the relevance relation; the persist
+    must surface as InMemoryTableScan reuse in BOTH branches so the
+    tokenize scan runs once, not once per branch."""
+    from newspapers_etl_spark.cache import clear_all_session_caches
+    from newspapers_etl_spark.operators.retrieval_eval import retrieval_ndcg
+
+    try:
+        plan = (
+            retrieval_ndcg(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("InMemoryTableScan") == 2, plan
+        assert "Cartesian" not in plan
+    finally:
+        clear_all_session_caches(spark)
