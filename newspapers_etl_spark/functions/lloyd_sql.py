@@ -108,6 +108,65 @@ def final_assignment_cte(name: str, cents: str) -> str:
     )
 
 
+def _subspace_lloyd_parts(corpus: str, sub_dim: int, iters: int) -> list[str]:
+    """The per-subspace Lloyd iteration CTEs (``re{t}``/``ru{t}``/
+    ``k{t}``) shared by the residual and raw PQ codebook mirrors:
+    assignment is the per-(row, subspace) argmin of the 6-dp-rounded
+    squared L2 (ties to the smallest code — ``_nearest_code``), the
+    update a 9-dp-rounded per-(subspace, code, position) mean, and a
+    (subspace, code) pair with no rows keeps its previous slice.
+    Requires ``{corpus}(vec_id, rv)`` (double vectors), ``k0(code,
+    kvec)`` seeds, and ``rsubs(m)`` in scope."""
+
+    def slice_d(a: str, b: str) -> str:
+        lo = f"s.m*{sub_dim} + 1"
+        hi = f"s.m*{sub_dim} + {sub_dim}"
+        return (
+            "list_sum(list_transform("
+            f"list_zip(list_slice({a}, {lo}, {hi}), "
+            f"list_slice({b}, {lo}, {hi})), "
+            "z -> (z[1] - z[2]) * (z[1] - z[2])))"
+        )
+
+    parts = []
+    for t in range(1, iters + 1):
+        parts.append(
+            f"re{t} AS (\n"
+            "  SELECT vec_id, m, code FROM (\n"
+            "    SELECT r.vec_id, s.m, k.code,\n"
+            "           row_number() OVER (PARTITION BY r.vec_id, s.m\n"
+            f"             ORDER BY round({slice_d('r.rv', 'k.kvec')}, 6),"
+            " k.code) AS rk\n"
+            f"    FROM {corpus} r CROSS JOIN rsubs s CROSS JOIN k{t - 1} k\n"
+            "  ) WHERE rk = 1\n"
+            ")",
+        )
+        parts.append(
+            f"ru{t} AS (\n"
+            "  SELECT e.m, e.code, list(val ORDER BY pos) AS sl FROM (\n"
+            "    SELECT e.m, e.code, d.i - 1 AS pos,\n"
+            f"           round(avg(r.rv[e.m*{sub_dim} + d.i]), 9) AS val\n"
+            f"    FROM re{t} e JOIN {corpus} r USING (vec_id),\n"
+            f"         unnest(range(1, {sub_dim} + 1)) AS d(i)\n"
+            "    GROUP BY e.m, e.code, d.i\n"
+            "  ) e GROUP BY e.m, e.code\n"
+            ")",
+        )
+        parts.append(
+            f"k{t} AS (\n"
+            "  SELECT k.code,\n"
+            "         flatten(list(coalesce(u.sl,\n"
+            f"           list_slice(k.kvec, s.m*{sub_dim} + 1,"
+            f" s.m*{sub_dim} + {sub_dim}))\n"
+            "           ORDER BY s.m)) AS kvec\n"
+            f"  FROM k{t - 1} k CROSS JOIN rsubs s\n"
+            f"  LEFT JOIN ru{t} u ON u.m = s.m AND u.code = k.code\n"
+            "  GROUP BY k.code\n"
+            ")",
+        )
+    return parts
+
+
 def residual_codebook_ctes(
     cents: str,
     codes: int,
@@ -144,16 +203,6 @@ def residual_codebook_ctes(
         "z -> CAST(z[1] AS DOUBLE) - z[2])"
     )
 
-    def slice_d(a: str, b: str) -> str:
-        lo = f"s.m*{sub_dim} + 1"
-        hi = f"s.m*{sub_dim} + {sub_dim}"
-        return (
-            "list_sum(list_transform("
-            f"list_zip(list_slice({a}, {lo}, {hi}), "
-            f"list_slice({b}, {lo}, {hi})), "
-            "z -> (z[1] - z[2]) * (z[1] - z[2])))"
-        )
-
     parts = [
         "rescorpus AS (\n"
         "  SELECT a.vec_id, a.cell,\n"
@@ -179,42 +228,65 @@ def residual_codebook_ctes(
         ")",
         f"rsubs AS (SELECT unnest(range({subs})) AS m)",
     ]
-    for t in range(1, iters + 1):
-        parts.append(
-            f"re{t} AS (\n"
-            "  SELECT vec_id, m, code FROM (\n"
-            "    SELECT r.vec_id, s.m, k.code,\n"
-            "           row_number() OVER (PARTITION BY r.vec_id, s.m\n"
-            f"             ORDER BY round({slice_d('r.rv', 'k.kvec')}, 6),"
-            " k.code) AS rk\n"
-            f"    FROM rescorpus r CROSS JOIN rsubs s CROSS JOIN k{t - 1} k\n"
-            "  ) WHERE rk = 1\n"
-            ")",
-        )
-        parts.append(
-            f"ru{t} AS (\n"
-            "  SELECT e.m, e.code, list(val ORDER BY pos) AS sl FROM (\n"
-            "    SELECT e.m, e.code, d.i - 1 AS pos,\n"
-            f"           round(avg(r.rv[e.m*{sub_dim} + d.i]), 9) AS val\n"
-            f"    FROM re{t} e JOIN rescorpus r USING (vec_id),\n"
-            f"         unnest(range(1, {sub_dim} + 1)) AS d(i)\n"
-            "    GROUP BY e.m, e.code, d.i\n"
-            "  ) e GROUP BY e.m, e.code\n"
-            ")",
-        )
-        parts.append(
-            f"k{t} AS (\n"
-            "  SELECT k.code,\n"
-            "         flatten(list(coalesce(u.sl,\n"
-            f"           list_slice(k.kvec, s.m*{sub_dim} + 1,"
-            f" s.m*{sub_dim} + {sub_dim}))\n"
-            "           ORDER BY s.m)) AS kvec\n"
-            f"  FROM k{t - 1} k CROSS JOIN rsubs s\n"
-            f"  LEFT JOIN ru{t} u ON u.m = s.m AND u.code = k.code\n"
-            "  GROUP BY k.code\n"
-            ")",
-        )
+    parts += _subspace_lloyd_parts("rescorpus", sub_dim, iters)
     return ",\n".join(parts), "rescorpus", f"k{iters}"
+
+
+def pq_codebook_ctes(
+    codes: int, subs: int, sub_dim: int, iters: int
+) -> tuple[str, str]:
+    """CTE fragment mirroring ``ivfadc.fit_codebook(residual=False,
+    fit_fraction=1.0)`` — the RAW-vector per-subspace PQ fit behind the
+    ``fit_pq`` bench handle: seeds are the first ``codes`` non-null
+    vectors by vec_id rank (``_collect_anchors``), the corpus is the
+    double-cast embedding list (float32 → double promotion is exact,
+    matching ``x.cast("double")`` inside ``_nearest_code`` and the
+    slice transform), and the iterations are the shared
+    ``_subspace_lloyd_parts`` recursion.  Self-contained (defines its
+    own ``pqnn``/``pqcorpus``); returns ``(sql, kbook)``."""
+    parts = [
+        "pqnn AS (\n"
+        "  SELECT vec_id, embedding FROM embeddings\n"
+        "  WHERE embedding IS NOT NULL\n"
+        ")",
+        "pqcorpus AS (\n"
+        "  SELECT vec_id,\n"
+        "         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv\n"
+        "  FROM pqnn\n"
+        ")",
+        "k0 AS (\n"
+        "  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,\n"
+        "         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS kvec\n"
+        f"  FROM (SELECT vec_id, embedding FROM pqnn ORDER BY vec_id LIMIT {codes})\n"
+        ")",
+        f"rsubs AS (SELECT unnest(range({subs})) AS m)",
+    ]
+    parts += _subspace_lloyd_parts("pqcorpus", sub_dim, iters)
+    return ",\n".join(parts), f"k{iters}"
+
+
+def centroid_model_rows_sql(k: int, iters: int, id_col: str) -> str:
+    """Complete query emitting the EXACT-fit Lloyd centroid model as
+    ``({id_col}, dim, val)`` rows, 6-dp — the r10 oracle for the
+    ``fit_anc`` bench handle once its registered default flips to
+    ``fit_fraction=1.0`` (pre-staged; see model_fit.py)."""
+    return (
+        f"WITH {lloyd_centroid_ctes(k, iters)}\n"
+        f"SELECT cell AS {id_col}, i - 1 AS dim, round(cvec[i], 6) AS val\n"
+        f"FROM c{iters}, unnest(range(1, len(cvec) + 1)) AS t(i)"
+    )
+
+
+def pq_model_rows_sql(codes: int, subs: int, sub_dim: int, iters: int) -> str:
+    """Complete query emitting the EXACT-fit PQ codebook as
+    ``(code, dim, val)`` rows, 6-dp — the r10 oracle for ``fit_pq``
+    once its registered default flips to ``fit_fraction=1.0``."""
+    sql, kbook = pq_codebook_ctes(codes, subs, sub_dim, iters)
+    return (
+        f"WITH {sql}\n"
+        "SELECT code, i - 1 AS dim, round(kvec[i], 6) AS val\n"
+        f"FROM {kbook}, unnest(range(1, len(kvec) + 1)) AS t(i)"
+    )
 
 
 def probe_cells_cte(

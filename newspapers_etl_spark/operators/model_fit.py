@@ -20,31 +20,66 @@ Lazy imports throughout: the source modules register their own queries
 at import time, and a top-level import here would splice their blocks
 into this module's registry slot
 (test_registry_registration_order_is_contiguous_per_module).
+
+r10 PRE-STAGED ORACLE CONVERSIONS (the ivf_topk/ivfadc r9 pattern):
+``fit_anc`` and ``fit_pq`` become hash-checkable the moment their
+registered defaults flip to the EXACT fit (``fit_fraction=1.0`` —
+Spark's seeded Bernoulli sample is partition-dependent and no other
+engine can replay it; the exact recursion is).  The DuckDB mirrors are
+already built and differentially tested (``lloyd_sql.
+centroid_model_rows_sql`` / ``pq_model_rows_sql``,
+tests/test_model_fit_oracle.py); the flip itself — defaults +
+``oracle=`` — waits for the r10 window per the rotation policy
+(registry.py: a fixture-output change re-hashes in the round it
+lands).  ``fit_pca`` stays rows-only: the driver eigh has no SQL
+replay.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from newspapers_etl_spark.registry import query
 
 
 def _model_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     """Driver-built model relation — O(model) rows, the same legitimate
-    scale posture as the literal centroid/anchor embeds."""
-    return spark.createDataFrame(rows, schema)
+    scale posture as the literal centroid/anchor embeds.  Every double
+    column is rounded to 6 dp IN SPARK (F.round = decimal-string
+    HALF_UP, the same tie convention DuckDB's round applies) — Python's
+    round() is correct-rounding on the binary double and disagrees with
+    both engines exactly on the decimal ties the 9-dp-rounded fits make
+    common (a cell mean over a power-of-two member count divides
+    exactly; found by the pre-staged fit_pq mirror test: 2 of 1024
+    components sat on a ...5 tie at the 7th digit)."""
+    df = spark.createDataFrame(rows, schema)
+    return df.select(
+        *[
+            F.round(c, 6).alias(c) if t == "double" else F.col(c)
+            for c, t in df.dtypes
+        ]
+    )
 
 
 @query("fit_pq")  # rows-only: fitted floats are model-derived
-def fit_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fit_pq_codebook(
+    spark: SparkSession, sf_dir: str, fit_fraction: float | None = None
+) -> DataFrame:
     """Per-subspace k-means PQ codebook fit (CB_ITERATIONS Lloyd steps
     over a seeded half sample, one pass per step fitting ALL subspaces).
-    Output: (code, dim, val) — PQ_CODEBOOK × EMB_DIM rows."""
+    Output: (code, dim, val) — PQ_CODEBOOK × EMB_DIM rows.
+    ``fit_fraction=1.0`` is the exact fit mirrored by
+    ``lloyd_sql.pq_model_rows_sql`` (r10 flip; module docstring)."""
     from newspapers_etl_spark.operators.ivfadc import fit_codebook
 
-    codebook = fit_codebook(spark, sf_dir)
+    codebook = (
+        fit_codebook(spark, sf_dir)
+        if fit_fraction is None
+        else fit_codebook(spark, sf_dir, fit_fraction=fit_fraction)
+    )
     rows = [
-        (int(code), int(d), round(float(x), 6))
+        (int(code), int(d), float(x))
         for code, vec in codebook
         for d, x in enumerate(vec)
     ]
@@ -60,7 +95,7 @@ def fit_pca_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _mean, comps, eigvals = fit_pca(spark, sf_dir, PCA_K)
     rows = [
-        (int(c), int(d), round(float(x), 6), round(float(eigvals[c]), 6))
+        (int(c), int(d), float(x), float(eigvals[c]))
         for c, vec in enumerate(comps)
         for d, x in enumerate(vec)
     ]
@@ -70,15 +105,19 @@ def fit_pca_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("fit_anc")  # rows-only: fitted floats are model-derived
-def fit_anchor_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fit_anchor_centroids(
+    spark: SparkSession, sf_dir: str, fit_fraction: float | None = None
+) -> DataFrame:
     """Sampled Lloyd k-means anchor fit (the SemDeDup production anchor
     source, reusing similarity's _centroids).  Output: (anchor_id, dim,
-    val) — N_ANCHORS × EMB_DIM rows."""
+    val) — N_ANCHORS × EMB_DIM rows.  ``fit_fraction=1.0`` is the exact
+    fit mirrored by ``lloyd_sql.centroid_model_rows_sql`` (r10 flip;
+    module docstring)."""
     from newspapers_etl_spark.operators.semantic_dedup import fit_anchors
 
-    anchors = fit_anchors(spark, sf_dir)
+    anchors = fit_anchors(spark, sf_dir, fit_fraction=fit_fraction)
     rows = [
-        (int(aid), int(d), round(float(x), 6))
+        (int(aid), int(d), float(x))
         for aid, vec in anchors
         for d, x in enumerate(vec)
     ]

@@ -100,7 +100,11 @@ def _collect_anchors(
 
 
 def fit_anchors(
-    spark: SparkSession, sf_dir: str, k: int = N_ANCHORS, iters: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = N_ANCHORS,
+    iters: int = 2,
+    fit_fraction: float | None = None,
 ) -> list[tuple[int, list[float]]]:
     """The at-scale anchor source: a sampled Lloyd k-means fit (reusing
     similarity.py's ``_centroids`` — seeded sample, literal-embedded
@@ -108,11 +112,18 @@ def fit_anchors(
     ``semdedup``/``pq_codes`` queries keep the deterministic first-K
     fixture anchors so the DuckDB oracle can mirror them; production
     callers pass ``anchors=fit_anchors(...)`` for data-adaptive
-    clusters with the identical assignment plan."""
+    clusters with the identical assignment plan.  ``fit_fraction``
+    passes through to ``_centroids`` (None keeps its sampled default;
+    1.0 is the exact fit the DuckDB Lloyd mirror can replay —
+    functions/lloyd_sql.py)."""
     from newspapers_etl_spark.operators.similarity import _centroids
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents = _centroids(e, k, iters)
+    cents = (
+        _centroids(e, k, iters)
+        if fit_fraction is None
+        else _centroids(e, k, iters, fit_fraction=fit_fraction)
+    )
     for aid, vec in cents:
         if not any(x != 0.0 for x in vec):
             raise ValueError(f"fitted anchor {aid} has zero norm")

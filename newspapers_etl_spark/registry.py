@@ -31,8 +31,10 @@ ORACLE: dict[str, str] = {}
 #       after r9) lead, then model_fit 3 (changed r9: seed-by-rank in
 #       the shared _centroids/_collect_anchors helpers —
 #       fixture-identical, so deferred under the policy exception below
-#       with this note; also the fit_anc/fit_pq exact-fit oracle
-#       conversions are candidates to land with it) and text_lm 1,
+#       with this note; the fit_anc/fit_pq exact-fit oracle conversions
+#       are PRE-STAGED — mirrors in functions/lloyd_sql.py, green
+#       differential tests in tests/test_model_fit_oracle.py — so the
+#       r10 change is just defaults + oracle=) and text_lm 1,
 #       then the oldest r7-hashed families — dedup 10,
 #       extraction_queries 8, text_scoring 6 (ppl r7 at its tail),
 #       relational 21 fills to ~50 (its last ~1 rides with
