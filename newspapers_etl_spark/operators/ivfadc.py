@@ -579,8 +579,12 @@ def ivfadc_topk(
     )
 
 
+# CB_ITERATIONS is module-local (no import-splice constraint), so the
+# oracle passes it directly instead of a literal copy (ADVICE r9 #1:
+# a hardcoded 2 here would turn a CB_ITERATIONS bump into a confusing
+# oracle hash failure instead of staying in sync).
 _R_SQL, _R_CORPUS, _R_KBOOK = residual_codebook_ctes(
-    f"c{_OC_ITERS}", _OC_CODES, _OC_SUBS, _OC_SUB_DIM, 2
+    f"c{_OC_ITERS}", _OC_CODES, _OC_SUBS, _OC_SUB_DIM, CB_ITERATIONS
 )
 
 IVFADC_R_ORACLE = f"""

@@ -10,29 +10,28 @@ number and a regression in a fit loop was invisible (VERDICT r5 #4).
 Each query here runs one fit end-to-end and returns the MODEL as rows
 (code/component × dimension × value) — model-sized output by
 construction, so the measured time is the distributed fit itself, not
-result materialization.  All three are rows-only: fitted floats are
-engine-/BLAS-specific (seeded and deterministic per build, but not
-oracle-portable); the semantic contracts live in the existing pytest
-batteries (ADC identity + recall for the codebook, orthonormality +
-NumPy equality for PCA, assignment-plan equivalence for anchors).
+result materialization.
 
-Lazy imports throughout: the source modules register their own queries
-at import time, and a top-level import here would splice their blocks
-into this module's registry slot
-(test_registry_registration_order_is_contiguous_per_module).
+ORACLES (flipped in r10, the ivf_topk/ivfadc r9 pattern): the
+registered ``fit_anc``/``fit_pq`` defaults run the EXACT fit
+(``fit_fraction=1.0`` — Spark's seeded Bernoulli sample is
+partition-dependent and no other engine can replay it; the exact
+recursion is), which the DuckDB Lloyd mirrors replay clause for clause
+(``lloyd_sql.centroid_model_rows_sql`` / ``pq_model_rows_sql``;
+differential tests in tests/test_model_fit_oracle.py predate the flip).
+Cost was pre-measured equal to the sampled fit at sf0.1 (BASELINE.md
+round-9 notes).  At 100 TB pass ``fit_fraction`` (IVF_FIT_FRACTION /
+CB_FIT_FRACTION) — sampling the fit input is the production parameter;
+the plans are identical.  ``fit_pca`` stays rows-only: the driver eigh
+has no SQL replay.
 
-r10 PRE-STAGED ORACLE CONVERSIONS (the ivf_topk/ivfadc r9 pattern):
-``fit_anc`` and ``fit_pq`` become hash-checkable the moment their
-registered defaults flip to the EXACT fit (``fit_fraction=1.0`` —
-Spark's seeded Bernoulli sample is partition-dependent and no other
-engine can replay it; the exact recursion is).  The DuckDB mirrors are
-already built and differentially tested (``lloyd_sql.
-centroid_model_rows_sql`` / ``pq_model_rows_sql``,
-tests/test_model_fit_oracle.py); the flip itself — defaults +
-``oracle=`` — waits for the r10 window per the rotation policy
-(registry.py: a fixture-output change re-hashes in the round it
-lands).  ``fit_pca`` stays rows-only: the driver eigh has no SQL
-replay.
+Lazy imports for the FIT functions: the source modules register their
+own queries at import time, and a top-level import here would splice
+their blocks into this module's registry slot
+(test_registry_registration_order_is_contiguous_per_module).  The
+oracle strings need the model constants at import time, so they use
+literal copies (the ivfadc _OC_* pattern) pinned to the canonical
+values by tests/test_model_fit_oracle.py.
 """
 
 from __future__ import annotations
@@ -40,7 +39,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from newspapers_etl_spark.functions.lloyd_sql import (
+    centroid_model_rows_sql,
+    pq_model_rows_sql,
+)
 from newspapers_etl_spark.registry import query
+
+# Oracle-side literal copies of the model constants (semantic_dedup /
+# similarity / ivfadc register queries at import time and sit BEHIND
+# this module in the r10 window, so the oracle strings cannot import
+# them without splicing registration order); pinned to the canonical
+# values by test_model_fit_oracle_constants_match_canonical.
+_OC_ANCHORS, _OC_ANCHOR_ITERS = 16, 2
+_OC_CODES, _OC_SUBS, _OC_SUB_DIM, _OC_CB_ITERS = 16, 8, 8, 2
+
+FIT_ANC_ORACLE = centroid_model_rows_sql(
+    _OC_ANCHORS, _OC_ANCHOR_ITERS, "anchor_id"
+)
+FIT_PQ_ORACLE = pq_model_rows_sql(_OC_CODES, _OC_SUBS, _OC_SUB_DIM, _OC_CB_ITERS)
 
 
 def _model_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
@@ -62,22 +78,19 @@ def _model_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     )
 
 
-@query("fit_pq")  # rows-only: fitted floats are model-derived
+@query("fit_pq", oracle=FIT_PQ_ORACLE)
 def fit_pq_codebook(
-    spark: SparkSession, sf_dir: str, fit_fraction: float | None = None
+    spark: SparkSession, sf_dir: str, fit_fraction: float = 1.0
 ) -> DataFrame:
-    """Per-subspace k-means PQ codebook fit (CB_ITERATIONS Lloyd steps
-    over a seeded half sample, one pass per step fitting ALL subspaces).
-    Output: (code, dim, val) — PQ_CODEBOOK × EMB_DIM rows.
-    ``fit_fraction=1.0`` is the exact fit mirrored by
-    ``lloyd_sql.pq_model_rows_sql`` (r10 flip; module docstring)."""
+    """Per-subspace k-means PQ codebook fit (CB_ITERATIONS Lloyd steps,
+    one pass per step fitting ALL subspaces).  Output: (code, dim, val)
+    — PQ_CODEBOOK × EMB_DIM rows.  The registered default is the EXACT
+    fit mirrored by ``lloyd_sql.pq_model_rows_sql``; at 100 TB pass
+    ``fit_fraction=CB_FIT_FRACTION`` for the seeded-sample fit (same
+    plan, smaller fit input)."""
     from newspapers_etl_spark.operators.ivfadc import fit_codebook
 
-    codebook = (
-        fit_codebook(spark, sf_dir)
-        if fit_fraction is None
-        else fit_codebook(spark, sf_dir, fit_fraction=fit_fraction)
-    )
+    codebook = fit_codebook(spark, sf_dir, fit_fraction=fit_fraction)
     rows = [
         (int(code), int(d), float(x))
         for code, vec in codebook
@@ -104,15 +117,16 @@ def fit_pca_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fit_anc")  # rows-only: fitted floats are model-derived
+@query("fit_anc", oracle=FIT_ANC_ORACLE)
 def fit_anchor_centroids(
-    spark: SparkSession, sf_dir: str, fit_fraction: float | None = None
+    spark: SparkSession, sf_dir: str, fit_fraction: float = 1.0
 ) -> DataFrame:
-    """Sampled Lloyd k-means anchor fit (the SemDeDup production anchor
-    source, reusing similarity's _centroids).  Output: (anchor_id, dim,
-    val) — N_ANCHORS × EMB_DIM rows.  ``fit_fraction=1.0`` is the exact
-    fit mirrored by ``lloyd_sql.centroid_model_rows_sql`` (r10 flip;
-    module docstring)."""
+    """Lloyd k-means anchor fit (the SemDeDup production anchor source,
+    reusing similarity's _centroids).  Output: (anchor_id, dim, val) —
+    N_ANCHORS × EMB_DIM rows.  The registered default is the EXACT fit
+    mirrored by ``lloyd_sql.centroid_model_rows_sql``; at 100 TB pass
+    ``fit_fraction=IVF_FIT_FRACTION`` for the seeded-sample fit (same
+    plan, smaller fit input)."""
     from newspapers_etl_spark.operators.semantic_dedup import fit_anchors
 
     anchors = fit_anchors(spark, sf_dir, fit_fraction=fit_fraction)

@@ -33,15 +33,17 @@ from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
 from newspapers_etl_spark.functions.text import words
-# retrieval_fusion is declared FIRST in registry._OPERATOR_MODULES, so
-# by the time this module registers it is already imported and this
-# top-level import cannot splice its block (the scd-before-scd_stream
-# rule; pinned by test_registry_registration_order_is_contiguous).
-from newspapers_etl_spark.operators.retrieval_fusion import (
-    _BATCH_VALUES,
+# The shared batch constants live in the non-registering
+# functions.bm25_common module (moved there in r10): this module leads
+# the r10 window while retrieval_fusion sits in the tail, so a
+# top-level fusion import here would splice bm25_b/rrf into this
+# module's registry slot (pinned by
+# test_registry_registration_order_is_contiguous).
+from newspapers_etl_spark.functions.bm25_common import (
     BM25_BATCH_K,
     BM25_BATCH_ORACLE,
     BM25_BATCH_QUERIES,
+    BM25_BATCH_VALUES,
 )
 from newspapers_etl_spark.registry import query
 
@@ -49,7 +51,7 @@ NDCG_ORACLE = rf"""
 WITH ranked AS (
   SELECT * FROM ({BM25_BATCH_ORACLE}) r
 ),
-q(query_id, term) AS (VALUES {_BATCH_VALUES}),
+q(query_id, term) AS (VALUES {BM25_BATCH_VALUES}),
 toks AS (
   SELECT doc_id,
          list_distinct(list_filter(string_split_regex(text, '\s+'),

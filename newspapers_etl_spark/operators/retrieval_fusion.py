@@ -56,75 +56,22 @@ from newspapers_etl_spark.functions.vectors import dot, l2_norm
 # (since r9 retrieval_fusion is declared first, so retrieval is NOT yet
 # imported when this module registers; pinned by
 # test_registry_registration_order_is_contiguous).
-from newspapers_etl_spark.functions.bm25_common import BM25_QUERY_TERMS
+from newspapers_etl_spark.functions.bm25_common import (  # noqa: F401 — batch
+    # constants re-exported: tests and callers historically import them
+    # from this module (they moved to bm25_common in r10 so
+    # retrieval_eval can lead the window without splicing this module's
+    # registration block into its slot).
+    BM25_BATCH_K,
+    BM25_BATCH_ORACLE,
+    BM25_BATCH_QUERIES,
+    BM25_QUERY_TERMS,
+)
 from newspapers_etl_spark.registry import query
 
 # ---------------------------------------------------------------------------
 # bm25_b: one-scan batch scoring over a fixed literal query set
+# (constants + oracle in functions/bm25_common.py, shared with ndcg)
 # ---------------------------------------------------------------------------
-
-BM25_BATCH_QUERIES: dict[int, tuple[str, ...]] = {
-    0: BM25_QUERY_TERMS,
-    1: ("customer", "hash"),
-    2: ("merge", "stream"),
-}
-BM25_BATCH_K = 10
-
-_BATCH_VALUES = ", ".join(
-    f"({qid}, '{t}')"
-    for qid, ts in sorted(BM25_BATCH_QUERIES.items())
-    for t in sorted(set(ts))
-)
-_ALL_TERMS_SQL = "', '".join(
-    sorted({t for ts in BM25_BATCH_QUERIES.values() for t in ts})
-)
-
-# Same per-term formula and exact-integer discipline as retrieval.py's
-# BM25_ORACLE (1e9-scaled partials summed as BIGINT; avgdl from the
-# exact sum/count pair); the only addition is the (query_id, term)
-# expansion relation and the per-query bounded rank.
-BM25_BATCH_ORACLE = rf"""
-WITH q(query_id, term) AS (VALUES {_BATCH_VALUES}),
-toks AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ts
-  FROM documents
-),
-dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM toks),
-hits AS (
-  SELECT doc_id, unnest(ts) AS term FROM toks
-),
-tf AS (
-  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-  FROM hits WHERE term IN ('{_ALL_TERMS_SQL}')
-  GROUP BY doc_id, term
-),
-dft AS (
-  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dft
-  FROM hits WHERE term IN ('{_ALL_TERMS_SQL}')
-  GROUP BY term
-),
-stats AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) / count(*) AS avgdl FROM dl
-),
-scored AS (
-  SELECT q.query_id, tf.doc_id,
-         sum(CAST(round(
-           ln(1 + (stats.n - dft.dft + 0.5) / (dft.dft + 0.5))
-           * tf.tf * (1.2 + 1)
-           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
-           * 1e9) AS BIGINT)) AS s9
-  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
-       JOIN q ON q.term = tf.term CROSS JOIN stats
-  GROUP BY q.query_id, tf.doc_id
-)
-SELECT CAST(query_id AS INTEGER) AS query_id, doc_id,
-       round(CAST(s9 AS DOUBLE) / 1e9, 6) AS score,
-       CAST(row_number() OVER (PARTITION BY query_id
-                               ORDER BY s9 DESC, doc_id) AS INTEGER) AS rnk
-FROM scored
-QUALIFY rnk <= {BM25_BATCH_K}
-"""
 
 
 @query("bm25_b", oracle=BM25_BATCH_ORACLE)

@@ -26,19 +26,24 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
-#   r10 (planned): drift_monitor 1 + retrieval_eval 1 (NEW r9,
+#   r10 (executed): drift_monitor 1 + retrieval_eval 1 (NEW r9,
 #       registered post-window — the only queries without a driver row
-#       after r9) lead, then model_fit 3 (changed r9: seed-by-rank in
-#       the shared _centroids/_collect_anchors helpers —
-#       fixture-identical, so deferred under the policy exception below
-#       with this note; the fit_anc/fit_pq exact-fit oracle conversions
-#       are PRE-STAGED — mirrors in functions/lloyd_sql.py, green
-#       differential tests in tests/test_model_fit_oracle.py — so the
-#       r10 change is just defaults + oracle=) and text_lm 1,
-#       then the oldest r7-hashed families — dedup 10,
-#       extraction_queries 8, text_scoring 6 (ppl r7 at its tail),
-#       relational 21 fills to ~50 (its last ~1 rides with
-#       retrieval 1 (bm25, r8) to r11).
+#       after r9) lead.  retrieval_eval's batch constants moved to the
+#       non-registering functions.bm25_common so its old top-level
+#       retrieval_fusion import cannot splice bm25_b/rrf into the
+#       window front.  Then model_fit 3 (changed r9: seed-by-rank in
+#       the shared helpers, deferred under the policy exception; in
+#       r10 fit_anc/fit_pq ALSO flip to the exact-fit defaults with
+#       the pre-staged oracles — functions/lloyd_sql.py mirrors,
+#       tests/test_model_fit_oracle.py — so the re-hash lands the
+#       deferral AND the conversion together) and text_lm 1, then the
+#       oldest r7-hashed families — dedup 10, extraction_queries 8,
+#       text_scoring 6 (ppl at its tail), relational 21 fills the
+#       window to exactly 50 (j_asof is slot 50; its last query,
+#       expl_wrd, rides at slot 51 with retrieval 1 (bm25, r8) to
+#       r11).  Late-r10 additions ivf_append (IVF index maintenance)
+#       and drift_emb (embedding-space drift) register post-window
+#       (the bm25/bm25_b/drift precedent) and lead r11.
 #   r9 (executed): retrieval_fusion 2 (bm25_b/rrf — NEW r8, registered
 #       post-window, the only queries without a driver row after r8)
 #       lead.  Then the queries CHANGED r8/r9: ivfadc 2 (r8 seed fix +
@@ -190,38 +195,39 @@ ORACLE: dict[str, str] = {}
 # that changes fixture values re-hashes in the round it changes, no
 # exceptions.
 _OPERATOR_MODULES = (
-    # ---- r9 window (slots 1-50): first-driver-row + CHANGED queries +
-    # the full r6-stale tail; see the rotation ledger for slot math ----
-    "newspapers_etl_spark.operators.retrieval_fusion",    # 2   bm25_b/rrf: first driver rows (NEW r8, post-window)
-    "newspapers_etl_spark.operators.ivfadc",              # 2   ivfadc CHANGED r9 (oracle + exact-fit default); ivfadc_r changed r8
-    "newspapers_etl_spark.operators.similarity",          # 5   ivf_topk CHANGED r9 (oracle + exact-fit + rank seeds); 4 ride r8
-    "newspapers_etl_spark.operators.semantic_dedup",      # 2   CHANGED r9 (rank seeding, oracle mirrors)
-    "newspapers_etl_spark.operators.pca",                 # 2   pca_proj CHANGED late-r8 (mean rounding); emb_cov rides
-    "newspapers_etl_spark.operators.rollup",              # 2   hashed r6
-    "newspapers_etl_spark.operators.sketches",            # 1   hashed r6
-    "newspapers_etl_spark.sources.text_formats",          # 4   hashed r6
-    "newspapers_etl_spark.operators.data_quality",        # 1   hashed r6
-    "newspapers_etl_spark.operators.corpus",              # 5   hashed r6
-    "newspapers_etl_spark.operators.sampling",            # 2   hashed r6
-    "newspapers_etl_spark.operators.text_analysis",       # 6   hashed r6
-    "newspapers_etl_spark.operators.events_windows",      # 6   hashed r6
-    "newspapers_etl_spark.operators.pipeline",            # 2   hashed r6
-    "newspapers_etl_spark.sinks.verified",                # 1   hashed r6
-    # ---- 43 above; the three smallest r7-hashed families close the
-    # window at exactly 50 (st_sess is slot 50). ----
-    "newspapers_etl_spark.operators.dedup_scale",         # 1   re-hashed r7
-    "newspapers_etl_spark.operators.corpus_overlap",      # 2   re-hashed r7
-    "newspapers_etl_spark.streaming.incremental_stream",  # 4   re-hashed r7 (closes the window)
-    # ---- tail: fresh r7/r8 history, rotating forward per the ledger
-    # (model_fit changed r9 fixture-identically — policy exception,
-    # leads r10 with text_lm/dedup/extraction/relational/text_scoring).
-    "newspapers_etl_spark.operators.model_fit",           # 3   hashed r8; changed r9 (shared seed helpers, fixture-identical)
+    # ---- r10 window (slots 1-50): the two union holes lead, then the
+    # model_fit re-hash (policy-exception deferral due + the exact-fit
+    # oracle flips) and the oldest r7-hashed families; see the rotation
+    # ledger for slot math ----
+    "newspapers_etl_spark.operators.drift_monitor",       # 1   drift: first driver row (NEW r9, post-window)
+    "newspapers_etl_spark.operators.retrieval_eval",      # 1   ndcg: first driver row (NEW r9, post-window)
+    "newspapers_etl_spark.operators.model_fit",           # 3   changed r9 (seed helpers, deferred) + r10 (exact-fit oracle flips)
     "newspapers_etl_spark.operators.text_lm",             # 1   re-hashed r7
     "newspapers_etl_spark.operators.dedup",               # 10  re-hashed r7
     "newspapers_etl_spark.operators.extraction_queries",  # 8   re-hashed r7
-    "newspapers_etl_spark.operators.relational",          # 21  re-hashed r7
     "newspapers_etl_spark.operators.text_scoring",        # 6   5 hashed r8; ppl r7 at the module tail
+    "newspapers_etl_spark.operators.relational",          # 21  re-hashed r7 (j_asof closes the window at 50; expl_wrd rides at 51)
+    # ---- tail: fresh r8/r9 history, rotating forward per the ledger
+    # (retrieval (bm25, r8) + expl_wrd lead the r11 fill). ----
     "newspapers_etl_spark.operators.retrieval",           # 1   hashed r8
+    "newspapers_etl_spark.operators.retrieval_fusion",    # 2   hashed r9 (slots 1-2)
+    "newspapers_etl_spark.operators.ivfadc",              # 2   hashed r9
+    "newspapers_etl_spark.operators.similarity",          # 5   hashed r9
+    "newspapers_etl_spark.operators.semantic_dedup",      # 2   hashed r9
+    "newspapers_etl_spark.operators.pca",                 # 2   hashed r9
+    "newspapers_etl_spark.operators.rollup",              # 2   hashed r9
+    "newspapers_etl_spark.operators.sketches",            # 1   hashed r9
+    "newspapers_etl_spark.sources.text_formats",          # 4   hashed r9
+    "newspapers_etl_spark.operators.data_quality",        # 1   hashed r9
+    "newspapers_etl_spark.operators.corpus",              # 5   hashed r9
+    "newspapers_etl_spark.operators.sampling",            # 2   hashed r9
+    "newspapers_etl_spark.operators.text_analysis",       # 6   hashed r9
+    "newspapers_etl_spark.operators.events_windows",      # 6   hashed r9
+    "newspapers_etl_spark.operators.pipeline",            # 2   hashed r9
+    "newspapers_etl_spark.sinks.verified",                # 1   hashed r9
+    "newspapers_etl_spark.operators.dedup_scale",         # 1   hashed r9
+    "newspapers_etl_spark.operators.corpus_overlap",      # 2   hashed r9
+    "newspapers_etl_spark.streaming.incremental_stream",  # 4   hashed r9
     "newspapers_etl_spark.operators.pandas_surface",      # 3   hashed r8
     "newspapers_etl_spark.operators.multimodal",          # 4   hashed r8
     "newspapers_etl_spark.operators.relational_extended", # 9   hashed r8
@@ -235,15 +241,6 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.streaming.enrichment",          # 1   hashed r8
     "newspapers_etl_spark.streaming.scd_stream",          # 1   hashed r8
     "newspapers_etl_spark.streaming.stateful",            # 1   hashed r8
-    # drift/ndcg are NEW r9 and register POST-window (the bm25-in-r7 /
-    # bm25_b-in-r8 precedent): the r9 window was designed full at
-    # exactly 50 before they landed.  Both are oracle-backed,
-    # sweep-green and pytest-covered this round and LEAD the r10
-    # window with model_fit/text_lm.  Their registration triggered
-    # rename wave 5 ("r9" map in RENAMES.json: ann_stats→ann_st,
-    # lsh_stats→lsh_st) to keep the 1-decimal bench stdout band.
-    "newspapers_etl_spark.operators.drift_monitor",       # 1   NEW r9 (post-window -> r10 front)
-    "newspapers_etl_spark.operators.retrieval_eval",      # 1   NEW r9 (post-window -> r10 front)
 )
 
 _loaded = False

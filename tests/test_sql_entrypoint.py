@@ -174,37 +174,37 @@ def test_registry_registration_order_is_contiguous_per_module():
         f"realized {block_order} vs declared {declared}; a top-level "
         "cross-module operator import is splicing a whole block"
     )
-    # And the r9 window design holds: bm25_b/rrf's first-ever driver
-    # rows at slots 1-2, every query CHANGED r8/r9 with fixture-visible
-    # effect (the IVF oracle conversion + rank-seeding landing), and the
-    # full 30-query r6-stale tail inside the first 50 (the driver's
-    # check window) — see the rotation ledger in registry.py.
+    # And the r10 window design holds: drift/ndcg's first-ever driver
+    # rows at slots 1-2 (the only r1-r9 union holes), the model_fit
+    # re-hash (policy-exception deferral due + the exact-fit oracle
+    # flips) at 3-5, and the oldest r7-hashed families filling to 50 —
+    # see the rotation ledger in registry.py.
     window = set(names[:50])
     for required in (
-        # the only queries with no driver hash row in the r1-r8 union
-        "bm25_b", "rrf",
-        # changed r9 (IVF oracle conversion: exact-fit defaults +
-        # rank seeding with oracle mirrors) and late-r8 (pca_proj)
-        "ivfadc", "ivfadc_r", "ivf_topk", "semdedup", "pq_codes",
-        "pca_proj", "emb_cov",
-        # last driver-hashed r6 (stalest history, full re-hash)
-        "ev_roll", "st_rollup", "kmv_ndv", "src_csv", "src_jsonl",
-        "dq_audit", "dd_incr", "leakage", "strat", "pack_seqs",
-        "tokens", "text_fp", "ev_tmbl", "ev_sess", "pipeline",
-        "pii_mask", "sink_aud",
-        # the three smallest r7-hashed families that fill to 50
-        "sh32", "dd_chunk", "overlap", "st_tumble", "st_sess",
+        # the only queries with no driver hash row in the r1-r9 union
+        "drift", "ndcg",
+        # changed r9 (seed helpers, deferred) + r10 (oracle flips)
+        "fit_pq", "fit_pca", "fit_anc",
+        # last driver-hashed r7 (stalest history, full re-hash)
+        "ppl2", "ppl",
+        "dd_exact", "jaccard", "dd_spans", "lsh_ver", "dd_emb",
+        "sh_pairs", "sh_bkts", "decontam", "cc_clust",
+        "ex_fall", "ex_date", "ex_sanit", "rlike", "ex_mime", "ex_md5",
+        "len_hist", "ngrams", "lang_conf", "compress", "zipf",
+        "flagship", "q1_price", "agg_roll", "j_star", "j_semi",
+        "j_anti", "jrange", "win_topn", "topk_ln", "setops",
+        "agg_coll", "j_asof",
     ):
         assert required in window, f"{required} fell out of the window"
-    assert names[:2] == ["bm25_b", "rrf"], (
-        f"bm25_b/rrf must lead the r9 window: {names[:3]}"
+    assert names[:2] == ["drift", "ndcg"], (
+        f"drift/ndcg must lead the r10 window: {names[:3]}"
     )
-    # st_sess closes the window; the r7-hashed dedup/text_lm/extraction/
-    # relational blocks and the r8-fresh families ride behind (rotation
-    # ledger: model_fit + text_lm + dedup lead r10).
-    assert names[49] == "st_sess", f"window boundary drifted: {names[45:52]}"
-    assert names[50:53] == ["fit_pq", "fit_pca", "fit_anc"], (
-        f"boundary riders drifted: {names[50:54]}"
+    # j_asof closes the window; relational's last query and the
+    # r8/r9-fresh families ride behind (rotation ledger: expl_wrd +
+    # retrieval (bm25) lead the r11 fill).
+    assert names[49] == "j_asof", f"window boundary drifted: {names[45:52]}"
+    assert names[50:52] == ["expl_wrd", "bm25"], (
+        f"boundary riders drifted: {names[50:53]}"
     )
 
 
