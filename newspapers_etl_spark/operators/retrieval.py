@@ -281,8 +281,17 @@ def append_bm25_postings(
     IDEMPOTENT under retry (ADVICE r8 #3 — the old append-mode write
     doubled tf on every re-run):
 
-    - ``batch_id`` names the batch (default: a slug of ``sf_dir``); its
-      postings write to the underscore-invisible staging dir
+    - ``batch_id`` names the batch.  The default is a slug of
+      ``sf_dir`` PLUS a content fingerprint (row count + max doc_id,
+      one O(batch) aggregate — ADVICE r9 #2): identical content retried
+      at the same path dedupes, while REGENERATED content at a re-used
+      path fingerprints differently and is appended rather than
+      silently swallowed by the applied-batch ledger.  Note the
+      fingerprint is a footgun guard, not a content hash — a mutation
+      that preserves both count and max id still collides, so a
+      pipeline that re-uses paths for new content should pass an
+      explicit ``batch_id`` (its own batch sequence number).  The
+      batch's postings write to the underscore-invisible staging dir
       ``_postings-batch-<id>`` with mode=overwrite, then one atomic
       local rename exposes ``postings-batch-<id>`` — a retry of a torn
       or completed write REPLACES the batch, never duplicates it.
@@ -315,7 +324,13 @@ def append_bm25_postings(
     )
 
     if batch_id is None:
-        batch_id = re.sub(r"[^A-Za-z0-9._-]+", "-", sf_dir.strip("/")) or "b0"
+        slug = re.sub(r"[^A-Za-z0-9._-]+", "-", sf_dir.strip("/")) or "b0"
+        fp = (
+            load_table(spark, sf_dir, "documents")
+            .agg(F.count("*").alias("n"), F.max("doc_id").alias("m"))
+            .collect()[0]
+        )
+        batch_id = f"{slug}-n{int(fp['n'])}-m{fp['m'] if fp['m'] is not None else 'x'}"
     stats_root = f"{path}/stats"
     ptr = current_pointer(stats_root)
     applied = list(ptr.get("applied_batches", [])) if ptr else []
@@ -410,9 +425,11 @@ def retrieval_bm25_topk_from_postings(
     # (a renamed-but-unpublished batch is invisible until its retry
     # publishes).  Each root is scanned separately and unioned: the
     # term_shard partition pruning below pushes into every branch
-    # (PartitionFilters per FileScan — plan-asserted in pytest), and a
-    # compaction (sinks/verified.py) folds accumulated batch roots back
-    # into one.
+    # (PartitionFilters per FileScan — plan-asserted in pytest).  Batch
+    # roots accumulate until a full rebuild (write_bm25_postings, which
+    # readers pick up once a publish resets ``applied_batches`` — no
+    # incremental postings compaction exists yet; one would have to
+    # rewrite the ledger in the same publish, ADVICE r9 #4).
     ptr = current_pointer(f"{path}/stats")
     batches = list(ptr.get("applied_batches", [])) if ptr else []
     roots = [f"{path}/postings"] + [

@@ -65,7 +65,8 @@ rel AS (
 ),
 dcg AS (
   SELECT r.query_id,
-         sum((pow(2, coalesce(rel.rel, 0)) - 1) / log2(r.rnk + 1)) AS dcg
+         sum(CAST(round((pow(2, coalesce(rel.rel, 0)) - 1)
+                        / log2(r.rnk + 1) * 1e9) AS BIGINT)) AS dcg9
   FROM ranked r
   LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
   GROUP BY r.query_id
@@ -77,12 +78,15 @@ ideal AS (
   FROM rel
 ),
 idcg AS (
-  SELECT query_id, sum((pow(2, rel) - 1) / log2(irnk + 1)) AS idcg
+  SELECT query_id,
+         sum(CAST(round((pow(2, rel) - 1) / log2(irnk + 1) * 1e9)
+                  AS BIGINT)) AS idcg9
   FROM ideal WHERE irnk <= {BM25_BATCH_K} GROUP BY query_id
 )
 SELECT d.query_id,
-       round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0.0 END, 6)
-         AS ndcg
+       round(CASE WHEN i.idcg9 > 0
+                  THEN CAST(d.dcg9 AS DOUBLE) / CAST(i.idcg9 AS DOUBLE)
+                  ELSE 0.0 END, 6) AS ndcg
 FROM dcg d LEFT JOIN idcg i USING (query_id)
 """
 
@@ -91,8 +95,10 @@ FROM dcg d LEFT JOIN idcg i USING (query_id)
 def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, ndcg): nDCG@k of each batch query's BM25 top-k under
     the term-overlap relevance grade, rounded to 6 dp.  DCG uses the
-    standard exponential gain (2^rel − 1)/log2(rank + 1); the ideal
-    ordering tie-breaks on doc_id so both engines rank identically."""
+    standard exponential gain (2^rel − 1)/log2(rank + 1), each term
+    1e9-integer-scaled before the BIGINT sum so the cross-engine total
+    is summation-order-independent; the ideal ordering tie-breaks on
+    doc_id so both engines rank identically."""
     from newspapers_etl_spark.operators.retrieval import bm25_batch_topk_over
 
     d = load_table(spark, sf_dir, "documents")
@@ -137,12 +143,17 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LEFT JOIN + coalesce is the same function on that invariant).
     # The BROADCAST side is the (queries x k)-row ranking — rel is
     # posting-bounded but corpus-shaped, and must stay distributed.
+    # Each gain term is 1e9-integer-scaled BEFORE the sum (the bm25 s9
+    # discipline, ADVICE r9 #3): a double sum over irrational gains is
+    # summation-order-dependent, and a partition-order ulp could flip
+    # the final 6-dp rounding against the oracle; BIGINT sums are
+    # order-independent by construction.
     gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rnk") + 1)
     dcg = (
         rel.join(F.broadcast(ranked), ["query_id", "doc_id"])
-        .select("query_id", gain.alias("g"))
+        .select("query_id", F.round(gain * 1e9).cast("long").alias("g9"))
         .groupBy("query_id")
-        .agg(F.sum("g").alias("dcg"))
+        .agg(F.sum("g9").alias("dcg9"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
     ideal_gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(
@@ -151,16 +162,17 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     idcg = (
         rel.withColumn("irnk", F.row_number().over(w))
         .filter(F.col("irnk") <= BM25_BATCH_K)
-        .select("query_id", ideal_gain.alias("g"))
+        .select("query_id", F.round(ideal_gain * 1e9).cast("long").alias("g9"))
         .groupBy("query_id")
-        .agg(F.sum("g").alias("idcg"))
+        .agg(F.sum("g9").alias("idcg9"))
     )
     return dcg.join(F.broadcast(idcg), "query_id", "left").select(
         "query_id",
         F.round(
-            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(
-                F.lit(0.0)
-            ),
+            F.when(
+                F.col("idcg9") > 0,
+                F.col("dcg9").cast("double") / F.col("idcg9").cast("double"),
+            ).otherwise(F.lit(0.0)),
             6,
         ).alias("ndcg"),
     )

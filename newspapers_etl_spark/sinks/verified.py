@@ -211,7 +211,13 @@ def publish_generation(
 
     ``meta`` entries are stored alongside ``generation``/``dir`` in the
     pointer (read back via ``current_pointer``) — e.g. the BM25
-    append's ``applied_batches`` idempotency ledger.
+    append's ``applied_batches`` idempotency ledger.  Keys already in
+    the pointer that this publish does NOT name are CARRIED FORWARD
+    (ADVICE r9 #4): a generic maintenance publish — compaction over the
+    BM25 stats root, say — must not silently drop another writer's
+    bookkeeping (losing ``applied_batches`` would make every applied
+    batch's postings invisible to readers AND re-appendable).  Pass the
+    key in ``meta`` to overwrite it deliberately.
 
     SINGLE WRITER ASSUMED: the allocate→write→publish sequence is a
     read-modify-write of the pointer with no lock, so two concurrent
@@ -229,9 +235,16 @@ def publish_generation(
     os_path = local_fs_path(path)
     prev_ptr = _read_pointer(path)
     old_dir = current_data_path(path)
+    carry = {
+        k: v
+        for k, v in (prev_ptr or {}).items()
+        if k not in ("generation", "dir")
+    }
     tmp = os.path.join(os_path, f".{CURRENT_PTR}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
-        json.dump({"generation": gen_no, "dir": dir_name, **(meta or {})}, f)
+        json.dump(
+            {**carry, "generation": gen_no, "dir": dir_name, **(meta or {})}, f
+        )
     os.replace(tmp, os.path.join(os_path, CURRENT_PTR))
 
     if keep_old_generation:

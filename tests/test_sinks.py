@@ -166,6 +166,86 @@ def test_manifest_digest_is_order_insensitive(spark, sf_dir):
     assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
 
 
+def test_publish_carries_forward_foreign_pointer_meta(spark, sf_dir, tmp_path):
+    """A publish that does not name a meta key must carry the key
+    forward (ADVICE r9 #4): a generic compaction over the BM25 stats
+    root would otherwise drop the applied_batches ledger, making every
+    applied batch's postings invisible to readers and re-appendable.
+    Naming the key in ``meta`` still overwrites it deliberately."""
+    from newspapers_etl_spark.sinks.verified import (
+        allocate_generation,
+        compact_partitions,
+        current_pointer,
+        publish_generation,
+    )
+
+    target = str(tmp_path / "stats")
+    src = load_table(spark, sf_dir, "documents").limit(20)
+    write_partitioned(src, target, ["lang"])
+
+    gen, name = allocate_generation(target)
+    spark.read.parquet(target).write.parquet(f"{target}/{name}")
+    publish_generation(target, gen, name, meta={"applied_batches": ["a"]})
+    assert current_pointer(target)["applied_batches"] == ["a"]
+
+    # A meta-less maintenance publish (compaction) preserves the ledger.
+    compact_partitions(spark, target, ["lang"])
+    ptr = current_pointer(target)
+    assert ptr["applied_batches"] == ["a"]
+    assert ptr["generation"] == gen + 1
+
+    # Naming the key overwrites it deliberately.
+    gen2, name2 = allocate_generation(target)
+    spark.read.parquet(f"{target}/{ptr['dir']}").write.parquet(
+        f"{target}/{name2}"
+    )
+    publish_generation(target, gen2, name2, meta={"applied_batches": ["a", "b"]})
+    assert current_pointer(target)["applied_batches"] == ["a", "b"]
+
+
+def test_append_default_batch_id_fingerprints_content(spark, sf_dir, tmp_path):
+    """ADVICE r9 #2: the default batch id folds a content fingerprint
+    (row count + max doc_id), so regenerated content at a RE-USED path
+    appends instead of being silently swallowed by the applied-batch
+    ledger, while a true retry of identical content still dedupes."""
+    from newspapers_etl_spark.catalog import table_path
+    from newspapers_etl_spark.operators.retrieval import (
+        append_bm25_postings,
+        write_bm25_postings,
+    )
+    from newspapers_etl_spark.sinks.verified import current_pointer, read_current
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.count() // 2
+    base, reused = str(tmp_path / "h1"), str(tmp_path / "h2")
+    docs.filter(F.col("doc_id") < cut).write.parquet(table_path(base, "documents"))
+    docs.filter((F.col("doc_id") >= cut) & (F.col("doc_id") < cut + 5)).write.parquet(
+        table_path(reused, "documents")
+    )
+
+    idx = str(tmp_path / "idx")
+    write_bm25_postings(spark, base, idx)
+    append_bm25_postings(spark, reused, idx)
+    n_after_first = read_current(spark, f"{idx}/stats").collect()[0]["n"]
+
+    # True retry of identical content at the same path: no-op.
+    append_bm25_postings(spark, reused, idx)
+    assert read_current(spark, f"{idx}/stats").collect()[0]["n"] == n_after_first
+    assert len(current_pointer(f"{idx}/stats")["applied_batches"]) == 1
+
+    # Regenerate DIFFERENT content at the same path: new fingerprint,
+    # appended rather than swallowed.
+    import shutil
+
+    shutil.rmtree(reused)
+    docs.filter((F.col("doc_id") >= cut + 5) & (F.col("doc_id") < cut + 12)).write.parquet(
+        table_path(reused, "documents")
+    )
+    append_bm25_postings(spark, reused, idx)
+    assert read_current(spark, f"{idx}/stats").collect()[0]["n"] == n_after_first + 7
+    assert len(current_pointer(f"{idx}/stats")["applied_batches"]) == 2
+
+
 def test_pointer_io_refuses_remote_schemes():
     """Generation-pointer I/O is plain-file I/O, so remote URIs must
     fail LOUDLY (ADVICE r8 #4) — never write a file: pointer next to an
