@@ -34,17 +34,24 @@ SQL_DOT = (
 SQL_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*x)))"
 
 
-def lloyd_centroid_ctes(k: int, iters: int) -> str:
+def lloyd_centroid_ctes(k: int, iters: int, where: str | None = None) -> str:
     """CTE fragment fitting ``c{iters}(cell, cvec)`` over the non-null
     corpus CTE ``nn(vec_id, embedding)`` (which the fragment also
     defines).  Compose as::
 
         WITH {lloyd_centroid_ctes(8, 2)}, <your query CTEs...>
+
+    ``where`` narrows the FIT corpus (an extra predicate ANDed into
+    ``nn``) — the index-maintenance mirror fits on the base slice and
+    then assigns the full corpus (operators/ivf_maintenance.py); the
+    default leaves the fragment byte-identical to the pre-r10 form
+    every existing oracle hashes against.
     """
+    extra = f" AND ({where})" if where else ""
     parts = [
         "nn AS (\n"
         "  SELECT vec_id, embedding FROM embeddings\n"
-        "  WHERE embedding IS NOT NULL\n"
+        f"  WHERE embedding IS NOT NULL{extra}\n"
         ")",
         # seeds, renumbered 0..k-1 by vec_id rank; cast to DOUBLE so
         # every c{n} CTE carries the same list type (the Spark literal

@@ -166,7 +166,7 @@ GROUP BY e.event_type, s.q1, s.q3
 """
 
 
-@query("ev_outlr", oracle=OUTLIERS_ORACLE)
+@query("ev_out", oracle=OUTLIERS_ORACLE)
 def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier accounting per event type: exact
     linearly-interpolated quartiles (bit-identical to DuckDB's

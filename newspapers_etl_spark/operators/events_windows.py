@@ -215,7 +215,7 @@ FROM w3
 """
 
 
-@query("ev_funnel", oracle=FUNNEL_ORACLE)
+@query("ev_fnl", oracle=FUNNEL_ORACLE)
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered funnel conversion (view → click → purchase):
     a user converts step N only with an event AFTER their first

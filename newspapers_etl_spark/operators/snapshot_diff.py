@@ -56,7 +56,7 @@ GROUP BY source, change
 """
 
 
-@query("snap_diff", oracle=CORPUS_DIFF_ORACLE)
+@query("snapdf", oracle=CORPUS_DIFF_ORACLE)
 def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classify every document across two snapshot versions as
     added / removed / changed / unchanged and roll up per source.

@@ -90,7 +90,7 @@ FROM feats
 """
 
 
-@query("text_qual", oracle=QUALITY_ORACLE)
+@query("txt_ql", oracle=QUALITY_ORACLE)
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Features (token count, punct ratio, stopword ratio) are computed
     in their own projection and REFERENCED by the derived columns —

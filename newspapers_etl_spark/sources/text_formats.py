@@ -227,7 +227,7 @@ GROUP BY 1, 2
 """
 
 
-@query("src_jsonl", oracle=JSONL_ROUNDTRIP_ORACLE)
+@query("src_jsl", oracle=JSONL_ROUNDTRIP_ORACLE)
 def jsonl_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip the documents table through genuine JSON-lines files
     (Spark json writer — real escaping of quotes/newlines/unicode in

@@ -367,7 +367,7 @@ _GENERATED_CORPUS_QUERIES = (
     "lang_id",
     "split3",
     "strat",
-    "pack_seqs",
+    "pack_sq",
     "text_fp",
 )
 
