@@ -284,6 +284,7 @@ def append_ivf_index(
     from newspapers_etl_spark.sinks.verified import (
         allocate_generation,
         current_pointer,
+        has_parquet_data,
         local_fs_path,
         publish_generation,
         read_current,
@@ -292,6 +293,10 @@ def append_ivf_index(
     stats_root = f"{path}/stats"
     ptr = current_pointer(stats_root)
     applied = list(ptr.get("applied_batches", [])) if ptr else []
+    # applied_batches = append-only idempotency ledger (survives
+    # compaction); live_batches = roots a reader still unions
+    # (compaction resets it) — see append_bm25_postings.
+    live = list(ptr.get("live_batches", applied)) if ptr else []
     if batch_id in applied:
         return
 
@@ -306,6 +311,13 @@ def append_ivf_index(
         final_dir = os.path.join(root, f"codes-batch-{batch_id}")
         shutil.rmtree(final_dir, ignore_errors=True)
         os.rename(os.path.join(root, f"_codes-batch-{batch_id}"), final_dir)
+        # Empty batch -> fileless root -> unreadable; ledger as applied
+        # but keep out of the live read roots (see append_bm25_postings).
+        if not has_parquet_data(final_dir):
+            shutil.rmtree(final_dir, ignore_errors=True)
+            live_after = live
+        else:
+            live_after = live + [batch_id]
 
         old = read_current(spark, stats_root)
         batch_stats = _cell_stats(coded)
@@ -333,27 +345,89 @@ def append_ivf_index(
             stats_root,
             gen_no,
             new_name,
-            meta={"applied_batches": applied + [batch_id]},
+            meta={
+                "applied_batches": applied + [batch_id],
+                "live_batches": live_after,
+            },
         )
     finally:
         coded.unpersist()
 
 
 def read_ivf_codes(spark: SparkSession, path: str) -> DataFrame:
-    """The live code relation: the base root plus every batch the stats
-    pointer's ledger records — derived from the POINTER, never a
-    directory listing, so a batch's codes and stats appear atomically
-    together (the BM25 reader contract)."""
+    """The live code relation: the current base root plus every batch
+    the stats pointer's LIVE ledger records — derived from the POINTER,
+    never a directory listing, so a batch's codes and stats appear
+    atomically together and a compaction's single metadata write flips
+    readers to the folded root (the BM25 reader contract)."""
     from functools import reduce
 
     from newspapers_etl_spark.sinks.verified import current_pointer
 
     ptr = current_pointer(f"{path}/stats")
-    batches = list(ptr.get("applied_batches", [])) if ptr else []
-    roots = [f"{path}/codes"] + [f"{path}/codes-batch-{b}" for b in batches]
+    base = ptr.get("codes_root", "codes") if ptr else "codes"
+    batches = (
+        list(ptr.get("live_batches", ptr.get("applied_batches", [])))
+        if ptr
+        else []
+    )
+    roots = [f"{path}/{base}"] + [f"{path}/codes-batch-{b}" for b in batches]
     return reduce(
         DataFrame.unionByName, [spark.read.parquet(r) for r in roots]
     )
+
+
+def compact_ivf_codes(
+    spark: SparkSession, path: str, keep_old_roots: bool = False
+) -> str:
+    """Fold the accumulated code roots back into ONE compacted root —
+    the codes-side twin of compact_bm25_postings: rewrite the union
+    (cell-partitioned, one file per cell), rename atomically, flip
+    ``codes_root`` + reset ``live_batches`` in ONE pointer metadata
+    write, leave ``applied_batches`` untouched so a late retry of a
+    folded batch stays a no-op.  Stats move nowhere (compaction adds no
+    vectors).  Returns the new root's name."""
+    import os
+    import shutil
+
+    from newspapers_etl_spark.sinks.verified import (
+        current_pointer,
+        local_fs_path,
+        update_pointer_meta,
+    )
+
+    stats_root = f"{path}/stats"
+    ptr = current_pointer(stats_root)
+    if ptr is None:
+        # Nothing was ever appended: the base root is already the whole
+        # index and there is no pointer to rewrite.
+        return "codes"
+    base = ptr.get("codes_root", "codes")
+    live = list(ptr.get("live_batches", ptr.get("applied_batches", [])))
+    old_roots = [f"{path}/{base}"] + [
+        f"{path}/codes-batch-{b}" for b in live
+    ]
+    n = int(ptr.get("compactions", 0)) + 1
+    new_root = f"codes-compact-{n:04d}"
+    from functools import reduce
+
+    union = reduce(
+        DataFrame.unionByName, [spark.read.parquet(r) for r in old_roots]
+    )
+    union.repartition(_OC_CELLS, "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/_{new_root}")
+    os_path = local_fs_path(path)
+    final_dir = os.path.join(os_path, new_root)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(os.path.join(os_path, f"_{new_root}"), final_dir)
+    update_pointer_meta(
+        stats_root, codes_root=new_root, live_batches=[], compactions=n
+    )
+    if not keep_old_roots:
+        for r in old_roots:
+            shutil.rmtree(local_fs_path(r), ignore_errors=True)
+    return new_root
 
 
 @query("ivf_app", oracle=IVF_APP_ORACLE)

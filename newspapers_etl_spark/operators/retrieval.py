@@ -318,6 +318,7 @@ def append_bm25_postings(
     from newspapers_etl_spark.sinks.verified import (
         allocate_generation,
         current_pointer,
+        has_parquet_data,
         local_fs_path,
         publish_generation,
         read_current,
@@ -334,6 +335,15 @@ def append_bm25_postings(
     stats_root = f"{path}/stats"
     ptr = current_pointer(stats_root)
     applied = list(ptr.get("applied_batches", [])) if ptr else []
+    # Two distinct ledgers (the compaction lesson, ADVICE r9 #4):
+    # ``applied_batches`` is the APPEND-ONLY idempotency ledger — it
+    # survives compaction, so a late retry of a batch whose rows were
+    # already folded into a compacted root stays a no-op instead of
+    # duplicating them — while ``live_batches`` lists the batch roots a
+    # reader must still union (compaction resets it to []).  Pointers
+    # written before the split carry only applied_batches; fall back to
+    # it for reads.
+    live = list(ptr.get("live_batches", applied)) if ptr else []
     if batch_id in applied:
         # Retry after full success: postings renamed AND stats
         # published — everything is already visible, nothing to redo.
@@ -353,6 +363,14 @@ def append_bm25_postings(
     final_dir = os.path.join(root, f"postings-batch-{batch_id}")
     shutil.rmtree(final_dir, ignore_errors=True)
     os.rename(os.path.join(root, f"_postings-batch-{batch_id}"), final_dir)
+    # An EMPTY batch writes no data files, and a fileless root breaks
+    # readers (UNABLE_TO_INFER_SCHEMA) — ledger it as applied (the
+    # retry no-op contract) but keep it out of the live read roots.
+    if not has_parquet_data(final_dir):
+        shutil.rmtree(final_dir, ignore_errors=True)
+        live_after = live
+    else:
+        live_after = live + [batch_id]
 
     old = read_current(spark, stats_root).collect()[0]
     batch = _corpus_stats(staged).collect()[0]
@@ -374,8 +392,91 @@ def append_bm25_postings(
         stats_root,
         gen_no,
         new_name,
-        meta={"applied_batches": applied + [batch_id]},
+        meta={
+            "applied_batches": applied + [batch_id],
+            "live_batches": live_after,
+        },
     )
+
+
+def compact_bm25_postings(
+    spark: SparkSession,
+    path: str,
+    shards: int = BM25_POSTING_SHARDS,
+    keep_old_roots: bool = False,
+) -> str:
+    """Fold the accumulated posting roots (base + live batches) back
+    into ONE compacted root — the maintenance step that keeps the read
+    path's union width constant however many batches have landed
+    (ADVICE r9 #4 asked for exactly this before the reader comment
+    could claim it).
+
+    Protocol: rewrite the union into the underscore-invisible staging
+    dir ``_postings-compact-<n>`` (one file per shard, the
+    write_bm25_postings layout), rename atomically, then ONE pointer
+    metadata write flips readers — ``postings_root`` to the new dir and
+    ``live_batches`` to [] — while ``applied_batches`` is deliberately
+    UNTOUCHED: it is the idempotency ledger, and forgetting a folded
+    batch would let a late retry re-append rows the compacted root
+    already holds.  Stats are unchanged (compaction moves no rows), so
+    the data generation stays put (sinks/verified.update_pointer_meta,
+    not publish_generation).  Old roots are reaped after the flip
+    unless ``keep_old_roots`` (the long-running-reader grace knob, as
+    in compact_partitions).  Returns the new root's name.
+
+    SINGLE WRITER ASSUMED, like every pointer maintenance step —
+    serialize compactions with appends."""
+    import os
+    import shutil
+    from functools import reduce
+
+    from newspapers_etl_spark.sinks.verified import (
+        allocate_generation,
+        current_pointer,
+        local_fs_path,
+        publish_generation,
+        read_current,
+        update_pointer_meta,
+    )
+
+    stats_root = f"{path}/stats"
+    ptr = current_pointer(stats_root)
+    if ptr is None:
+        # No append has ever published a pointer: republish the current
+        # stats through a generation first so there is a pointer to
+        # carry the root metadata (also upgrades a legacy root layout).
+        stats = read_current(spark, stats_root)
+        gen_no, new_name = allocate_generation(stats_root)
+        stats.write.mode("overwrite").parquet(f"{stats_root}/{new_name}")
+        publish_generation(stats_root, gen_no, new_name)
+        ptr = current_pointer(stats_root)
+    base = ptr.get("postings_root", "postings")
+    live = list(ptr.get("live_batches", ptr.get("applied_batches", [])))
+    old_roots = [f"{path}/{base}"] + [
+        f"{path}/postings-batch-{b}" for b in live
+    ]
+    n = int(ptr.get("compactions", 0)) + 1
+    new_root = f"postings-compact-{n:04d}"
+    union = reduce(
+        DataFrame.unionByName, [spark.read.parquet(r) for r in old_roots]
+    )
+    union.repartition(shards, "term_shard").write.mode(
+        "overwrite"
+    ).partitionBy("term_shard").parquet(f"{path}/_{new_root}")
+    os_path = local_fs_path(path)
+    final_dir = os.path.join(os_path, new_root)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(os.path.join(os_path, f"_{new_root}"), final_dir)
+    update_pointer_meta(
+        stats_root,
+        postings_root=new_root,
+        live_batches=[],
+        compactions=n,
+    )
+    if not keep_old_roots:
+        for r in old_roots:
+            shutil.rmtree(local_fs_path(r), ignore_errors=True)
+    return new_root
 
 
 def _term_shards(
@@ -418,21 +519,25 @@ def retrieval_bm25_topk_from_postings(
     from newspapers_etl_spark.sinks.verified import current_pointer
 
     wanted = _term_shards(spark, terms, shards)
-    # The posting roots are the initial build plus every batch the
-    # stats pointer's applied_batches ledger records — the reader
-    # derives them from the POINTER, not a directory listing, so a
-    # batch's postings and its stats become visible atomically together
-    # (a renamed-but-unpublished batch is invisible until its retry
-    # publishes).  Each root is scanned separately and unioned: the
-    # term_shard partition pruning below pushes into every branch
-    # (PartitionFilters per FileScan — plan-asserted in pytest).  Batch
-    # roots accumulate until a full rebuild (write_bm25_postings, which
-    # readers pick up once a publish resets ``applied_batches`` — no
-    # incremental postings compaction exists yet; one would have to
-    # rewrite the ledger in the same publish, ADVICE r9 #4).
+    # The posting roots are the current base root plus every batch the
+    # stats pointer's LIVE ledger records — the reader derives them from
+    # the POINTER, not a directory listing, so a batch's postings and
+    # its stats become visible atomically together (a renamed-but-
+    # unpublished batch is invisible until its retry publishes), and a
+    # compaction's single metadata write flips all readers to the
+    # folded root (compact_bm25_postings).  Each root is scanned
+    # separately and unioned: the term_shard partition pruning below
+    # pushes into every branch (PartitionFilters per FileScan —
+    # plan-asserted in pytest).  Pre-split pointers carry only
+    # applied_batches; fall back to it.
     ptr = current_pointer(f"{path}/stats")
-    batches = list(ptr.get("applied_batches", [])) if ptr else []
-    roots = [f"{path}/postings"] + [
+    base = ptr.get("postings_root", "postings") if ptr else "postings"
+    batches = (
+        list(ptr.get("live_batches", ptr.get("applied_batches", [])))
+        if ptr
+        else []
+    )
+    roots = [f"{path}/{base}"] + [
         f"{path}/postings-batch-{b}" for b in batches
     ]
     tf = (

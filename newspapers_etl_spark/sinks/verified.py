@@ -265,6 +265,47 @@ def publish_generation(
         shutil.rmtree(local_fs_path(old_dir), ignore_errors=True)
 
 
+def has_parquet_data(path: str) -> bool:
+    """Whether any parquet DATA file exists under ``path`` — a
+    partitioned write of an EMPTY relation produces only _SUCCESS, and
+    pointing a reader at such a root fails with UNABLE_TO_INFER_SCHEMA;
+    batch appenders use this to keep empty batches out of the live read
+    roots (they still enter the idempotency ledger)."""
+    import os
+
+    for _dirpath, _dirs, files in os.walk(local_fs_path(path)):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def update_pointer_meta(path: str, **meta) -> None:
+    """Atomically rewrite the pointer's BOOKKEEPING keys without moving
+    the data generation — the single-key PUT a maintenance step that
+    changes only metadata (e.g. a postings compaction repointing read
+    roots) needs: ``publish_generation`` would force a new data
+    directory for unchanged data, and its old-generation reaper would
+    delete the very directory being re-pointed.  Requires an existing
+    pointer (metadata-only updates on a legacy root layout have nothing
+    to anchor to).  Same single-writer assumption as every pointer
+    write here."""
+    import json
+    import os
+    import uuid
+
+    ptr = _read_pointer(path)
+    if ptr is None:
+        raise ValueError(
+            f"no generation pointer at {path!r} — update_pointer_meta only "
+            "amends an existing pointer (publish a generation first)"
+        )
+    os_path = local_fs_path(path)
+    tmp = os.path.join(os_path, f".{CURRENT_PTR}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({**ptr, **meta}, f)
+    os.replace(tmp, os.path.join(os_path, CURRENT_PTR))
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

@@ -256,3 +256,47 @@ def test_drift_emb_detects_planted_shift(spark, tmp_path):
 
     assert psi_shift > 0.25, psi_shift
     assert psi_same < 0.05, psi_same
+
+
+def test_ivf_codes_compaction_folds_roots_and_keeps_ledger(
+    spark, sf_dir, tmp_path
+):
+    """compact_ivf_codes: the read relation is unchanged, readers flip
+    to one cell-partitioned root, live_batches resets while
+    applied_batches survives — so a late retry of a folded batch stays
+    a no-op (the compact_bm25_postings contract, codes edition)."""
+    import os
+
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        BASE_PREDICATE,
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_codes,
+        read_ivf_codes,
+    )
+    from newspapers_etl_spark.sinks.verified import current_pointer, read_current
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base, batch = e.filter(F.expr(BASE_PREDICATE)), e.filter(
+        ~F.expr(BASE_PREDICATE)
+    )
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, base, path)
+    append_ivf_index(spark, batch, path, batch_id="b1")
+    before = _codes_rows(read_ivf_codes(spark, path))
+    stats_before = _stats_rows(read_current(spark, f"{path}/stats"))
+
+    new_root = compact_ivf_codes(spark, path)
+    ptr = current_pointer(f"{path}/stats")
+    assert ptr["codes_root"] == new_root
+    assert ptr["live_batches"] == []
+    assert ptr["applied_batches"] == ["b1"]
+    assert not os.path.exists(f"{path}/codes")
+    assert not os.path.exists(f"{path}/codes-batch-b1")
+    assert _codes_rows(read_ivf_codes(spark, path)) == before
+    assert _stats_rows(read_current(spark, f"{path}/stats")) == stats_before
+
+    # Late retry of the folded batch: no-op, no duplicates.
+    append_ivf_index(spark, batch, path, batch_id="b1")
+    assert _codes_rows(read_ivf_codes(spark, path)) == before
+    assert current_pointer(f"{path}/stats")["live_batches"] == []

@@ -294,3 +294,88 @@ def test_bm25_append_crash_before_stats_publish_leaves_index_readable(
         for r in retrieval_bm25_topk_from_postings(spark, path).collect()
     ]
     assert again == want
+
+
+def test_bm25_compaction_folds_roots_and_keeps_ledger(spark, sf_dir, tmp_path):
+    """compact_bm25_postings: scores identical before/after, readers
+    flip to ONE root, live_batches resets, and — the critical
+    invariant — applied_batches SURVIVES so a late retry of a batch
+    already folded into the compacted root stays a no-op instead of
+    duplicating its postings (ADVICE r9 #4's ledger-rewrite
+    requirement)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from newspapers_etl_spark.catalog import load_table, table_path
+    from newspapers_etl_spark.operators.retrieval import (
+        append_bm25_postings,
+        compact_bm25_postings,
+        retrieval_bm25_topk_from_postings,
+        write_bm25_postings,
+    )
+    from newspapers_etl_spark.sinks.verified import current_pointer, read_current
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    thirds = [str(tmp_path / f"t{i}") for i in range(3)]
+    for i, d in enumerate(thirds):
+        docs.filter(
+            (F.col("doc_id") >= i * n // 3) & (F.col("doc_id") < (i + 1) * n // 3)
+        ).write.parquet(table_path(d, "documents"))
+
+    path = str(tmp_path / "idx")
+    write_bm25_postings(spark, thirds[0], path)
+    append_bm25_postings(spark, thirds[1], path, batch_id="b1")
+    append_bm25_postings(spark, thirds[2], path, batch_id="b2")
+    before = [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk_from_postings(spark, path).collect()
+    ]
+    stats_before = read_current(spark, f"{path}/stats").collect()[0]
+
+    new_root = compact_bm25_postings(spark, path)
+    ptr = current_pointer(f"{path}/stats")
+    assert ptr["postings_root"] == new_root
+    assert ptr["live_batches"] == []
+    assert set(ptr["applied_batches"]) == {"b1", "b2"}
+    assert not os.path.exists(f"{path}/postings")  # old roots reaped
+    assert not os.path.exists(f"{path}/postings-batch-b1")
+
+    after = [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk_from_postings(spark, path).collect()
+    ]
+    assert after == before
+    stats_after = read_current(spark, f"{path}/stats").collect()[0]
+    assert (stats_after["n"], stats_after["sum_dl"]) == (
+        stats_before["n"],
+        stats_before["sum_dl"],
+    )
+
+    # THE invariant: a late retry of a folded batch must be a no-op.
+    append_bm25_postings(spark, thirds[1], path, batch_id="b1")
+    assert [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk_from_postings(spark, path).collect()
+    ] == before
+    assert current_pointer(f"{path}/stats")["live_batches"] == []
+
+    # And NEW appends keep working against the compacted root.  An
+    # EMPTY batch is the degenerate case: it is ledgered as applied
+    # (retries stay no-ops) but never enters the live read roots — a
+    # fileless parquet root would break every reader with
+    # UNABLE_TO_INFER_SCHEMA.
+    extra = str(tmp_path / "extra")
+    docs.filter(F.col("doc_id") >= n - 3).limit(0).write.parquet(
+        table_path(extra, "documents")
+    )
+    append_bm25_postings(spark, extra, path, batch_id="b3")
+    ptr3 = current_pointer(f"{path}/stats")
+    assert "b3" in ptr3["applied_batches"]
+    assert ptr3["live_batches"] == []
+    assert not os.path.exists(f"{path}/postings-batch-b3")
+    assert [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk_from_postings(spark, path).collect()
+    ] == before
