@@ -71,7 +71,7 @@ WHERE abs(z) >= {Z_THRESHOLD}
 """
 
 
-@query("ev_anom", oracle=ANOMALY_ORACLE)
+@query("ev_anm", oracle=ANOMALY_ORACLE)
 def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly volume z-score per event type; emit the |z| >= 2 windows.
     Variance uses the sum/sum-of-squares identity over exact integer

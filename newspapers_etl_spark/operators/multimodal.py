@@ -53,7 +53,7 @@ WHERE o.o_orderkey % 100 = 0
 """
 
 
-@query("mm_manif", oracle=MANIFEST_FLATTEN_ORACLE)
+@query("mm_man", oracle=MANIFEST_FLATTEN_ORACLE)
 def mm_manifest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build IIIF-shaped manifest JSON documents (one per order, pages
     from its lineitems), then flatten them back with from_json + chained

@@ -147,7 +147,7 @@ GROUP BY lang_true, lang_pred
 """
 
 
-@query("lang_conf", oracle=_lang_conf_oracle())
+@query("lg_conf", oracle=_lang_conf_oracle())
 def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the marker-lexicon language classifier
     against the labeled lang column — the evaluation loop every

@@ -241,14 +241,20 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.streaming.enrichment",          # 1   hashed r8
     "newspapers_etl_spark.streaming.scd_stream",          # 1   hashed r8
     "newspapers_etl_spark.streaming.stateful",            # 1   hashed r8
-    # ivf_app/drift_emb are NEW r10 and register POST-window (the
-    # bm25/bm25_b/drift precedent): the r10 window was designed full at
-    # exactly 50 before they landed.  Both are oracle-backed,
-    # sweep-green and pytest-covered this round and LEAD the r11
-    # window.  Their registration triggered rename wave 6 ("r10" map in
-    # RENAMES.json) to keep the 1-decimal bench stdout band.
+    # ivf_app/drift_emb/ivf_rec are NEW r10 and register POST-window
+    # (the bm25/bm25_b/drift precedent): the r10 window was designed
+    # full at exactly 50 before they landed.  All three are
+    # oracle-backed, sweep-green and pytest-covered this round and LEAD
+    # the r11 window.  Their registrations triggered rename waves 6 and
+    # 7 ("r10"/"r10b" maps in RENAMES.json) to keep the 1-decimal bench
+    # stdout band.  Note for r11: bm25 also changed r10 through
+    # NON-query-path maintenance helpers only (append fingerprint,
+    # compaction, two-ledger pointer) — the registered query function is
+    # untouched and full-sweep-verified output-identical; it rides at
+    # slot 52 and re-hashes in r11 as already ledgered.
     "newspapers_etl_spark.operators.ivf_maintenance",     # 1   NEW r10 (post-window -> r11 front)
     "newspapers_etl_spark.operators.embedding_drift",     # 1   NEW r10 (post-window -> r11 front)
+    "newspapers_etl_spark.operators.ann_eval",            # 1   NEW r10 (post-window -> r11 front)
 )
 
 _loaded = False

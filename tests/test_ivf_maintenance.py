@@ -300,3 +300,39 @@ def test_ivf_codes_compaction_folds_roots_and_keeps_ledger(
     append_ivf_index(spark, batch, path, batch_id="b1")
     assert _codes_rows(read_ivf_codes(spark, path)) == before
     assert current_pointer(f"{path}/stats")["live_batches"] == []
+
+
+def test_ivf_rec_matches_oracle(spark, sf_dir, oracle):
+    from newspapers_etl_spark.operators.ann_eval import (
+        IVF_RECALL_ORACLE,
+        ivf_recall_at_k,
+    )
+
+    assert_matches_oracle(
+        ivf_recall_at_k(spark, sf_dir), oracle, IVF_RECALL_ORACLE
+    )
+
+
+def test_ivf_rec_bounds_and_coverage(spark, sf_dir):
+    """recall ∈ [0, 1], hits ≤ truth_k, one row per probe, and the
+    metric agrees with a direct Python intersection of the two
+    registered rankings (assembly differential, the ndcg pattern)."""
+    from newspapers_etl_spark.operators.ann_eval import ivf_recall_at_k
+    from newspapers_etl_spark.operators.similarity import (
+        N_PROBES,
+        sim_ann_ivf_topk,
+        sim_topk_bruteforce,
+    )
+
+    rows = {r["probe_id"]: r for r in ivf_recall_at_k(spark, sf_dir).collect()}
+    assert len(rows) == N_PROBES
+    bf, ivf = {}, {}
+    for r in sim_topk_bruteforce(spark, sf_dir).collect():
+        bf.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    for r in sim_ann_ivf_topk(spark, sf_dir).collect():
+        ivf.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    for pid, r in rows.items():
+        assert 0.0 <= r["recall"] <= 1.0
+        assert 0 <= r["hits"] <= r["truth_k"]
+        assert r["hits"] == len(bf[pid] & ivf.get(pid, set()))
+        assert r["truth_k"] == len(bf[pid])

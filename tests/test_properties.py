@@ -361,7 +361,7 @@ def test_lm_surprisal_differential_vs_duckdb_on_any_corpus(spark, docs):
 # test DuckDB's regex engine, not this repo.)
 _GENERATED_CORPUS_QUERIES = (
     "dd_exact",
-    "dd_chunk",
+    "dd_chk",
     "tokens",
     "len_hist",
     "lang_id",

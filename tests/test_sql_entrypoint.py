@@ -190,7 +190,7 @@ def test_registry_registration_order_is_contiguous_per_module():
         "dd_exact", "jaccard", "dd_spans", "lsh_ver", "dd_emb",
         "sh_pairs", "sh_bkts", "decontam", "cc_clust",
         "ex_fall", "ex_date", "ex_sanit", "rlike", "ex_mime", "ex_md5",
-        "len_hist", "ngrams", "lang_conf", "compress", "zipf",
+        "len_hist", "ngrams", "lg_conf", "compress", "zipf",
         "flagship", "q1_price", "agg_roll", "j_star", "j_semi",
         "j_anti", "jrange", "win_topn", "topk_ln", "setops",
         "agg_coll", "j_asof",
