@@ -26,6 +26,26 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
+#   r11 (planned): ivf_app + drift_emb + ivf_rec lead (NEW r10,
+#       post-window — the only queries without a driver row after
+#       r10).  CONSTRAINT: ann_eval top-level imports similarity, so
+#       similarity MUST be declared before ann_eval or its 5-query
+#       block splices into ann_eval's slot — declare the leads as
+#       ivf_maintenance 1, embedding_drift 1, similarity 5, ann_eval 1
+#       (similarity re-hashes a round early as the price of the
+#       import, the bf_topk/cntrds-in-r9 precedent).  Then retrieval 1
+#       (bm25 — r8 row, and its module changed r10 through maintenance
+#       helpers; the registered query is sweep-verified output-
+#       identical) + relational's expl_wrd (the r10 slot-51 rider;
+#       relational re-riding is the contiguity price — or rotate the
+#       whole module late), then the full r8-hashed tail —
+#       pandas_surface 3, multimodal 4, relational_extended 9, scd 3,
+#       incremental 3, diagnostics 1, url_ops 1, snapshot_diff 1,
+#       events_analytics 3, sampling_extended 3, enrichment 1,
+#       scd_stream 1, stateful 1 (= 34) — and the oldest r9-hashed
+#       families fill to ~50 (retrieval_fusion 2, ivfadc 2,
+#       semantic_dedup 2).  pca/rollup/sketches/text_formats/... keep
+#       their r9 rows and rotate in r12.
 #   r10 (executed): drift_monitor 1 + retrieval_eval 1 (NEW r9,
 #       registered post-window — the only queries without a driver row
 #       after r9) lead.  retrieval_eval's batch constants moved to the
