@@ -480,3 +480,68 @@ def test_bm25_batch_differential_and_single_query_agreement(spark, docs):
             if q == qid
         ]
         assert batch_q == single
+
+
+@given(
+    seeds=st.lists(st.integers(min_value=0, max_value=10_000),
+                   min_size=1, max_size=24),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_embedding_ops_match_oracle_on_any_corpus(
+    spark, tmp_path_factory, seeds
+):
+    """The generated-corpus differential extended to the EMBEDDING
+    operators (ivf_rec / drift_emb / ivf_app): build a corpus of
+    exactly-representable vectors (0.25-multiples — dots, norms and
+    Lloyd means stay tie-free at the oracles' rounding precisions for
+    <= 2^8-member cells), write it as an embeddings table, and require
+    the registered DuckDB mirrors to agree bit-for-bit.  Exercises the
+    shapes the fixture never does: corpora smaller than the cell/code
+    counts (short seeds -> short codebooks), duplicate vectors
+    (assignment ties -> the smallest-id tie-breaks on both engines),
+    null embeddings (excluded from fit and encode on both sides), and
+    an EMPTY fit slice (ivf_app's typed-empty path vs the oracle's
+    empty recursion)."""
+    import duckdb
+
+    from conftest import assert_matches_oracle
+    from newspapers_etl_spark.catalog import table_path
+    from newspapers_etl_spark.operators.ann_eval import (
+        IVF_RECALL_ORACLE,
+        ivf_recall_at_k,
+    )
+    from newspapers_etl_spark.operators.embedding_drift import (
+        DRIFT_EMB_ORACLE,
+        embedding_drift_psi,
+    )
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        IVF_APP_ORACLE,
+        ivf_append_roundtrip,
+    )
+
+    def vec(seed):
+        return [(((seed * 31 + j) % 8) - 4) * 0.25 for j in range(64)]
+
+    rows = []
+    for i, s in enumerate(seeds):
+        # Nulls only past the probe ids: bf_topk's probe slice is
+        # contractually non-null (fixture invariant) — a null PROBE
+        # would test engine null-ordering defaults, not this repo.
+        null = i >= 5 and s % 7 == 0
+        rows.append((i, None if null else vec(s), s % 3))
+    tmp = str(tmp_path_factory.mktemp("gen_emb"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(table_path(tmp, "embeddings"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{table_path(tmp, 'embeddings')}/*.parquet')"
+    )
+    for fn, oracle_sql in (
+        (ivf_recall_at_k, IVF_RECALL_ORACLE),
+        (embedding_drift_psi, DRIFT_EMB_ORACLE),
+        (ivf_append_roundtrip, IVF_APP_ORACLE),
+    ):
+        assert_matches_oracle(fn(spark, tmp), con, oracle_sql)
