@@ -336,3 +336,91 @@ def test_ivf_rec_bounds_and_coverage(spark, sf_dir):
         assert 0 <= r["hits"] <= r["truth_k"]
         assert r["hits"] == len(bf[pid] & ivf.get(pid, set()))
         assert r["truth_k"] == len(bf[pid])
+
+
+def test_ivf_append_crash_before_stats_publish_leaves_index_readable(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Failure injection on the ivf append's one non-atomic seam (the
+    bm25 battery's shape): dying AFTER the codes rename but BEFORE the
+    stats generation publish must leave the index readable at the
+    PREVIOUS state — the renamed-but-unledgered batch root is invisible
+    because readers derive roots from the POINTER — and the retry must
+    converge to exactly the applied state."""
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        BASE_PREDICATE,
+        append_ivf_index,
+        build_ivf_index,
+        read_ivf_codes,
+    )
+    from newspapers_etl_spark.sinks import verified
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base, batch = e.filter(F.expr(BASE_PREDICATE)), e.filter(
+        ~F.expr(BASE_PREDICATE)
+    )
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, base, path)
+    before = _codes_rows(read_ivf_codes(spark, path))
+
+    def boom(p):
+        raise RuntimeError("injected: died before stats generation write")
+
+    monkeypatch.setattr(verified, "allocate_generation", boom)
+    try:
+        append_ivf_index(spark, batch, path, batch_id="b1")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    # batch codes renamed but unledgered -> invisible to readers
+    assert _codes_rows(read_ivf_codes(spark, path)) == before
+
+    append_ivf_index(spark, batch, path, batch_id="b1")  # retry converges
+    after = _codes_rows(read_ivf_codes(spark, path))
+    assert len(after) > len(before)
+    assert set(before) <= set(after)
+
+
+def test_compaction_crash_before_pointer_flip_is_invisible_and_retryable(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A compaction that dies AFTER rewriting+renaming the folded root
+    but BEFORE the pointer metadata flip must change NOTHING a reader
+    sees (old roots still live, old ledger still live), and the retry
+    must complete from scratch (the staged root is replaced
+    wholesale)."""
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        BASE_PREDICATE,
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_codes,
+        read_ivf_codes,
+    )
+    from newspapers_etl_spark.sinks import verified
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, e.filter(F.expr(BASE_PREDICATE)), path)
+    append_ivf_index(
+        spark, e.filter(~F.expr(BASE_PREDICATE)), path, batch_id="b1"
+    )
+    before = _codes_rows(read_ivf_codes(spark, path))
+    ptr_before = verified.current_pointer(f"{path}/stats")
+
+    def boom(p, **meta):
+        raise RuntimeError("injected: died before pointer flip")
+
+    monkeypatch.setattr(verified, "update_pointer_meta", boom)
+    try:
+        compact_ivf_codes(spark, path)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    # nothing a reader resolves has changed
+    assert verified.current_pointer(f"{path}/stats") == ptr_before
+    assert _codes_rows(read_ivf_codes(spark, path)) == before
+
+    new_root = compact_ivf_codes(spark, path)  # retry from scratch
+    ptr = verified.current_pointer(f"{path}/stats")
+    assert ptr["codes_root"] == new_root and ptr["live_batches"] == []
+    assert _codes_rows(read_ivf_codes(spark, path)) == before

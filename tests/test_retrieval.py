@@ -379,3 +379,57 @@ def test_bm25_compaction_folds_roots_and_keeps_ledger(spark, sf_dir, tmp_path):
         (r["doc_id"], r["score"])
         for r in retrieval_bm25_topk_from_postings(spark, path).collect()
     ] == before
+
+
+def test_bm25_compaction_crash_before_pointer_flip_is_invisible(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """compact_bm25_postings' failure seam: a crash after the folded
+    root's rename but before the pointer flip leaves every reader on
+    the old roots + old ledger; the retry completes and scores are
+    unchanged throughout."""
+    from pyspark.sql import functions as F
+
+    from newspapers_etl_spark.catalog import load_table, table_path
+    from newspapers_etl_spark.operators.retrieval import (
+        append_bm25_postings,
+        compact_bm25_postings,
+        retrieval_bm25_topk_from_postings,
+        write_bm25_postings,
+    )
+    from newspapers_etl_spark.sinks import verified
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.count() // 2
+    h1, h2 = str(tmp_path / "h1"), str(tmp_path / "h2")
+    docs.filter(F.col("doc_id") < cut).write.parquet(table_path(h1, "documents"))
+    docs.filter(F.col("doc_id") >= cut).write.parquet(table_path(h2, "documents"))
+    path = str(tmp_path / "idx")
+    write_bm25_postings(spark, h1, path)
+    append_bm25_postings(spark, h2, path, batch_id="b1")
+    before = [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk_from_postings(spark, path).collect()
+    ]
+    ptr_before = verified.current_pointer(f"{path}/stats")
+
+    def boom(p, **meta):
+        raise RuntimeError("injected: died before pointer flip")
+
+    monkeypatch.setattr(verified, "update_pointer_meta", boom)
+    try:
+        compact_bm25_postings(spark, path)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    assert verified.current_pointer(f"{path}/stats") == ptr_before
+    assert [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk_from_postings(spark, path).collect()
+    ] == before
+
+    compact_bm25_postings(spark, path)  # retry completes
+    assert [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk_from_postings(spark, path).collect()
+    ] == before
