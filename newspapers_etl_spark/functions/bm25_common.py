@@ -76,8 +76,8 @@ scored AS (
   SELECT q.query_id, tf.doc_id,
          sum(CAST(round(
            ln(1 + (stats.n - dft.dft + 0.5) / (dft.dft + 0.5))
-           * tf.tf * (1.2 + 1)
-           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           * tf.tf * ({BM25_K1} + 1)
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
            * 1e9) AS BIGINT)) AS s9
   FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
        JOIN q ON q.term = tf.term CROSS JOIN stats

@@ -277,15 +277,11 @@ def append_ivf_index(
     the applied-batch ledger — the exact idempotency protocol of
     append_bm25_postings (retry of a torn or completed append replaces
     or no-ops, never duplicates)."""
-    import os
-    import shutil
-
     # Lazy: sinks.verified registers sink_aud at import time.
     from newspapers_etl_spark.sinks.verified import (
         allocate_generation,
         current_pointer,
-        has_parquet_data,
-        local_fs_path,
+        expose_staged_batch,
         publish_generation,
         read_current,
     )
@@ -302,28 +298,30 @@ def append_ivf_index(
 
     cents, codebook = _read_model(spark, path)
     coded = _encode(e_batch, cents, codebook, with_embedding=True).persist()
+    both = None
     try:
         staging = f"{path}/_codes-batch-{batch_id}"
         coded.drop("embedding").repartition(
             _OC_CELLS, "cell"
         ).write.mode("overwrite").partitionBy("cell").parquet(staging)
-        root = local_fs_path(path)
-        final_dir = os.path.join(root, f"codes-batch-{batch_id}")
-        shutil.rmtree(final_dir, ignore_errors=True)
-        os.rename(os.path.join(root, f"_codes-batch-{batch_id}"), final_dir)
-        # Empty batch -> fileless root -> unreadable; ledger as applied
-        # but keep out of the live read roots (see append_bm25_postings).
-        if not has_parquet_data(final_dir):
-            shutil.rmtree(final_dir, ignore_errors=True)
-            live_after = live
-        else:
+        # Atomic exposure + empty-batch guard via the shared helper
+        # (sinks/verified.expose_staged_batch — the BM25 append runs
+        # the identical sequence): an empty batch is ledgered as
+        # applied but never enters the live read roots.
+        if expose_staged_batch(
+            path, f"_codes-batch-{batch_id}", f"codes-batch-{batch_id}"
+        ):
             live_after = live + [batch_id]
+        else:
+            live_after = live
 
         old = read_current(spark, stats_root)
         batch_stats = _cell_stats(coded)
         # Combinable merge at (cell, pos) grain — cells×dim rows, a
-        # model-sized relation (persist it: it is tiny and feeds one
-        # write; the union source is read once per branch).
+        # model-sized relation (persist it: it is tiny and feeds two
+        # branches of one write).  Released in the same finally as
+        # coded — the success-path-only unpersist would leak the cache
+        # whenever the write or publish throws (cache.py discipline).
         both = old.unionByName(batch_stats).persist()
         merged = (
             both.select("cell", "n", F.posexplode("svec"))
@@ -340,7 +338,6 @@ def append_ivf_index(
         )
         gen_no, new_name = allocate_generation(stats_root)
         merged.write.mode("overwrite").parquet(f"{stats_root}/{new_name}")
-        both.unpersist()
         publish_generation(
             stats_root,
             gen_no,
@@ -352,6 +349,8 @@ def append_ivf_index(
         )
     finally:
         coded.unpersist()
+        if both is not None:
+            both.unpersist()
 
 
 def read_ivf_codes(spark: SparkSession, path: str) -> DataFrame:
@@ -381,19 +380,25 @@ def compact_ivf_codes(
     spark: SparkSession, path: str, keep_old_roots: bool = False
 ) -> str:
     """Fold the accumulated code roots back into ONE compacted root —
-    the codes-side twin of compact_bm25_postings: rewrite the union
-    (cell-partitioned, one file per cell), rename atomically, flip
-    ``codes_root`` + reset ``live_batches`` in ONE pointer metadata
-    write, leave ``applied_batches`` untouched so a late retry of a
-    folded batch stays a no-op.  Stats move nowhere (compaction adds no
-    vectors).  Returns the new root's name."""
+    the codes-side twin of compact_bm25_postings, running the identical
+    shared protocol (sinks/verified.flip_compacted_roots): rewrite the
+    union (cell-partitioned, one file per cell), rename atomically,
+    then ONE pointer write flips ``codes_root``, resets
+    ``live_batches`` and records the superseded roots as
+    ``reap_roots`` — ``applied_batches`` untouched so a late retry of a
+    folded batch stays a no-op, and a crash between flip and reap is
+    healed by the next maintenance call instead of orphaning an index
+    copy.  Stats move nowhere (compaction adds no vectors).  Returns
+    the new root's name."""
     import os
     import shutil
+    from functools import reduce
 
     from newspapers_etl_spark.sinks.verified import (
         current_pointer,
+        flip_compacted_roots,
         local_fs_path,
-        update_pointer_meta,
+        reap_pending_roots,
     )
 
     stats_root = f"{path}/stats"
@@ -402,6 +407,7 @@ def compact_ivf_codes(
         # Nothing was ever appended: the base root is already the whole
         # index and there is no pointer to rewrite.
         return "codes"
+    reap_pending_roots(stats_root, path)  # heal a crashed prior reap
     base = ptr.get("codes_root", "codes")
     live = list(ptr.get("live_batches", ptr.get("applied_batches", [])))
     old_roots = [f"{path}/{base}"] + [
@@ -409,8 +415,6 @@ def compact_ivf_codes(
     ]
     n = int(ptr.get("compactions", 0)) + 1
     new_root = f"codes-compact-{n:04d}"
-    from functools import reduce
-
     union = reduce(
         DataFrame.unionByName, [spark.read.parquet(r) for r in old_roots]
     )
@@ -421,12 +425,15 @@ def compact_ivf_codes(
     final_dir = os.path.join(os_path, new_root)
     shutil.rmtree(final_dir, ignore_errors=True)
     os.rename(os.path.join(os_path, f"_{new_root}"), final_dir)
-    update_pointer_meta(
-        stats_root, codes_root=new_root, live_batches=[], compactions=n
+    flip_compacted_roots(
+        stats_root,
+        path,
+        root_key="codes_root",
+        new_root=new_root,
+        compactions=n,
+        old_roots=old_roots,
+        keep_old_roots=keep_old_roots,
     )
-    if not keep_old_roots:
-        for r in old_roots:
-            shutil.rmtree(local_fs_path(r), ignore_errors=True)
     return new_root
 
 
@@ -442,6 +449,9 @@ def ivf_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash canonicalizer wants hashable cells).  The output is
     root-agnostic, so the oracle replays fit + assignment + encode on
     the union without modeling the storage split."""
+    import os
+    import re
+    import shutil
     import tempfile
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -454,7 +464,15 @@ def ivf_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     base = e.filter(F.expr(BASE_PREDICATE))
     batch = e.filter(~F.expr(BASE_PREDICATE))
-    path = tempfile.mkdtemp(prefix="ivf-app-")
+    # ONE deterministic scratch dir per fixture dir, wiped up front —
+    # mkdtemp-per-run would accumulate an index copy in /tmp on every
+    # bench/sweep/driver invocation (the result is a LAZY read of this
+    # dir, so it cannot be deleted here), and the wipe also clears a
+    # previous run's generation pointer, which overwrite-mode writes
+    # would NOT replace (read_current would resolve a stale generation).
+    slug = re.sub(r"[^A-Za-z0-9._-]+", "-", sf_dir.strip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"ivf-app-{slug}")
+    shutil.rmtree(path, ignore_errors=True)
     build_ivf_index(spark, base, path, e_encode=base, models=models)
     append_ivf_index(spark, batch, path, batch_id="b1")
     return read_ivf_codes(spark, path).select(

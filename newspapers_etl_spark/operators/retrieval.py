@@ -308,9 +308,7 @@ def append_bm25_postings(
     (sinks/verified.py publish_generation): concurrent appends would
     race the pointer read-modify-write; serialize maintenance, or add
     CAS on the pointer object for multi-writer deployments."""
-    import os
     import re
-    import shutil
 
     # Lazy import: sinks.verified registers its own query (sink_aud) at
     # import time; a top-level import here would splice that block into
@@ -318,8 +316,7 @@ def append_bm25_postings(
     from newspapers_etl_spark.sinks.verified import (
         allocate_generation,
         current_pointer,
-        has_parquet_data,
-        local_fs_path,
+        expose_staged_batch,
         publish_generation,
         read_current,
     )
@@ -354,23 +351,20 @@ def append_bm25_postings(
     _postings_of(staged, shards).repartition(
         shards, "term_shard"
     ).write.mode("overwrite").partitionBy("term_shard").parquet(staging)
-    # Atomic exposure: readers glob ``postings*`` and Spark's listing
-    # skips underscore paths, so the staged batch is invisible until
-    # this local rename (remote stores would stage via their own atomic
-    # publish — local_fs_path refuses them loudly).  A final dir from a
-    # prior crashed-after-rename attempt is replaced wholesale.
-    root = local_fs_path(path)
-    final_dir = os.path.join(root, f"postings-batch-{batch_id}")
-    shutil.rmtree(final_dir, ignore_errors=True)
-    os.rename(os.path.join(root, f"_postings-batch-{batch_id}"), final_dir)
-    # An EMPTY batch writes no data files, and a fileless root breaks
-    # readers (UNABLE_TO_INFER_SCHEMA) — ledger it as applied (the
-    # retry no-op contract) but keep it out of the live read roots.
-    if not has_parquet_data(final_dir):
-        shutil.rmtree(final_dir, ignore_errors=True)
-        live_after = live
-    else:
+    # Atomic exposure + empty-batch guard via the shared helper
+    # (sinks/verified.expose_staged_batch): readers derive roots from
+    # the POINTER and Spark's listing skips underscore paths, so the
+    # staged batch is invisible until the rename; a final dir from a
+    # prior crashed-after-rename attempt is replaced wholesale; an
+    # EMPTY batch writes no data files and a fileless root breaks
+    # readers (UNABLE_TO_INFER_SCHEMA) — it is ledgered as applied (the
+    # retry no-op contract) but kept out of the live read roots.
+    if expose_staged_batch(
+        path, f"_postings-batch-{batch_id}", f"postings-batch-{batch_id}"
+    ):
         live_after = live + [batch_id]
+    else:
+        live_after = live
 
     old = read_current(spark, stats_root).collect()[0]
     batch = _corpus_stats(staged).collect()[0]
@@ -411,18 +405,23 @@ def compact_bm25_postings(
     (ADVICE r9 #4 asked for exactly this before the reader comment
     could claim it).
 
-    Protocol: rewrite the union into the underscore-invisible staging
-    dir ``_postings-compact-<n>`` (one file per shard, the
-    write_bm25_postings layout), rename atomically, then ONE pointer
-    metadata write flips readers — ``postings_root`` to the new dir and
-    ``live_batches`` to [] — while ``applied_batches`` is deliberately
-    UNTOUCHED: it is the idempotency ledger, and forgetting a folded
-    batch would let a late retry re-append rows the compacted root
-    already holds.  Stats are unchanged (compaction moves no rows), so
-    the data generation stays put (sinks/verified.update_pointer_meta,
-    not publish_generation).  Old roots are reaped after the flip
-    unless ``keep_old_roots`` (the long-running-reader grace knob, as
-    in compact_partitions).  Returns the new root's name.
+    Protocol (the shared helpers in sinks/verified.py — the IVF codes
+    compaction runs the identical sequence): rewrite the union into the
+    underscore-invisible staging dir ``_postings-compact-<n>`` (one
+    file per shard, the write_bm25_postings layout), rename atomically,
+    then ONE pointer metadata write flips readers — ``postings_root``
+    to the new dir, ``live_batches`` to [], and the superseded roots
+    recorded as ``reap_roots`` in the SAME write — while
+    ``applied_batches`` is deliberately UNTOUCHED: it is the
+    idempotency ledger, and forgetting a folded batch would let a late
+    retry re-append rows the compacted root already holds.  The old
+    roots are deleted only after the flip, and a crash in between
+    leaves their names in ``reap_roots`` for the next maintenance call
+    to finish (``reap_pending_roots``) — never an orphaned index copy.
+    Stats are unchanged (compaction moves no rows), so the data
+    generation stays put.  ``keep_old_roots`` skips the reap (the
+    long-running-reader grace knob, as in compact_partitions).
+    Returns the new root's name.
 
     SINGLE WRITER ASSUMED, like every pointer maintenance step —
     serialize compactions with appends."""
@@ -433,10 +432,11 @@ def compact_bm25_postings(
     from newspapers_etl_spark.sinks.verified import (
         allocate_generation,
         current_pointer,
+        flip_compacted_roots,
         local_fs_path,
         publish_generation,
         read_current,
-        update_pointer_meta,
+        reap_pending_roots,
     )
 
     stats_root = f"{path}/stats"
@@ -450,6 +450,7 @@ def compact_bm25_postings(
         stats.write.mode("overwrite").parquet(f"{stats_root}/{new_name}")
         publish_generation(stats_root, gen_no, new_name)
         ptr = current_pointer(stats_root)
+    reap_pending_roots(stats_root, path)  # heal a crashed prior reap
     base = ptr.get("postings_root", "postings")
     live = list(ptr.get("live_batches", ptr.get("applied_batches", [])))
     old_roots = [f"{path}/{base}"] + [
@@ -467,15 +468,15 @@ def compact_bm25_postings(
     final_dir = os.path.join(os_path, new_root)
     shutil.rmtree(final_dir, ignore_errors=True)
     os.rename(os.path.join(os_path, f"_{new_root}"), final_dir)
-    update_pointer_meta(
+    flip_compacted_roots(
         stats_root,
-        postings_root=new_root,
-        live_batches=[],
+        path,
+        root_key="postings_root",
+        new_root=new_root,
         compactions=n,
+        old_roots=old_roots,
+        keep_old_roots=keep_old_roots,
     )
-    if not keep_old_roots:
-        for r in old_roots:
-            shutil.rmtree(local_fs_path(r), ignore_errors=True)
     return new_root
 
 

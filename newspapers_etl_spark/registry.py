@@ -61,9 +61,10 @@ ORACLE: dict[str, str] = {}
 #       text_scoring 6 (ppl at its tail), relational 21 fills the
 #       window to exactly 50 (j_asof is slot 50; its last query,
 #       expl_wrd, rides at slot 51 with retrieval 1 (bm25, r8) to
-#       r11).  Late-r10 additions ivf_append (IVF index maintenance)
-#       and drift_emb (embedding-space drift) register post-window
-#       (the bm25/bm25_b/drift precedent) and lead r11.
+#       r11).  THREE late-r10 additions register post-window (the
+#       bm25/bm25_b/drift precedent) and lead r11: ivf_app (IVF index
+#       maintenance), drift_emb (embedding-space drift) and ivf_rec
+#       (ANN recall evaluation).
 #   r9 (executed): retrieval_fusion 2 (bm25_b/rrf — NEW r8, registered
 #       post-window, the only queries without a driver row after r8)
 #       lead.  Then the queries CHANGED r8/r9: ivfadc 2 (r8 seed fix +

@@ -306,6 +306,84 @@ def update_pointer_meta(path: str, **meta) -> None:
     os.replace(tmp, os.path.join(os_path, CURRENT_PTR))
 
 
+def expose_staged_batch(table_root: str, staging_name: str, final_name: str) -> bool:
+    """Atomically expose a staged batch root (underscore dir → final
+    rename, replacing a prior crashed-after-rename attempt wholesale)
+    and report whether it holds any DATA — an EMPTY batch writes no
+    parquet files, and a fileless root breaks readers with
+    UNABLE_TO_INFER_SCHEMA, so it is removed and the caller keeps it
+    out of the live read roots (it still enters the idempotency
+    ledger).  Shared by the BM25 posting append and the IVF code
+    append — the protocol lives once."""
+    import os
+    import shutil
+
+    root = local_fs_path(table_root)
+    final_dir = os.path.join(root, final_name)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(os.path.join(root, staging_name), final_dir)
+    if not has_parquet_data(final_dir):
+        shutil.rmtree(final_dir, ignore_errors=True)
+        return False
+    return True
+
+
+def reap_pending_roots(stats_root: str, table_root: str) -> None:
+    """Delete any roots a previous compaction flipped away from but
+    died before reaping (``reap_roots`` in the pointer), then clear the
+    list.  Idempotent; called at the start of every compaction and at
+    the end of ``flip_compacted_roots`` — the crash window between the
+    pointer flip and the reap can therefore never orphan an index copy
+    permanently."""
+    import os
+    import shutil
+
+    ptr = _read_pointer(stats_root)
+    if not ptr or not ptr.get("reap_roots"):
+        return
+    base = local_fs_path(table_root)
+    for rel in ptr["reap_roots"]:
+        target = os.path.normpath(os.path.join(base, rel))
+        if target.startswith(os.path.normpath(base) + os.sep):
+            shutil.rmtree(target, ignore_errors=True)
+    update_pointer_meta(stats_root, reap_roots=[])
+
+
+def flip_compacted_roots(
+    stats_root: str,
+    table_root: str,
+    *,
+    root_key: str,
+    new_root: str,
+    compactions: int,
+    old_roots: list[str],
+    keep_old_roots: bool = False,
+) -> None:
+    """The compaction publish, shared by the BM25 and IVF compactions:
+    ONE atomic pointer-metadata write flips readers to ``new_root``,
+    resets ``live_batches`` (``applied_batches`` survives untouched —
+    it is the idempotency ledger), and RECORDS the superseded roots as
+    ``reap_roots`` in the same write; only then are they deleted and
+    the list cleared.  A crash between flip and reap leaves the names
+    in the pointer for ``reap_pending_roots`` to finish — the
+    alternative (compute old roots on retry) reads the NEW pointer and
+    would orphan a full index copy per crash."""
+    import os
+
+    base = local_fs_path(table_root)
+    rel = [os.path.relpath(local_fs_path(r), base) for r in old_roots]
+    update_pointer_meta(
+        stats_root,
+        **{
+            root_key: new_root,
+            "live_batches": [],
+            "compactions": compactions,
+            "reap_roots": [] if keep_old_roots else rel,
+        },
+    )
+    reap_pending_roots(stats_root, table_root)
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

@@ -424,3 +424,64 @@ def test_compaction_crash_before_pointer_flip_is_invisible_and_retryable(
     ptr = verified.current_pointer(f"{path}/stats")
     assert ptr["codes_root"] == new_root and ptr["live_batches"] == []
     assert _codes_rows(read_ivf_codes(spark, path)) == before
+
+
+def test_compaction_crash_after_flip_heals_instead_of_orphaning(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The OTHER compaction seam (code-review r10): dying after the
+    pointer flip but before the old-root reap must not orphan the
+    superseded index copy — the flip records the roots as
+    ``reap_roots`` in the SAME pointer write, readers are already on
+    the folded root, and the next maintenance call deletes the
+    leftovers and clears the list."""
+    import os
+
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        BASE_PREDICATE,
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_codes,
+        read_ivf_codes,
+    )
+    from newspapers_etl_spark.sinks import verified
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, e.filter(F.expr(BASE_PREDICATE)), path)
+    append_ivf_index(
+        spark, e.filter(~F.expr(BASE_PREDICATE)), path, batch_id="b1"
+    )
+    before = _codes_rows(read_ivf_codes(spark, path))
+
+    real_reap = verified.reap_pending_roots
+    calls = []
+
+    def boom(stats_root, table_root):
+        # The compaction calls reap_pending_roots twice: the start-of-run
+        # heal (let it through — nothing pending) and the post-flip reap
+        # (the injected crash point).
+        calls.append(1)
+        if len(calls) == 1:
+            return real_reap(stats_root, table_root)
+        raise RuntimeError("injected: died after flip, before reap")
+
+    monkeypatch.setattr(verified, "reap_pending_roots", boom)
+    try:
+        compact_ivf_codes(spark, path)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    # flip landed: readers already resolve the folded root...
+    ptr = verified.current_pointer(f"{path}/stats")
+    assert ptr["codes_root"].startswith("codes-compact-")
+    assert _codes_rows(read_ivf_codes(spark, path)) == before
+    # ...and the superseded roots are still on disk, RECORDED for reap.
+    assert os.path.exists(f"{path}/codes")
+    assert "codes" in ptr["reap_roots"]
+
+    real_reap(f"{path}/stats", path)  # any next maintenance call heals
+    assert not os.path.exists(f"{path}/codes")
+    assert not os.path.exists(f"{path}/codes-batch-b1")
+    assert verified.current_pointer(f"{path}/stats")["reap_roots"] == []
+    assert _codes_rows(read_ivf_codes(spark, path)) == before
