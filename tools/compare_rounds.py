@@ -63,7 +63,9 @@ def main() -> int:
     args = ap.parse_args()
 
     rounds: list[tuple[str, dict[str, float]]] = []
-    for f in sorted(REPO.glob("BENCH_r*.json")):
+    # numeric round order (r9 < r10 < r100); zero-padding makes the
+    # lexicographic sort coincide today but don't rely on it
+    for f in sorted(REPO.glob("BENCH_r*.json"), key=lambda p: int(p.stem.lstrip("BENCH_r"))):
         cap = _load_capture(f)
         if cap:
             rounds.append((f.stem.replace("BENCH_", ""), cap))

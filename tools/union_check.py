@@ -3,10 +3,10 @@ driver correctness row, across every round so far.
 
 The driver hashes only the first ~50 registered queries per round
 (CORRECTNESS_r{N}.json), so full-registry coverage is a UNION across
-rounds — with historical names chained through RENAMES.json (three
-waves r3/r4/r6, wave 4 in r8).  This tool is the machine form of the
-math both the rotation ledger (registry.py) and the judge's verdict
-perform: it loads every CORRECTNESS_r0*.json, resolves each key to its
+rounds — with historical names chained through RENAMES.json (waves
+r3/r4/r6/r8/r10/r10b/...).  This tool is the machine form of the math
+both the rotation ledger (registry.py) and the judge's verdict
+perform: it loads every CORRECTNESS_r*.json, resolves each key to its
 current registry name, classifies the row (hash-green / rows-only /
 error), and reports
 
@@ -16,6 +16,11 @@ error), and reports
     the next window, or carry an explicit ledger note), and
   * the latest-green histogram (the staleness profile the next
     rotation should drain oldest-first).
+
+Round ordering is NUMERIC on the digits after the leading "r"
+(r9 < r10 < r100): round 10 was the first two-digit round and the
+original lexicographic max — plus a `CORRECTNESS_r0*.json` glob —
+silently dropped it, making the final round-end gate lie.
 
 Usage:
     python tools/union_check.py            # human report
@@ -35,22 +40,24 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--json", action="store_true")
-    args = ap.parse_args()
+def round_num(rnd: str) -> int:
+    """Numeric round order for names like 'r06', 'r9', 'r10', 'r100'."""
+    return int(rnd.lstrip("r"))
 
-    from newspapers_etl_spark import renames
-    from newspapers_etl_spark.registry import all_queries
 
-    reg = set(all_queries())
+def compute_union(files, registered, resolve):
+    """Union the driver correctness rows in ``files`` over the current
+    ``registered`` query names, chaining historical keys through
+    ``resolve``.  Returns the report dict.  Pure so tests can feed
+    synthetic CORRECTNESS files (incl. two/three-digit rounds)."""
+    reg = set(registered)
     unresolved: dict[str, list[tuple[str, str]]] = {}
     latest_green: dict[str, str] = {}
     errors: dict[str, list[str]] = {}
-    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r0*.json"))):
+    for f in sorted(files, key=lambda p: round_num(Path(p).stem[len("CORRECTNESS_"):])):
         rnd = Path(f).stem[len("CORRECTNESS_"):]
         for key, row in json.load(open(f)).items():
-            cur = renames.resolve(key)
+            cur = resolve(key)
             if cur not in reg:
                 unresolved.setdefault(cur, []).append((rnd, key))
                 continue
@@ -59,33 +66,51 @@ def main() -> int:
                 and row.get("spark_rows") is not None
             )
             if green:
-                latest_green[cur] = max(latest_green.get(cur, ""), rnd)
+                prev = latest_green.get(cur)
+                if prev is None or round_num(rnd) > round_num(prev):
+                    latest_green[cur] = rnd
             elif row.get("err") not in (None, "no_oracle"):
                 errors.setdefault(cur, []).append(rnd)
     never = sorted(reg - set(latest_green))
-    hist = dict(sorted(Counter(latest_green.values()).items()))
+    hist = dict(
+        sorted(Counter(latest_green.values()).items(), key=lambda kv: round_num(kv[0]))
+    )
     # an error row is only live if no LATER round is green for the query
     live_errors = {
         q: rs
         for q, rs in errors.items()
-        if latest_green.get(q, "") < max(rs)
+        if q not in latest_green
+        or round_num(latest_green[q]) < max(round_num(r) for r in rs)
     }
-    out = {
+    return {
         "registered": len(reg),
         "unresolved_historical_keys": unresolved,
         "never_green": never,
         "live_errors": live_errors,
         "latest_green_histogram": hist,
     }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    from newspapers_etl_spark import renames
+    from newspapers_etl_spark.registry import all_queries
+
+    files = glob.glob(str(REPO / "CORRECTNESS_r*.json"))
+    out = compute_union(files, all_queries(), renames.resolve)
     if args.json:
         print(json.dumps(out, sort_keys=True))
     else:
-        print(f"registered queries: {len(reg)}")
-        print(f"unresolved historical keys (must be empty): {unresolved}")
-        print(f"never green (must lead the next window or be ledgered): {never}")
-        print(f"live errors (green never re-established): {live_errors}")
-        print(f"latest-green histogram: {hist}")
-    return 1 if unresolved or live_errors else 0
+        print(f"rounds read: {len(files)}")
+        print(f"registered queries: {out['registered']}")
+        print(f"unresolved historical keys (must be empty): {out['unresolved_historical_keys']}")
+        print(f"never green (must lead the next window or be ledgered): {out['never_green']}")
+        print(f"live errors (green never re-established): {out['live_errors']}")
+        print(f"latest-green histogram: {out['latest_green_histogram']}")
+    return 1 if out["unresolved_historical_keys"] or out["live_errors"] else 0
 
 
 if __name__ == "__main__":
