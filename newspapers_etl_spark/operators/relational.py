@@ -73,6 +73,33 @@ WHERE NOT EXISTS (
 """
 
 
+# expl_wrd registers FIRST in this module (moved r11): relational
+# straddles the driver's ~50-slot window boundary so this query —
+# the oldest union row (r7, missed the r10 cap) — lands at slot 50
+# while the 20 r10-hashed queries ride at 51+.
+EXPLODE_ORACLE = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE length(word) > 0
+GROUP BY word
+HAVING count(*) >= 5
+"""
+
+
+@query("expl_wrd", oracle=EXPLODE_ORACLE)
+def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Issue→files 1:N fan-out (J3, reference download_newspaper_issue
+    src/01-scrape-images.py:440-459) as explode + count."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 5)
+    )
+
+
 @query("flagship", oracle=FLAGSHIP_ORACLE)
 def flagship_issue_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's daily loop as ONE declarative plan (S1+J1+A1):
@@ -673,27 +700,4 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("event_id").isNotNull())
         .select("event_id", "user_id", "last_click_ts")
-    )
-
-
-EXPLODE_ORACLE = """
-SELECT word, count(*) AS n
-FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-WHERE length(word) > 0
-GROUP BY word
-HAVING count(*) >= 5
-"""
-
-
-@query("expl_wrd", oracle=EXPLODE_ORACLE)
-def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Issue→files 1:N fan-out (J3, reference download_newspaper_issue
-    src/01-scrape-images.py:440-459) as explode + count."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
-        .where(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") >= 5)
     )

@@ -26,26 +26,24 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
-#   r11 (planned): ivf_app + drift_emb + ivf_rec lead (NEW r10,
-#       post-window — the only queries without a driver row after
-#       r10).  CONSTRAINT: ann_eval top-level imports similarity, so
-#       similarity MUST be declared before ann_eval or its 5-query
-#       block splices into ann_eval's slot — declare the leads as
-#       ivf_maintenance 1, embedding_drift 1, similarity 5, ann_eval 1
-#       (similarity re-hashes a round early as the price of the
-#       import, the bf_topk/cntrds-in-r9 precedent).  Then retrieval 1
-#       (bm25 — r8 row, and its module changed r10 through maintenance
-#       helpers; the registered query is sweep-verified output-
-#       identical) + relational's expl_wrd (the r10 slot-51 rider;
-#       relational re-riding is the contiguity price — or rotate the
-#       whole module late), then the full r8-hashed tail —
-#       pandas_surface 3, multimodal 4, relational_extended 9, scd 3,
-#       incremental 3, diagnostics 1, url_ops 1, snapshot_diff 1,
-#       events_analytics 3, sampling_extended 3, enrichment 1,
-#       scd_stream 1, stateful 1 (= 34) — and the oldest r9-hashed
-#       families fill to ~50 (retrieval_fusion 2, ivfadc 2,
-#       semantic_dedup 2).  pca/rollup/sketches/text_formats/... keep
-#       their r9 rows and rotate in r12.
+#   r11 (executed): the three r10 union holes lead — ivf_maintenance 1
+#       (ivf_app), embedding_drift 1 (drift_emb), similarity 5
+#       (declared before ann_eval, whose top-level import would
+#       otherwise splice the 5-query block; similarity re-hashes a
+#       round early as the price), ann_eval 1 (ivf_rec) — then
+#       retrieval 1 (bm25: r8 row, module changed r10 via maintenance
+#       helpers), the full 34-query r8-hashed tail (pandas_surface 3,
+#       multimodal 4, relational_extended 9, scd 3, incremental 3,
+#       diagnostics 1, url_ops 1, snapshot_diff 1, events_analytics 3,
+#       sampling_extended 3, enrichment 1, scd_stream 1, stateful 1),
+#       the oldest r9-hashed families (retrieval_fusion 2, ivfadc 2,
+#       semantic_dedup 2 = slot 49), and relational STRADDLING the
+#       boundary: expl_wrd moved to the module front (the r7 union
+#       straggler that missed the r10 cap) closes the window at slot
+#       50; its 20 r10-hashed siblings ride at 51+.  NEW r11 ops
+#       (index deletion, centroid refresh) register post-window at the
+#       list tail and lead r12.  Window test re-pinned in the same
+#       commit (tests/test_sql_entrypoint.py).
 #   r10 (executed): drift_monitor 1 + retrieval_eval 1 (NEW r9,
 #       registered post-window — the only queries without a driver row
 #       after r9) lead.  retrieval_eval's batch constants moved to the
@@ -216,39 +214,18 @@ ORACLE: dict[str, str] = {}
 # that changes fixture values re-hashes in the round it changes, no
 # exceptions.
 _OPERATOR_MODULES = (
-    # ---- r10 window (slots 1-50): the two union holes lead, then the
-    # model_fit re-hash (policy-exception deferral due + the exact-fit
-    # oracle flips) and the oldest r7-hashed families; see the rotation
-    # ledger for slot math ----
-    "newspapers_etl_spark.operators.drift_monitor",       # 1   drift: first driver row (NEW r9, post-window)
-    "newspapers_etl_spark.operators.retrieval_eval",      # 1   ndcg: first driver row (NEW r9, post-window)
-    "newspapers_etl_spark.operators.model_fit",           # 3   changed r9 (seed helpers, deferred) + r10 (exact-fit oracle flips)
-    "newspapers_etl_spark.operators.text_lm",             # 1   re-hashed r7
-    "newspapers_etl_spark.operators.dedup",               # 10  re-hashed r7
-    "newspapers_etl_spark.operators.extraction_queries",  # 8   re-hashed r7
-    "newspapers_etl_spark.operators.text_scoring",        # 6   5 hashed r8; ppl r7 at the module tail
-    "newspapers_etl_spark.operators.relational",          # 21  re-hashed r7 (j_asof closes the window at 50; expl_wrd rides at 51)
-    # ---- tail: fresh r8/r9 history, rotating forward per the ledger
-    # (retrieval (bm25, r8) + expl_wrd lead the r11 fill). ----
-    "newspapers_etl_spark.operators.retrieval",           # 1   hashed r8
-    "newspapers_etl_spark.operators.retrieval_fusion",    # 2   hashed r9 (slots 1-2)
-    "newspapers_etl_spark.operators.ivfadc",              # 2   hashed r9
-    "newspapers_etl_spark.operators.similarity",          # 5   hashed r9
-    "newspapers_etl_spark.operators.semantic_dedup",      # 2   hashed r9
-    "newspapers_etl_spark.operators.pca",                 # 2   hashed r9
-    "newspapers_etl_spark.operators.rollup",              # 2   hashed r9
-    "newspapers_etl_spark.operators.sketches",            # 1   hashed r9
-    "newspapers_etl_spark.sources.text_formats",          # 4   hashed r9
-    "newspapers_etl_spark.operators.data_quality",        # 1   hashed r9
-    "newspapers_etl_spark.operators.corpus",              # 5   hashed r9
-    "newspapers_etl_spark.operators.sampling",            # 2   hashed r9
-    "newspapers_etl_spark.operators.text_analysis",       # 6   hashed r9
-    "newspapers_etl_spark.operators.events_windows",      # 6   hashed r9
-    "newspapers_etl_spark.operators.pipeline",            # 2   hashed r9
-    "newspapers_etl_spark.sinks.verified",                # 1   hashed r9
-    "newspapers_etl_spark.operators.dedup_scale",         # 1   hashed r9
-    "newspapers_etl_spark.operators.corpus_overlap",      # 2   hashed r9
-    "newspapers_etl_spark.streaming.incremental_stream",  # 4   hashed r9
+    # ---- r11 window (slots 1-50): the three r10 union holes lead
+    # (similarity declared before ann_eval: top-level import), then
+    # bm25 (r8 row + module changed r10 via maintenance helpers), the
+    # 34-query r8-hashed tail, the oldest r9-hashed families to 49,
+    # and relational STRADDLES the boundary — expl_wrd (moved to the
+    # module front; the r7 union straggler) closes the window at slot
+    # 50 while its 20 r10-hashed siblings ride at 51+. ----
+    "newspapers_etl_spark.operators.ivf_maintenance",     # 1   ivf_app: first driver row (NEW r10, post-window)
+    "newspapers_etl_spark.operators.embedding_drift",     # 1   drift_emb: first driver row (NEW r10, post-window)
+    "newspapers_etl_spark.operators.similarity",          # 5   hashed r9; re-hashes early (ann_eval import price)
+    "newspapers_etl_spark.operators.ann_eval",            # 1   ivf_rec: first driver row (NEW r10, post-window)
+    "newspapers_etl_spark.operators.retrieval",           # 1   bm25 hashed r8; module changed r10 (maintenance helpers)
     "newspapers_etl_spark.operators.pandas_surface",      # 3   hashed r8
     "newspapers_etl_spark.operators.multimodal",          # 4   hashed r8
     "newspapers_etl_spark.operators.relational_extended", # 9   hashed r8
@@ -261,21 +238,33 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.sampling_extended",   # 3   hashed r8
     "newspapers_etl_spark.streaming.enrichment",          # 1   hashed r8
     "newspapers_etl_spark.streaming.scd_stream",          # 1   hashed r8
-    "newspapers_etl_spark.streaming.stateful",            # 1   hashed r8
-    # ivf_app/drift_emb/ivf_rec are NEW r10 and register POST-window
-    # (the bm25/bm25_b/drift precedent): the r10 window was designed
-    # full at exactly 50 before they landed.  All three are
-    # oracle-backed, sweep-green and pytest-covered this round and LEAD
-    # the r11 window.  Their registrations triggered rename waves 6 and
-    # 7 ("r10"/"r10b" maps in RENAMES.json) to keep the 1-decimal bench
-    # stdout band.  Note for r11: bm25 also changed r10 through
-    # NON-query-path maintenance helpers only (append fingerprint,
-    # compaction, two-ledger pointer) — the registered query function is
-    # untouched and full-sweep-verified output-identical; it rides at
-    # slot 52 and re-hashes in r11 as already ledgered.
-    "newspapers_etl_spark.operators.ivf_maintenance",     # 1   NEW r10 (post-window -> r11 front)
-    "newspapers_etl_spark.operators.embedding_drift",     # 1   NEW r10 (post-window -> r11 front)
-    "newspapers_etl_spark.operators.ann_eval",            # 1   NEW r10 (post-window -> r11 front)
+    "newspapers_etl_spark.streaming.stateful",            # 1   hashed r8 (slot 43)
+    "newspapers_etl_spark.operators.retrieval_fusion",    # 2   hashed r9 (oldest-r9 fill)
+    "newspapers_etl_spark.operators.ivfadc",              # 2   hashed r9
+    "newspapers_etl_spark.operators.semantic_dedup",      # 2   hashed r9 (slot 49)
+    "newspapers_etl_spark.operators.relational",          # 21  expl_wrd first = slot 50; 20 r10-hashed ride 51+
+    # ---- tail: fresh r9/r10 history, rotating forward in r12 ----
+    "newspapers_etl_spark.operators.pca",                 # 2   hashed r9
+    "newspapers_etl_spark.operators.rollup",              # 2   hashed r9
+    "newspapers_etl_spark.operators.sketches",             # 1   hashed r9
+    "newspapers_etl_spark.sources.text_formats",          # 4   hashed r9
+    "newspapers_etl_spark.operators.data_quality",        # 1   hashed r9
+    "newspapers_etl_spark.operators.corpus",              # 5   hashed r9
+    "newspapers_etl_spark.operators.sampling",            # 2   hashed r9
+    "newspapers_etl_spark.operators.text_analysis",       # 6   hashed r9
+    "newspapers_etl_spark.operators.events_windows",      # 6   hashed r9
+    "newspapers_etl_spark.operators.pipeline",            # 2   hashed r9
+    "newspapers_etl_spark.sinks.verified",                # 1   hashed r9
+    "newspapers_etl_spark.operators.dedup_scale",         # 1   hashed r9
+    "newspapers_etl_spark.operators.corpus_overlap",      # 2   hashed r9
+    "newspapers_etl_spark.streaming.incremental_stream",  # 4   hashed r9
+    "newspapers_etl_spark.operators.drift_monitor",       # 1   hashed r10 (slot 1)
+    "newspapers_etl_spark.operators.retrieval_eval",      # 1   hashed r10 (slot 2)
+    "newspapers_etl_spark.operators.model_fit",           # 3   hashed r10
+    "newspapers_etl_spark.operators.text_lm",             # 1   hashed r10
+    "newspapers_etl_spark.operators.dedup",               # 10  hashed r10
+    "newspapers_etl_spark.operators.extraction_queries",  # 8   hashed r10
+    "newspapers_etl_spark.operators.text_scoring",        # 6   hashed r10
 )
 
 _loaded = False

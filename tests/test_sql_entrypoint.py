@@ -174,36 +174,47 @@ def test_registry_registration_order_is_contiguous_per_module():
         f"realized {block_order} vs declared {declared}; a top-level "
         "cross-module operator import is splicing a whole block"
     )
-    # And the r10 window design holds: drift/ndcg's first-ever driver
-    # rows at slots 1-2 (the only r1-r9 union holes), the model_fit
-    # re-hash (policy-exception deferral due + the exact-fit oracle
-    # flips) at 3-5, and the oldest r7-hashed families filling to 50 —
-    # see the rotation ledger in registry.py.
+    # And the r11 window design holds: the three r10 union holes lead
+    # (ivf_app slot 1, drift_emb slot 2, ivf_rec at 8 behind the
+    # similarity block its module imports), bm25 at 9 (r8 row + module
+    # changed r10), the 34-query r8-hashed tail, the oldest r9 families
+    # to 49, and expl_wrd (the r7 union straggler, moved to the front
+    # of relational.py) closing the window at slot 50 — see the
+    # rotation ledger in registry.py.
     window = set(names[:50])
     for required in (
-        # the only queries with no driver hash row in the r1-r9 union
-        "drift", "ndcg",
-        # changed r9 (seed helpers, deferred) + r10 (oracle flips)
-        "fit_pq", "fit_pca", "fit_anc",
-        # last driver-hashed r7 (stalest history, full re-hash)
-        "ppl2", "ppl",
-        "dd_exact", "jaccard", "dd_spans", "lsh_ver", "dd_emb",
-        "sh_pairs", "sh_bkts", "decontam", "cc_clust",
-        "ex_fall", "ex_date", "ex_sanit", "rlike", "ex_mime", "ex_md5",
-        "len_hist", "ngrams", "lg_conf", "compress", "zipf",
-        "flagship", "q1_price", "agg_roll", "j_star", "j_semi",
-        "j_anti", "jrange", "win_topn", "topk_ln", "setops",
-        "agg_coll", "j_asof",
+        # the only queries with no driver hash row in the r1-r10 union
+        "ivf_app", "drift_emb", "ivf_rec",
+        # r8-hashed row + module changed r10 (maintenance helpers)
+        "bm25",
+        # the oldest union row (r7 — missed the r10 window cap)
+        "expl_wrd",
+        # last driver-hashed r8 (stalest bulk history, full re-hash)
+        "pd_stats", "pd_chunks", "pd_quant",
+        "mm_man", "mm_meta", "mm_frm", "mm_dec",
+        "q3_ship", "q5_vol", "unpivot", "exp_o", "agg_pctl",
+        "tdigest", "a_argmm", "win_dist", "cohorts",
+        "scd2", "scd2_pit", "scd_enr",
+        "inc_ct", "inc_vr", "inc_rt",
+        "skew", "urlcan", "snapdf",
+        "ev_anm", "ev_gaps", "ev_out",
+        "tk_lang", "tok_bud", "q_samp",
+        "st_enr", "st_scd", "st_state",
+        # oldest r9-hashed fill
+        "bm25_b", "rrf", "ivfadc", "ivfadc_r", "semdedup", "pq_codes",
     ):
         assert required in window, f"{required} fell out of the window"
-    assert names[:2] == ["drift", "ndcg"], (
-        f"drift/ndcg must lead the r10 window: {names[:3]}"
+    assert names[:2] == ["ivf_app", "drift_emb"], (
+        f"ivf_app/drift_emb must lead the r11 window: {names[:3]}"
     )
-    # j_asof closes the window; relational's last query and the
-    # r8/r9-fresh families ride behind (rotation ledger: expl_wrd +
-    # retrieval (bm25) lead the r11 fill).
-    assert names[49] == "j_asof", f"window boundary drifted: {names[45:52]}"
-    assert names[50:52] == ["expl_wrd", "bm25"], (
+    assert names[7:9] == ["ivf_rec", "bm25"], (
+        f"ivf_rec/bm25 slots drifted: {names[6:10]}"
+    )
+    # expl_wrd closes the window; relational's 20 r10-hashed queries
+    # ride behind (rotation ledger: drift_monitor..text_scoring tail
+    # rotates forward in r12).
+    assert names[49] == "expl_wrd", f"window boundary drifted: {names[45:52]}"
+    assert names[50] == "flagship", (
         f"boundary riders drifted: {names[50:53]}"
     )
 
