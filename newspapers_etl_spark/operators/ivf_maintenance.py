@@ -188,6 +188,33 @@ def _cell_stats(coded_with_emb: DataFrame) -> DataFrame:
     )
 
 
+def _merge_cell_stats(both: DataFrame) -> DataFrame:
+    """Fold a union of per-cell (n, svec) contributions into one pair
+    per cell — the combinable merge both the append (positive batch
+    stats) and the delete (NEGATED batch stats) publish through.  Sums
+    at the (cell, pos) grain; a cell whose count reaches 0 is dropped,
+    matching a rebuild that never saw its members (its svec is exactly
+    zero too: the fixture embeddings are float32 values — multiples of
+    2^-30 with bounded magnitude — whose double sums stay inside the
+    53-bit window, so subtraction cancels without residue; corpora
+    outside that window cancel to an ulp, and the n==0 drop still
+    applies because counts are integers)."""
+    return (
+        both.select("cell", "n", F.posexplode("svec"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("col").alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "s")))
+            .getField("s")
+            .alias("svec")
+        )
+        .join(both.groupBy("cell").agg(F.sum("n").alias("n")), "cell")
+        .filter(F.col("n") > 0)
+        .select("cell", "n", "svec")
+    )
+
+
 def fit_models(
     e_fit: DataFrame,
 ) -> tuple[list[tuple[int, list[float]]], list[tuple[int, list[float]]]]:
@@ -323,19 +350,7 @@ def append_ivf_index(
         # coded — the success-path-only unpersist would leak the cache
         # whenever the write or publish throws (cache.py discipline).
         both = old.unionByName(batch_stats).persist()
-        merged = (
-            both.select("cell", "n", F.posexplode("svec"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("col").alias("s"))
-            .groupBy("cell")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "s")))
-                .getField("s")
-                .alias("svec")
-            )
-            .join(both.groupBy("cell").agg(F.sum("n").alias("n")), "cell")
-            .select("cell", "n", "svec")
-        )
+        merged = _merge_cell_stats(both)
         gen_no, new_name = allocate_generation(stats_root)
         merged.write.mode("overwrite").parquet(f"{stats_root}/{new_name}")
         publish_generation(
@@ -353,9 +368,118 @@ def append_ivf_index(
             both.unpersist()
 
 
+def delete_from_ivf_index(
+    spark: SparkSession,
+    e_deleted: DataFrame,
+    path: str,
+    batch_id: str,
+) -> None:
+    """Remove vectors from the index WITHOUT rewriting any code root —
+    the shrink half of the maintenance contract (a 100 TB corpus also
+    shrinks: dedup kills documents, takedowns remove them).  O(delete
+    batch) work:
+
+    - ``e_deleted`` is the (vec_id, embedding) relation of the vectors
+      being removed — the caller HAS these rows (a takedown or dedup
+      pipeline deletes documents it holds), and the raw vector is what
+      lets the per-cell stats pair SUBTRACT combinably: the batch is
+      assigned under the frozen model (the same pure function that
+      placed it at index time, so the subtraction hits exactly the
+      cells the original encode credited) and its (n, svec) lands
+      NEGATED in the standard merge.  Null-embedding rows are ignored
+      (they were never indexed — ``_encode`` filters them on every
+      path).
+    - the deleted ids land in a ``tombs-batch-<id>`` parquet root
+      (staged + atomic rename, the batch protocol) that readers
+      ANTI-JOIN; the pointer's ``live_tombstones`` ledger lists the
+      roots still to apply and ``applied_deletes`` is the append-only
+      idempotency ledger (a retry of a published delete no-ops; a
+      late retry of a delete whose tombstones a compaction already
+      folded must stay a no-op, so the two survive differently —
+      exactly the applied/live batch split).
+    - tombstones and the subtracted stats become visible ATOMICALLY
+      together: both ride the one generation-pointer publish.
+
+    The caller owns membership: deleting a vec_id that is not in the
+    index (or deleting the same id through two different batch_ids)
+    corrupts the subtracted stats — the same edge the append's
+    doc-disjointness contract guards.  SINGLE WRITER ASSUMED, like
+    every generation-pointer publisher."""
+    from newspapers_etl_spark.sinks.verified import (
+        allocate_generation,
+        current_pointer,
+        expose_staged_batch,
+        publish_generation,
+        read_current,
+    )
+
+    stats_root = f"{path}/stats"
+    ptr = current_pointer(stats_root)
+    applied_del = list(ptr.get("applied_deletes", [])) if ptr else []
+    tombs = list(ptr.get("live_tombstones", [])) if ptr else []
+    if batch_id in applied_del:
+        return
+
+    cents, codebook = _read_model(spark, path)
+    coded = _encode(e_deleted, cents, codebook, with_embedding=True).persist()
+    both = None
+    try:
+        staging = f"{path}/_tombs-batch-{batch_id}"
+        coded.select("vec_id").write.mode("overwrite").parquet(staging)
+        if expose_staged_batch(
+            path, f"_tombs-batch-{batch_id}", f"tombs-batch-{batch_id}"
+        ):
+            tombs_after = tombs + [batch_id]
+        else:
+            tombs_after = tombs
+
+        old = read_current(spark, stats_root)
+        neg = _cell_stats(coded).select(
+            "cell",
+            (-F.col("n")).alias("n"),
+            F.transform("svec", lambda s: -s).alias("svec"),
+        )
+        both = old.unionByName(neg).persist()
+        merged = _merge_cell_stats(both)
+        gen_no, new_name = allocate_generation(stats_root)
+        merged.write.mode("overwrite").parquet(f"{stats_root}/{new_name}")
+        publish_generation(
+            stats_root,
+            gen_no,
+            new_name,
+            meta={
+                "applied_deletes": applied_del + [batch_id],
+                "live_tombstones": tombs_after,
+            },
+        )
+    finally:
+        coded.unpersist()
+        if both is not None:
+            both.unpersist()
+
+
+def _live_tombstones(
+    spark: SparkSession, path: str, ptr: dict | None
+) -> DataFrame | None:
+    """Union of the live tombstone roots, or None when there are none —
+    readers skip the anti-join entirely in the no-deletes case, so the
+    delete feature costs nothing until it is used."""
+    from functools import reduce
+
+    tombs = list(ptr.get("live_tombstones", [])) if ptr else []
+    if not tombs:
+        return None
+    return reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(f"{path}/tombs-batch-{b}") for b in tombs],
+    )
+
+
 def read_ivf_codes(spark: SparkSession, path: str) -> DataFrame:
     """The live code relation: the current base root plus every batch
-    the stats pointer's LIVE ledger records — derived from the POINTER,
+    the stats pointer's LIVE ledger records, minus the live tombstone
+    roots (anti-join on vec_id — deleted codes stay on disk until the
+    next compaction folds them out) — all derived from the POINTER,
     never a directory listing, so a batch's codes and stats appear
     atomically together and a compaction's single metadata write flips
     readers to the folded root (the BM25 reader contract)."""
@@ -371,9 +495,13 @@ def read_ivf_codes(spark: SparkSession, path: str) -> DataFrame:
         else []
     )
     roots = [f"{path}/{base}"] + [f"{path}/codes-batch-{b}" for b in batches]
-    return reduce(
+    codes = reduce(
         DataFrame.unionByName, [spark.read.parquet(r) for r in roots]
     )
+    t = _live_tombstones(spark, path, ptr)
+    if t is not None:
+        codes = codes.join(t, "vec_id", "left_anti")
+    return codes
 
 
 def compact_ivf_codes(
@@ -418,9 +546,30 @@ def compact_ivf_codes(
     union = reduce(
         DataFrame.unionByName, [spark.read.parquet(r) for r in old_roots]
     )
+    # Fold the live tombstones INTO the compacted root (the deleted
+    # rows finally leave disk) and reset ``live_tombstones`` in the
+    # same pointer flip; ``applied_deletes`` survives, like
+    # ``applied_batches`` — a late retry of a folded delete must no-op.
+    tomb_roots = [
+        f"{path}/tombs-batch-{b}"
+        for b in list(ptr.get("live_tombstones", []))
+    ]
+    t = _live_tombstones(spark, path, ptr)
+    if t is not None:
+        union = union.join(t, "vec_id", "left_anti")
     union.repartition(_OC_CELLS, "cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/_{new_root}")
+    from newspapers_etl_spark.sinks.verified import has_parquet_data
+
+    if not has_parquet_data(f"{path}/_{new_root}"):
+        # Every row deleted: a partitioned write of an empty relation
+        # leaves a fileless root (UNABLE_TO_INFER_SCHEMA for readers) —
+        # replace it with a typed empty parquet so the index stays
+        # readable as zero rows.
+        spark.createDataFrame(
+            [], "vec_id long, cell int, codes array<int>"
+        ).write.mode("overwrite").parquet(f"{path}/_{new_root}")
     os_path = local_fs_path(path)
     final_dir = os.path.join(os_path, new_root)
     shutil.rmtree(final_dir, ignore_errors=True)
@@ -431,8 +580,9 @@ def compact_ivf_codes(
         root_key="codes_root",
         new_root=new_root,
         compactions=n,
-        old_roots=old_roots,
+        old_roots=old_roots + tomb_roots,
         keep_old_roots=keep_old_roots,
+        extra_meta={"live_tombstones": []},
     )
     return new_root
 

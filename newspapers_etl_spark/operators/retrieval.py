@@ -226,11 +226,18 @@ def write_bm25_postings(
     _corpus_stats(staged).write.mode("overwrite").parquet(f"{path}/stats")
 
 
-def _staged_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
+def _staged_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, ts) token relation from a documents relation — the one
+    tokenize the initial write, the append AND the delete all share, so
+    a deleted document's dl is recomputed by the same pure function
+    that counted it in."""
+    return docs.select(
         "doc_id", F.filter(words("text"), lambda x: x != "").alias("ts")
     )
+
+
+def _staged_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _staged_of(load_table(spark, sf_dir, "documents"))
 
 
 def _postings_of(staged: DataFrame, shards: int) -> DataFrame:
@@ -393,6 +400,98 @@ def append_bm25_postings(
     )
 
 
+def delete_bm25_docs(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    batch_id: str,
+) -> None:
+    """Remove documents from the posting index WITHOUT rewriting any
+    posting root — the shrink half of index maintenance (dedup kills
+    documents, takedowns remove them; a 100 TB index must shed them in
+    O(delete batch), not O(index)).
+
+    ``docs`` is the (doc_id, text) relation of the documents being
+    removed — the caller HAS these rows, and re-tokenizing them with
+    the SAME pure function that indexed them is what lets the
+    (n, sum_dl) stats pair SUBTRACT combinably: document lengths are
+    integer-valued doubles, so the subtraction is exact and a
+    delete-then-compact index equals the never-indexed-them rebuild
+    bit-for-bit.  EVERY deleted doc_id enters the tombstone root (even
+    token-less documents — they counted in n), which readers anti-join
+    on doc_id; per-term document frequencies need no bookkeeping
+    because df is derived from the surviving postings at query time.
+
+    Pointer protocol mirrors the append exactly: ``applied_deletes`` is
+    the append-only idempotency ledger (survives compaction — a late
+    retry of a folded delete must no-op), ``live_tombstones`` lists the
+    roots readers still anti-join (compaction folds them in and resets
+    it), and tombstones + subtracted stats become visible atomically
+    together through the one generation publish.  The caller owns
+    membership (deleting an unindexed doc_id, or the same id through
+    two batch_ids, corrupts the subtraction — the append's
+    doc-disjointness contract, in reverse).  SINGLE WRITER ASSUMED."""
+    from newspapers_etl_spark.sinks.verified import (
+        allocate_generation,
+        current_pointer,
+        expose_staged_batch,
+        publish_generation,
+        read_current,
+    )
+
+    stats_root = f"{path}/stats"
+    ptr = current_pointer(stats_root)
+    applied_del = list(ptr.get("applied_deletes", [])) if ptr else []
+    tombs = list(ptr.get("live_tombstones", [])) if ptr else []
+    if batch_id in applied_del:
+        return
+
+    staged = _staged_of(docs)
+    staging = f"{path}/_tombs-batch-{batch_id}"
+    staged.select("doc_id").write.mode("overwrite").parquet(staging)
+    if expose_staged_batch(
+        path, f"_tombs-batch-{batch_id}", f"tombs-batch-{batch_id}"
+    ):
+        tombs_after = tombs + [batch_id]
+    else:
+        tombs_after = tombs
+
+    old = read_current(spark, stats_root).collect()[0]
+    gone = _corpus_stats(staged).collect()[0]
+    merged = spark.createDataFrame(
+        [(float(old["n"]) - float(gone["n"]),
+          float(old["sum_dl"] or 0.0) - float(gone["sum_dl"] or 0.0))],
+        "n double, sum_dl double",
+    )
+    gen_no, new_name = allocate_generation(stats_root)
+    merged.write.mode("overwrite").parquet(f"{stats_root}/{new_name}")
+    publish_generation(
+        stats_root,
+        gen_no,
+        new_name,
+        meta={
+            "applied_deletes": applied_del + [batch_id],
+            "live_tombstones": tombs_after,
+        },
+    )
+
+
+def _live_doc_tombstones(
+    spark: SparkSession, path: str, ptr: dict | None
+) -> DataFrame | None:
+    """Union of the live tombstone roots, or None when there are none —
+    the read path skips the anti-join entirely until a delete lands."""
+    from functools import reduce
+
+    tombs = list(ptr.get("live_tombstones", [])) if ptr else []
+    if not tombs:
+        return None
+    return reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(f"{path}/tombs-batch-{b}") for b in tombs],
+    )
+
+
 def compact_bm25_postings(
     spark: SparkSession,
     path: str,
@@ -461,9 +560,30 @@ def compact_bm25_postings(
     union = reduce(
         DataFrame.unionByName, [spark.read.parquet(r) for r in old_roots]
     )
+    # Fold the live tombstones into the compacted root (deleted docs'
+    # postings finally leave disk); the ledger reset rides the SAME
+    # atomic pointer flip.  ``applied_deletes`` survives, like
+    # ``applied_batches`` — a late retry of a folded delete must no-op.
+    tomb_roots = [
+        f"{path}/tombs-batch-{b}"
+        for b in list(ptr.get("live_tombstones", []))
+    ]
+    t = _live_doc_tombstones(spark, path, ptr)
+    if t is not None:
+        union = union.join(t, "doc_id", "left_anti")
     union.repartition(shards, "term_shard").write.mode(
         "overwrite"
     ).partitionBy("term_shard").parquet(f"{path}/_{new_root}")
+    from newspapers_etl_spark.sinks.verified import has_parquet_data
+
+    if not has_parquet_data(f"{path}/_{new_root}"):
+        # Every posting deleted: keep the root readable as zero rows
+        # (a fileless partitioned root breaks readers).
+        spark.createDataFrame(
+            [],
+            "doc_id bigint, term string, tf double, dl double, "
+            "term_shard int",
+        ).write.mode("overwrite").parquet(f"{path}/_{new_root}")
     os_path = local_fs_path(path)
     final_dir = os.path.join(os_path, new_root)
     shutil.rmtree(final_dir, ignore_errors=True)
@@ -474,8 +594,9 @@ def compact_bm25_postings(
         root_key="postings_root",
         new_root=new_root,
         compactions=n,
-        old_roots=old_roots,
+        old_roots=old_roots + tomb_roots,
         keep_old_roots=keep_old_roots,
+        extra_meta={"live_tombstones": []},
     )
     return new_root
 
@@ -547,6 +668,13 @@ def retrieval_bm25_topk_from_postings(
         .filter(F.col("term").isin(*terms))
         .select("doc_id", "term", "tf", "dl")
     )
+    # Deleted documents: anti-join the live tombstone roots BEFORE df
+    # is derived, so document frequencies count only surviving docs
+    # (stats were already subtracted at delete time).  Costs nothing
+    # until a delete lands (t is None → plan unchanged).
+    t = _live_doc_tombstones(spark, path, ptr)
+    if t is not None:
+        tf = tf.join(t, "doc_id", "left_anti")
     dft = tf.groupBy("term").agg(
         F.count_distinct("doc_id").cast("double").alias("dft")
     )

@@ -358,6 +358,7 @@ def flip_compacted_roots(
     compactions: int,
     old_roots: list[str],
     keep_old_roots: bool = False,
+    extra_meta: dict | None = None,
 ) -> None:
     """The compaction publish, shared by the BM25 and IVF compactions:
     ONE atomic pointer-metadata write flips readers to ``new_root``,
@@ -367,7 +368,14 @@ def flip_compacted_roots(
     the list cleared.  A crash between flip and reap leaves the names
     in the pointer for ``reap_pending_roots`` to finish — the
     alternative (compute old roots on retry) reads the NEW pointer and
-    would orphan a full index copy per crash."""
+    would orphan a full index copy per crash.
+
+    ``extra_meta`` rides the SAME atomic write — a compaction that
+    folds tombstones into the new root must reset ``live_tombstones``
+    in the very update that flips the root, or a crash in between
+    would leave readers anti-joining deletions the fold already
+    applied (harmless) or, worse ordered the other way, reading
+    deleted rows back."""
     import os
 
     base = local_fs_path(table_root)
@@ -379,6 +387,7 @@ def flip_compacted_roots(
             "live_batches": [],
             "compactions": compactions,
             "reap_roots": [] if keep_old_roots else rel,
+            **(extra_meta or {}),
         },
     )
     reap_pending_roots(stats_root, table_root)
