@@ -179,7 +179,7 @@ GROUP BY source
 """
 
 
-@query("qual_clf", oracle=QUALITY_CLF_ORACLE)
+@query("q_clf", oracle=QUALITY_CLF_ORACLE)
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick linear quality classifier over documents: each
     token hashes (md5 first hex digit) to one of 16 buckets carrying an

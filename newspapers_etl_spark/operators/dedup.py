@@ -53,7 +53,7 @@ GROUP BY fingerprint
 """
 
 
-@query("dd_exact", oracle=EXACT_DEDUP_ORACLE)
+@query("dd_ex", oracle=EXACT_DEDUP_ORACLE)
 def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup as hash-groupBy on the order-insensitive content
     fingerprint: keeper = lowest doc_id per group.  The 16-byte key is
@@ -1082,7 +1082,7 @@ WHERE t.doc_id % {DECONTAM_BENCH_MOD} <> 0
 """
 
 
-@query("decontam", oracle=DECONTAM_ORACLE)
+@query("decon", oracle=DECONTAM_ORACLE)
 def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag every training doc that shares an
     8-gram with the held-out benchmark set (the GPT-3/Llama eval-overlap
@@ -1237,7 +1237,7 @@ FROM lab
 """
 
 
-@query("cc_clust", oracle=CLUSTERS_ORACLE)
+@query("cc_cl", oracle=CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified near-duplicate pair graph
     (pairs from dedup_emb_neardup, whose LSH planes are oracle-mirrored)

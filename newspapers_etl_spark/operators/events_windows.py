@@ -90,7 +90,7 @@ GROUP BY 1
 """
 
 
-@query("ev_slide", oracle=SLIDING_ORACLE)
+@query("ev_sld", oracle=SLIDING_ORACLE)
 def events_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping window: 1-hour windows every 30 minutes.  Spark expands
     each row into length/slide = 2 window assignments map-side, then

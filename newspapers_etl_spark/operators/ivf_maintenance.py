@@ -73,8 +73,11 @@ BASE_PREDICATE = "vec_id % 4 < 3"
 
 _ASG_DOT = SQL_DOT.format(a="n_.embedding", b="c.cvec")
 
-IVF_APP_ORACLE = f"""
-WITH nnall AS (
+# The frozen-model replay fragment shared with the refresh oracle
+# (operators/ivf_refresh.py): full non-null corpus, exact Lloyd fit on
+# the fit slice, frozen assignment of everything, frozen first-K
+# codebook, PQ encode.  Composes as ``WITH {IVF_FROZEN_CTES} ...``.
+IVF_FROZEN_CTES = f"""nnall AS (
   SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
 ),
 {lloyd_centroid_ctes(_OC_CELLS, _OC_ITERS, where=FIT_PREDICATE)},
@@ -112,7 +115,10 @@ enc AS (
     CROSS JOIN (SELECT unnest(range({_OC_SUBS})) AS sub) s
     CROSS JOIN cbk c
   ) WHERE rk = 1
-)
+)"""
+
+IVF_APP_ORACLE = f"""
+WITH {IVF_FROZEN_CTES}
 SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
        array_to_string(list(CAST(e.code AS VARCHAR) ORDER BY e.sub), '-')
          AS codes_fp
@@ -443,6 +449,16 @@ def delete_from_ivf_index(
         merged = _merge_cell_stats(both)
         gen_no, new_name = allocate_generation(stats_root)
         merged.write.mode("overwrite").parquet(f"{stats_root}/{new_name}")
+        from newspapers_etl_spark.sinks.verified import has_parquet_data
+
+        if not has_parquet_data(f"{stats_root}/{new_name}"):
+            # Everything deleted: the shuffled empty relation writes NO
+            # part files (AQE coalesces to zero partitions) and a
+            # fileless generation breaks read_current — replace with a
+            # typed empty local write, which does emit a schema file.
+            spark.createDataFrame(
+                [], "cell int, n long, svec array<double>"
+            ).write.mode("overwrite").parquet(f"{stats_root}/{new_name}")
         publish_generation(
             stats_root,
             gen_no,
@@ -625,7 +641,16 @@ def ivf_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     build_ivf_index(spark, base, path, e_encode=base, models=models)
     append_ivf_index(spark, batch, path, batch_id="b1")
-    return read_ivf_codes(spark, path).select(
+    return codes_fingerprint(read_ivf_codes(spark, path))
+
+
+def codes_fingerprint(codes: DataFrame) -> DataFrame:
+    """(vec_id, cell, codes_fp): the driver-hashable view of a code
+    relation — codes_fp is the '-'-joined PQ codes (a string, not an
+    array: the value-hash canonicalizer wants hashable cells).  Shared
+    by the maintenance roundtrip queries (ivf_app here, ivf_del in
+    operators/index_delete.py)."""
+    return codes.select(
         "vec_id",
         F.col("cell").cast("int").alias("cell"),
         F.concat_ws(

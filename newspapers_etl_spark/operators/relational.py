@@ -187,7 +187,7 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
-@query("agg_roll", oracle=ROLLUP_ORACLE)
+@query("a_roll", oracle=ROLLUP_ORACLE)
 def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (absent from the reference — SURVEY §2.4 lists
     grouping sets as a built-in the rebuild exposes)."""
@@ -217,7 +217,7 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
-@query("agg_cube", oracle=CUBE_ORACLE)
+@query("a_cube", oracle=CUBE_ORACLE)
 def agg_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all 2^2 grouping combinations in
     one pass — map-side expansion, no query union (SURVEY §2.4; absent
@@ -636,7 +636,7 @@ GROUP BY l_orderkey
 """
 
 
-@query("agg_coll", oracle=COLLECT_ORACLE)
+@query("a_coll", oracle=COLLECT_ORACLE)
 def agg_collect_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group collection (A4; reference accumulates per-issue filename
     lists, src/01-scrape-images.py:330-343).  collect_list is arrival-order

@@ -228,7 +228,7 @@ GROUP BY l_returnflag
 """
 
 
-@query("agg_pctl", oracle=PERCENTILES_ORACLE)
+@query("a_pctl", oracle=PERCENTILES_ORACLE)
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated percentiles per group (`percentile` =
     DuckDB's quantile_cont).  Exact percentile buffers the group's

@@ -52,11 +52,18 @@ from newspapers_etl_spark.registry import query
 
 _TERMS_SQL = "', '".join(BM25_QUERY_TERMS)
 
-BM25_ORACLE = rf"""
+
+def bm25_oracle_sql(where: str | None = None) -> str:
+    """The BM25 replay SQL, optionally over a narrowed corpus —
+    ``where`` filters the documents feeding the index (the deletion
+    oracle scores the survivors; the default is byte-identical to the
+    registered ``bm25`` oracle)."""
+    extra = f"\n  WHERE {where}" if where else ""
+    return rf"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ts
-  FROM documents
+  FROM documents{extra}
 ),
 dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM toks),
 hits AS (
@@ -94,6 +101,9 @@ FROM scored
 ORDER BY s9 DESC, doc_id ASC
 LIMIT {BM25_TOP_K}
 """
+
+
+BM25_ORACLE = bm25_oracle_sql()
 
 
 @query("bm25", oracle=BM25_ORACLE)
@@ -217,6 +227,17 @@ def write_bm25_postings(
     postings.repartition(shards, "term_shard").write.mode("overwrite").partitionBy(
         "term_shard"
     ).parquet(f"{path}/postings")
+    from newspapers_etl_spark.sinks.verified import has_parquet_data
+
+    if not has_parquet_data(f"{path}/postings"):
+        # Empty corpus: a partitioned write of an empty relation leaves
+        # a fileless root (UNABLE_TO_INFER_SCHEMA for readers) — keep
+        # the index readable as zero rows.
+        spark.createDataFrame(
+            [],
+            "doc_id bigint, term string, tf double, dl double, "
+            "term_shard int",
+        ).write.mode("overwrite").parquet(f"{path}/postings")
     # Stats are stored as the COMBINABLE pair (n, sum_dl), not avgdl:
     # document lengths are integer-valued doubles, so sums are exact
     # (< 2^53) and an incremental append's merged stats equal the
@@ -687,7 +708,11 @@ def retrieval_bm25_topk_from_postings(
     from newspapers_etl_spark.sinks.verified import read_current
 
     stats = read_current(spark, f"{path}/stats").select(
-        "n", (F.col("sum_dl") / F.col("n")).alias("avgdl")
+        "n",
+        # n can be 0 on an empty or fully-deleted index — the hit
+        # stream is empty then too, so avgdl is never consumed; the
+        # guard only keeps ANSI mode from failing the 1-row projection.
+        F.when(F.col("n") > 0, F.col("sum_dl") / F.col("n")).alias("avgdl"),
     )
     idf = F.log(1 + (F.col("n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
     part9 = F.round(

@@ -71,7 +71,7 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
-@query("bf_topk", oracle=TOPK_ORACLE)
+@query("bf_tk", oracle=TOPK_ORACLE)
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k per probe: broadcast the probe set, score the
     whole corpus once, keep k per probe via a bounded window.  Ranking is
@@ -160,7 +160,7 @@ def lsh_bucket(vec: Column | str, bits: int = LSH_BITS) -> Column:
     return out
 
 
-@query("lsh_topk")  # rows-only: bucket ids are hash-derived
+@query("lsh_tk")  # rows-only: bucket ids are hash-derived
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN: score only corpus vectors in the probe's LSH bucket.
     One linear scan computes buckets, the candidate join is an equi-join

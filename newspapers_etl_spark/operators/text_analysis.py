@@ -284,7 +284,7 @@ FROM grams
 """
 
 
-@query("text_rep", oracle=REPETITION_ORACLE)
+@query("txt_rp", oracle=REPETITION_ORACLE)
 def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-n-gram fraction per document (1 - distinct/total
     trigrams) — the Gopher/RefinedWeb repetition filter that catches

@@ -56,7 +56,7 @@ GROUP BY lang, len_bucket
 """
 
 
-@query("len_hist", oracle=LEN_HIST_ORACLE)
+@query("len_h", oracle=LEN_HIST_ORACLE)
 def text_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language power-of-two length histogram over the pre-computed
     n_chars column — the scan reads exactly two columns (asserted
@@ -179,7 +179,7 @@ def _comp_bytes(texts: pd.Series) -> pd.Series:
 
 
 
-@query("compress")  # rows-only: no zlib on the DuckDB side
+@query("compr")  # rows-only: no zlib on the DuckDB side
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style compressibility signal: zlib-compressed size over
     raw UTF-8 size per document.  Highly repetitive or boilerplate text

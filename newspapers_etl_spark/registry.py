@@ -265,6 +265,16 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.dedup",               # 10  hashed r10
     "newspapers_etl_spark.operators.extraction_queries",  # 8   hashed r10
     "newspapers_etl_spark.operators.text_scoring",        # 6   hashed r10
+    # ivf_del/bm25_d (index deletion roundtrips) and ivf_ref (centroid
+    # refresh decision) are NEW r11 and register POST-window (the
+    # bm25_b/drift/ivf_app precedent): the r11 window was designed full
+    # at exactly 50 before they landed.  All three are oracle-backed,
+    # sweep-green and pytest-covered this round and LEAD the r12
+    # window.  Both modules import ivf_maintenance/retrieval at top
+    # level — safe ONLY because those are declared earlier (already
+    # imported when the loader reaches this tail).
+    "newspapers_etl_spark.operators.index_delete",        # 2   NEW r11 (post-window -> r12 front)
+    "newspapers_etl_spark.operators.ivf_refresh",         # 1   NEW r11 (post-window -> r12 front)
 )
 
 _loaded = False

@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 from newspapers_etl_spark.catalog import SCHEMAS, TABLES, table_path
 from newspapers_etl_spark.registry import all_queries
 
+# whole-module battery: index builds / 142-query sweeps / hypothesis
+pytestmark = pytest.mark.heavy
+
 # Empty as of r8 (was the five literal-model queries through r7):
 # growing this set is a regression and needs a ledger entry.
 KNOWN_MODEL_BACKED_RAISERS: set[str] = set()

@@ -12,6 +12,9 @@ from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
 
+# whole-module battery: index builds / 142-query sweeps / hypothesis
+pytestmark = pytest.mark.heavy
+
 DEL_PRED = "vec_id % 5 = 0"
 DOC_DEL_PRED = "doc_id % 7 = 0"
 
@@ -327,3 +330,32 @@ def test_bm25_delete_is_idempotent_and_crash_safe(
     ptr = verified.current_pointer(f"{path}/stats")
     assert ptr["generation"] == gen1
     assert ptr["applied_deletes"] == ["d1"]
+
+
+# ------------------------------------------------------- oracle parity
+
+
+def test_ivf_del_matches_oracle(spark, sf_dir, oracle):
+    from conftest import assert_matches_oracle
+
+    from newspapers_etl_spark.operators.index_delete import (
+        IVF_DEL_ORACLE,
+        ivf_delete_roundtrip,
+    )
+
+    assert_matches_oracle(
+        ivf_delete_roundtrip(spark, sf_dir), oracle, IVF_DEL_ORACLE
+    )
+
+
+def test_bm25_d_matches_oracle(spark, sf_dir, oracle):
+    from conftest import assert_matches_oracle
+
+    from newspapers_etl_spark.operators.index_delete import (
+        BM25_DEL_ORACLE,
+        bm25_delete_roundtrip,
+    )
+
+    assert_matches_oracle(
+        bm25_delete_roundtrip(spark, sf_dir), oracle, BM25_DEL_ORACLE
+    )

@@ -5,10 +5,14 @@ deadline is disabled — JVM latency is not a property failure."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
+
+# whole-module battery: index builds / 142-query sweeps / hypothesis
+pytestmark = pytest.mark.heavy
 
 SETTINGS = dict(
     max_examples=15,
@@ -360,10 +364,10 @@ def test_lm_surprisal_differential_vs_duckdb_on_any_corpus(spark, docs):
 # fixture-sweep agreement is the contract; adversarial unicode would
 # test DuckDB's regex engine, not this repo.)
 _GENERATED_CORPUS_QUERIES = (
-    "dd_exact",
+    "dd_ex",
     "dd_chk",
     "tokens",
-    "len_hist",
+    "len_h",
     "lang_id",
     "split3",
     "strat",

@@ -192,7 +192,7 @@ def test_registry_registration_order_is_contiguous_per_module():
         # last driver-hashed r8 (stalest bulk history, full re-hash)
         "pd_stats", "pd_chunks", "pd_quant",
         "mm_man", "mm_meta", "mm_frm", "mm_dec",
-        "q3_ship", "q5_vol", "unpivot", "exp_o", "agg_pctl",
+        "q3_ship", "q5_vol", "unpivot", "exp_o", "a_pctl",
         "tdigest", "a_argmm", "win_dist", "cohorts",
         "scd2", "scd2_pit", "scd_enr",
         "inc_ct", "inc_vr", "inc_rt",
