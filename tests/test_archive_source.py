@@ -22,6 +22,7 @@ def archive(spark):
     ).option("papers", 3)
 
 
+@pytest.mark.heavy
 def test_reads_one_row_per_paper_per_day(archive):
     df = archive.load()
     assert df.count() == 31 * 3

@@ -24,6 +24,7 @@ def _stats_rows(df):
     )
 
 
+@pytest.mark.heavy
 def test_ivf_append_equals_rebuild_bit_for_bit(spark, sf_dir, tmp_path):
     """The maintenance contract: build-on-base + append-batch must equal
     encode-everything-under-the-same-frozen-model EXACTLY — codes AND
@@ -88,6 +89,7 @@ def test_ivf_append_is_idempotent_under_retry(spark, sf_dir, tmp_path):
     assert current_pointer(f"{path}/stats")["applied_batches"] == ["b1"]
 
 
+@pytest.mark.heavy
 def test_ivf_stats_pair_reconstructs_cell_means(spark, sf_dir, tmp_path):
     """The stored (n, svec) pair exists so a centroid REFRESH needs no
     corpus pass: svec/n per cell after the append equals the mean of
@@ -258,6 +260,7 @@ def test_drift_emb_detects_planted_shift(spark, tmp_path):
     assert psi_same < 0.05, psi_same
 
 
+@pytest.mark.heavy
 def test_ivf_codes_compaction_folds_roots_and_keeps_ledger(
     spark, sf_dir, tmp_path
 ):
@@ -338,6 +341,7 @@ def test_ivf_rec_bounds_and_coverage(spark, sf_dir):
         assert r["truth_k"] == len(bf[pid])
 
 
+@pytest.mark.heavy
 def test_ivf_append_crash_before_stats_publish_leaves_index_readable(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -381,6 +385,7 @@ def test_ivf_append_crash_before_stats_publish_leaves_index_readable(
     assert set(before) <= set(after)
 
 
+@pytest.mark.heavy
 def test_compaction_crash_before_pointer_flip_is_invisible_and_retryable(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -426,6 +431,7 @@ def test_compaction_crash_before_pointer_flip_is_invisible_and_retryable(
     assert _codes_rows(read_ivf_codes(spark, path)) == before
 
 
+@pytest.mark.heavy
 def test_compaction_crash_after_flip_heals_instead_of_orphaning(
     spark, sf_dir, tmp_path, monkeypatch
 ):

@@ -47,6 +47,8 @@ from newspapers_etl_spark.operators.similarity import (
     _centroids,
 )
 
+pytestmark = pytest.mark.heavy  # 20s fitted-vs-deterministic PQ comparison
+
 N_VECS = 600
 N_CLUSTERS = 8
 DIM = 64

@@ -26,10 +26,13 @@ callables run their micro-batches internally.
 
 from __future__ import annotations
 
+import pytest
+
 from newspapers_etl_spark.plans import lint_violations
 from newspapers_etl_spark.registry import all_queries
 
 
+@pytest.mark.heavy
 def test_no_query_plans_cartesian_or_partitions_by_text(spark, sf_dir):
     violations: list[str] = []
     for name, fn in sorted(all_queries().items()):

@@ -1,5 +1,7 @@
 """BM25 retrieval scoring (operators/retrieval.py)."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.operators.retrieval import (
@@ -204,6 +206,7 @@ def test_bm25_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
     assert got == direct
 
 
+@pytest.mark.heavy
 def test_bm25_append_crash_before_stats_publish_leaves_index_readable(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -296,6 +299,7 @@ def test_bm25_append_crash_before_stats_publish_leaves_index_readable(
     assert again == want
 
 
+@pytest.mark.heavy
 def test_bm25_compaction_folds_roots_and_keeps_ledger(spark, sf_dir, tmp_path):
     """compact_bm25_postings: scores identical before/after, readers
     flip to ONE root, live_batches resets, and — the critical

@@ -3,6 +3,8 @@ re-delivery is a no-op, point-in-time queries see the right version."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -94,6 +96,7 @@ def test_redelivery_is_noop_and_chains_extend(spark):
     assert now.filter("custkey = 1").first().segment == "DIAMOND"
 
 
+@pytest.mark.heavy
 def test_five_sequential_batches_version_chains_and_pit(spark):
     """Depth test (cost-independence claim at scale needs the semantics
     to hold at depth): 5 sequential CDC batches build correct version
