@@ -232,7 +232,7 @@ FROM agg
 """
 
 
-@query("corp_mix", oracle=CORPUS_MIX_ORACLE)
+@query("c_mix", oracle=CORPUS_MIX_ORACLE)
 def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus mixture statistics: document/token totals,
     token share, and a temperature-scaled sampling weight (sqrt of the

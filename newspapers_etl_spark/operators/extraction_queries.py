@@ -217,7 +217,7 @@ FROM raw
 """
 
 
-@query("ex_sanit", oracle=SANITIZE_ORACLE)
+@query("ex_san", oracle=SANITIZE_ORACLE)
 def extract_sanitize_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: strip punctuation + trim + '/'→'-' + NULL→'Unknown' sentinel
     (reference process_search_result, src/01-scrape-images.py:413-420)."""

@@ -73,14 +73,22 @@ BASE_PREDICATE = "vec_id % 4 < 3"
 
 _ASG_DOT = SQL_DOT.format(a="n_.embedding", b="c.cvec")
 
-# The frozen-model replay fragment shared with the refresh oracle
-# (operators/ivf_refresh.py): full non-null corpus, exact Lloyd fit on
-# the fit slice, frozen assignment of everything, frozen first-K
-# codebook, PQ encode.  Composes as ``WITH {IVF_FROZEN_CTES} ...``.
-IVF_FROZEN_CTES = f"""nnall AS (
-  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+def ivf_frozen_ctes(
+    corpus_where: str | None = None, fit_where: str = FIT_PREDICATE
+) -> str:
+    """The frozen-model replay fragment shared with the refresh and
+    rebuild oracles (operators/ivf_refresh.py, index_delete.py):
+    non-null corpus (optionally narrowed — the rebuild replays over the
+    survivors), exact Lloyd fit on the fit slice, frozen assignment of
+    everything, frozen first-K codebook, PQ encode.  Composes as
+    ``WITH {ivf_frozen_ctes()} ...``; the default arguments produce the
+    byte-identical fragment every existing oracle hashes against."""
+    extra = f" AND ({corpus_where})" if corpus_where else ""
+    fit = fit_where if not corpus_where else f"({fit_where}) AND ({corpus_where})"
+    return f"""nnall AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL{extra}
 ),
-{lloyd_centroid_ctes(_OC_CELLS, _OC_ITERS, where=FIT_PREDICATE)},
+{lloyd_centroid_ctes(_OC_CELLS, _OC_ITERS, where=fit)},
 asg AS (
   -- the FULL corpus assigned under the frozen base-fit model (argmax
   -- of the unrounded dot, ties to the smallest cell — _nearest_cell)
@@ -116,6 +124,9 @@ enc AS (
     CROSS JOIN cbk c
   ) WHERE rk = 1
 )"""
+
+
+IVF_FROZEN_CTES = ivf_frozen_ctes()
 
 IVF_APP_ORACLE = f"""
 WITH {IVF_FROZEN_CTES}
@@ -282,15 +293,22 @@ def build_ivf_index(
 def _read_model(
     spark: SparkSession, path: str
 ) -> tuple[list[tuple[int, list[float]]], list[tuple[int, list[float]]]]:
+    """The frozen (centroids, codebook) pair from the LIVE model root —
+    fixed ``model/`` until a rebuild flips the pointer's ``model_root``
+    to its staged replacement (rebuild_ivf_index)."""
+    from newspapers_etl_spark.sinks.verified import current_pointer
+
+    ptr = current_pointer(f"{path}/stats")
+    root = ptr.get("model_root", "model") if ptr else "model"
     cents = [
         (int(r["cell"]), [float(x) for x in r["cvec"]])
-        for r in spark.read.parquet(f"{path}/model/centroids")
+        for r in spark.read.parquet(f"{path}/{root}/centroids")
         .orderBy("cell")
         .collect()
     ]
     codebook = [
         (int(r["code"]), [float(x) for x in r["kvec"]])
-        for r in spark.read.parquet(f"{path}/model/codebook")
+        for r in spark.read.parquet(f"{path}/{root}/codebook")
         .orderBy("code")
         .collect()
     ]
@@ -489,6 +507,124 @@ def _live_tombstones(
         DataFrame.unionByName,
         [spark.read.parquet(f"{path}/tombs-batch-{b}") for b in tombs],
     )
+
+
+def rebuild_ivf_index(
+    spark: SparkSession,
+    e_source: DataFrame,
+    path: str,
+    fit_predicate: str = FIT_PREDICATE,
+) -> str:
+    """Execute a refresh decision: refit the models on the LIVE corpus
+    and re-encode everything into a whole NEW index generation behind
+    ONE atomic pointer flip — the rebuild the churn monitor
+    (operators/ivf_refresh.py) recommends, closing the lifecycle
+    build → append/delete → drift alert → refresh decision → rebuild.
+
+    Unlike compaction (same rows, same models, new layout), a rebuild
+    changes the MODELS, so codes, model and stats must flip together —
+    a reader must never score new codes against the old codebook.  The
+    protocol:
+
+    - membership is what the index says is live: ``read_ivf_codes``
+      vec_ids (batches unioned, tombstones anti-joined), semi-joined
+      against ``e_source`` for the raw vectors (codes are lossy; the
+      corpus table is the system of record at 100 TB).
+    - fit + encode land under the underscore-staged ``_rebuild-N/``
+      (model/ + cell-partitioned codes/), renamed atomically; the new
+      stats land in a fresh stats generation dir.  Everything is
+      invisible until...
+    - ...ONE ``publish_generation`` write flips ``codes_root`` +
+      ``model_root`` + the stats generation and resets both live
+      ledgers, recording every superseded root (old codes/model/batch/
+      tombstone dirs) as ``reap_roots`` in the same write.  The
+      append-only ``applied_batches``/``applied_deletes`` ledgers are
+      carried forward — a late retry of a pre-rebuild batch stays a
+      no-op.
+    - crash before the publish: readers still resolve the old index
+      (the staged or renamed-but-unpublished root is never listed);
+      the retry replaces it wholesale.  Crash after: the next
+      maintenance call reaps the leftovers.
+
+    Returns the new root's name.  Raises on an empty live corpus (an
+    all-deleted index has nothing to refit — the same guard as build).
+    SINGLE WRITER ASSUMED, like every pointer maintenance step."""
+    import os
+    import shutil
+
+    from newspapers_etl_spark.sinks.verified import (
+        allocate_generation,
+        current_pointer,
+        local_fs_path,
+        publish_generation,
+        reap_pending_roots,
+    )
+
+    stats_root = f"{path}/stats"
+    ptr = current_pointer(stats_root)
+    if ptr:
+        reap_pending_roots(stats_root, path)  # heal a crashed prior reap
+    live_ids = read_ivf_codes(spark, path).select("vec_id")
+    # Persist the semi-joined live corpus: the Lloyd fit alone runs
+    # 2·iters+1 actions over it and the encode one more — without the
+    # cache every action re-executes the codes-scan + semi-join.
+    e = e_source.join(live_ids, "vec_id", "left_semi").persist()
+    try:
+        models = fit_models(e.filter(F.expr(fit_predicate)))
+        if not models[0] or not models[1]:
+            raise ValueError(
+                "cannot rebuild an IVF index from an empty live corpus"
+            )
+
+        n = int(ptr.get("rebuilds", 0)) + 1 if ptr else 1
+        new_root = f"rebuild-{n:04d}"
+        staging = f"{path}/_{new_root}"
+        build_ivf_index(spark, e, staging, e_encode=e, models=models)
+    finally:
+        e.unpersist()
+    # build wrote staging/{model,codes,stats}; the stats belong in the
+    # stats root's generation machinery, not the staged tree.
+    gen_no, gen_name = allocate_generation(stats_root)
+    spark.read.parquet(f"{staging}/stats").write.mode("overwrite").parquet(
+        f"{stats_root}/{gen_name}"
+    )
+    os_path = local_fs_path(path)
+    shutil.rmtree(os.path.join(os_path, f"_{new_root}", "stats"))
+    final_dir = os.path.join(os_path, new_root)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(os.path.join(os_path, f"_{new_root}"), final_dir)
+
+    # Superseded roots: the old codes/model roots (collapsed to their
+    # top-level component so a prior rebuild-NNNN shell is removed
+    # whole) plus every live batch and tombstone root.
+    old_codes = ptr.get("codes_root", "codes") if ptr else "codes"
+    old_model = ptr.get("model_root", "model") if ptr else "model"
+    live = (
+        list(ptr.get("live_batches", ptr.get("applied_batches", [])))
+        if ptr
+        else []
+    )
+    tombs = list(ptr.get("live_tombstones", [])) if ptr else []
+    reap = sorted(
+        {old_codes.split("/")[0], old_model.split("/")[0]}
+        | {f"codes-batch-{b}" for b in live}
+        | {f"tombs-batch-{b}" for b in tombs}
+    )
+    publish_generation(
+        stats_root,
+        gen_no,
+        gen_name,
+        meta={
+            "codes_root": f"{new_root}/codes",
+            "model_root": f"{new_root}/model",
+            "live_batches": [],
+            "live_tombstones": [],
+            "rebuilds": n,
+            "reap_roots": reap,
+        },
+    )
+    reap_pending_roots(stats_root, path)
+    return new_root
 
 
 def read_ivf_codes(spark: SparkSession, path: str) -> DataFrame:

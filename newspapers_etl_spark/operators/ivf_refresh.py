@@ -43,8 +43,12 @@ from newspapers_etl_spark.operators.ivf_maintenance import (
     FIT_PREDICATE,
     IVF_FROZEN_CTES,
     build_ivf_index,
+    codes_fingerprint,
+    delete_from_ivf_index,
     fit_models,
+    ivf_frozen_ctes,
     read_ivf_codes,
+    rebuild_ivf_index,
 )
 from newspapers_etl_spark.registry import query
 
@@ -216,3 +220,54 @@ def ivf_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     build_ivf_index(spark, e, path, e_encode=e, models=models)
     return centroid_refresh_decision(spark, path)
+
+
+# --------------------------------------------------------------- rebuild
+
+# The rebuild replays as fit + frozen assignment + encode over the
+# SURVIVORS (the delete slice is index_delete.IVF_DEL_PRED, duplicated
+# here as a literal to keep this module importable standalone): the
+# whole-index generation swap changes models, so the oracle is the
+# append oracle's shape with both the corpus and the fit slice narrowed.
+REBUILD_DEL_PRED = "vec_id % 5 = 0"
+
+IVF_RB_ORACLE = f"""
+WITH {ivf_frozen_ctes(corpus_where=f"NOT ({REBUILD_DEL_PRED})")}
+SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+       array_to_string(list(CAST(e.code AS VARCHAR) ORDER BY e.sub), '-')
+         AS codes_fp
+FROM asg a JOIN enc e USING (vec_id)
+GROUP BY a.vec_id, a.cell
+"""
+
+
+@query("ivf_rb", oracle=IVF_RB_ORACLE)
+def ivf_rebuild_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full lifecycle on the fixture: index everything under the
+    frozen fit-slice models, DELETE a slice through the tombstone
+    ledger, then REBUILD — refit on the survivors' fit slice, re-encode
+    the live corpus, flip codes+model+stats in one pointer write — and
+    read the new generation back.  Output is the (vec_id, cell,
+    codes_fp) view under the REBUILT models, which the oracle replays
+    directly over the filtered corpus (the rebuild's whole contract is
+    that history — batches, deletes, old models — leaves no trace)."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    models = fit_models(e.filter(F.expr(FIT_PREDICATE)))
+    if not models[0] or not models[1]:
+        return spark.createDataFrame(
+            [], "vec_id long, cell int, codes_fp string"
+        )
+    slug = re.sub(r"[^A-Za-z0-9._-]+", "-", sf_dir.strip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"ivf-rb-{slug}")
+    shutil.rmtree(path, ignore_errors=True)
+    build_ivf_index(spark, e, path, e_encode=e, models=models)
+    delete_from_ivf_index(
+        spark, e.filter(F.expr(REBUILD_DEL_PRED)), path, batch_id="d1"
+    )
+    rebuild_ivf_index(spark, e, path)
+    return codes_fingerprint(read_ivf_codes(spark, path))

@@ -130,7 +130,7 @@ FROM toks,
 """
 
 
-@query("pd_chunks", oracle=CHUNK_ORACLE)
+@query("pd_chk", oracle=CHUNK_ORACLE)
 def pd_udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk every document via the Python UDTF in a LATERAL join.
 

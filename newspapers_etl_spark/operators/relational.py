@@ -157,7 +157,7 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-@query("q1_price", oracle=Q1_ORACLE)
+@query("q1_pr", oracle=Q1_ORACLE)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the canonical partial-agg showcase —
     map-side combine collapses every scan partition to ≤6 rows pre-shuffle."""

@@ -313,7 +313,7 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """
 
 
-@query("win_dist", oracle=WIN_DIST_ORACLE)
+@query("w_dist", oracle=WIN_DIST_ORACLE)
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-family window functions (ntile decile, percent_rank,
     cume_dist) over account balance per market segment — the last

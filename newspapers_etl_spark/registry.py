@@ -41,8 +41,10 @@ ORACLE: dict[str, str] = {}
 #       boundary: expl_wrd moved to the module front (the r7 union
 #       straggler that missed the r10 cap) closes the window at slot
 #       50; its 20 r10-hashed siblings ride at 51+.  NEW r11 ops
-#       (index deletion, centroid refresh) register post-window at the
-#       list tail and lead r12.  Window test re-pinned in the same
+#       (index deletion ivf_del/bm25_d, centroid refresh ivf_ref,
+#       whole-index rebuild ivf_rb) register post-window at the list
+#       tail and lead r12; their registrations triggered rename waves
+#       8 and 9 (r11/r11b maps).  Window test re-pinned in the same
 #       commit (tests/test_sql_entrypoint.py).
 #   r10 (executed): drift_monitor 1 + retrieval_eval 1 (NEW r9,
 #       registered post-window — the only queries without a driver row
@@ -274,7 +276,7 @@ _OPERATOR_MODULES = (
     # level — safe ONLY because those are declared earlier (already
     # imported when the loader reaches this tail).
     "newspapers_etl_spark.operators.index_delete",        # 2   NEW r11 (post-window -> r12 front)
-    "newspapers_etl_spark.operators.ivf_refresh",         # 1   NEW r11 (post-window -> r12 front)
+    "newspapers_etl_spark.operators.ivf_refresh",         # 2   NEW r11: ivf_ref + ivf_rb (post-window -> r12 front)
 )
 
 _loaded = False

@@ -160,3 +160,156 @@ def test_decision_on_emptied_index_is_null_not_error(spark, sf_dir, tmp_path):
     row = centroid_refresh_decision(spark, path).collect()[0]
     assert (row["total"], row["moved"]) == (0, 0)
     assert row["churn"] is None and row["refresh"] is None
+
+
+# --------------------------------------------------------------- rebuild
+
+
+REBUILD_DEL = "vec_id % 5 = 0"
+
+
+def _codes_rows(df):
+    return sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"])) for r in df.collect()
+    )
+
+
+def _stats_rows(df):
+    return sorted(
+        (r["cell"], r["n"], tuple(r["svec"])) for r in df.collect()
+    )
+
+
+def _lifecycle_index(spark, sf_dir, path):
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        FIT_PREDICATE,
+        build_ivf_index,
+        delete_from_ivf_index,
+        fit_models,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    models = fit_models(e.filter(F.expr(FIT_PREDICATE)))
+    build_ivf_index(spark, e, path, e_encode=e, models=models)
+    delete_from_ivf_index(spark, e.filter(F.expr(REBUILD_DEL)), path, "d1")
+    return e
+
+
+@pytest.mark.heavy
+def test_rebuild_equals_fresh_build_on_survivors_bit_for_bit(
+    spark, sf_dir, tmp_path
+):
+    """History must leave no trace: build + delete + rebuild ==
+    build-from-scratch over the survivors with the survivors' fit slice
+    — codes, stats AND both frozen models exactly."""
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        FIT_PREDICATE,
+        _read_model,
+        build_ivf_index,
+        fit_models,
+        read_ivf_codes,
+        rebuild_ivf_index,
+    )
+    from newspapers_etl_spark.sinks.verified import read_current
+
+    incr = str(tmp_path / "incr")
+    e = _lifecycle_index(spark, sf_dir, incr)
+    rebuild_ivf_index(spark, e, incr)
+
+    fresh = str(tmp_path / "fresh")
+    survivors = e.filter(~F.expr(REBUILD_DEL))
+    models = fit_models(survivors.filter(F.expr(FIT_PREDICATE)))
+    build_ivf_index(spark, survivors, fresh, e_encode=survivors, models=models)
+
+    assert _read_model(spark, incr) == _read_model(spark, fresh)
+    assert _codes_rows(read_ivf_codes(spark, incr)) == _codes_rows(
+        read_ivf_codes(spark, fresh)
+    )
+    assert _stats_rows(read_current(spark, f"{incr}/stats")) == _stats_rows(
+        spark.read.parquet(f"{fresh}/stats")
+    )
+
+
+@pytest.mark.heavy
+def test_rebuild_crash_before_publish_leaves_old_index_and_retries(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The rebuild's one non-atomic seam: everything staged and renamed
+    but the pointer not flipped — readers must still resolve the OLD
+    index (old models included), and the retry must complete, replacing
+    the staged generation wholesale."""
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        _read_model,
+        read_ivf_codes,
+        rebuild_ivf_index,
+    )
+    from newspapers_etl_spark.sinks import verified
+
+    path = str(tmp_path / "idx")
+    e = _lifecycle_index(spark, sf_dir, path)
+    before_codes = _codes_rows(read_ivf_codes(spark, path))
+    before_model = _read_model(spark, path)
+
+    real = verified.publish_generation
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected: died before pointer flip")
+
+    monkeypatch.setattr(verified, "publish_generation", boom)
+    with pytest.raises(RuntimeError):
+        rebuild_ivf_index(spark, e, path)
+    monkeypatch.undo()
+    assert _codes_rows(read_ivf_codes(spark, path)) == before_codes
+    assert _read_model(spark, path) == before_model
+
+    new_root = rebuild_ivf_index(spark, e, path)  # retry from scratch
+    ptr = verified.current_pointer(f"{path}/stats")
+    assert ptr["codes_root"] == f"{new_root}/codes"
+    assert ptr["model_root"] == f"{new_root}/model"
+    assert ptr["live_batches"] == [] and ptr["live_tombstones"] == []
+
+
+@pytest.mark.heavy
+def test_rebuild_reaps_superseded_roots_and_keeps_applied_ledgers(
+    spark, sf_dir, tmp_path
+):
+    """After the flip the old codes/model/tombstone roots are gone, the
+    append-only ledgers survive, and a late retry of a pre-rebuild
+    delete or append stays a no-op."""
+    import os
+
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        delete_from_ivf_index,
+        read_ivf_codes,
+        rebuild_ivf_index,
+    )
+    from newspapers_etl_spark.sinks.verified import current_pointer
+
+    path = str(tmp_path / "idx")
+    e = _lifecycle_index(spark, sf_dir, path)
+    rebuild_ivf_index(spark, e, path)
+    after = _codes_rows(read_ivf_codes(spark, path))
+
+    assert not os.path.exists(f"{path}/codes")
+    assert not os.path.exists(f"{path}/model")
+    assert not os.path.exists(f"{path}/tombs-batch-d1")
+    ptr = current_pointer(f"{path}/stats")
+    assert ptr["applied_deletes"] == ["d1"]
+    assert ptr["reap_roots"] == []
+
+    # late retry of the pre-rebuild delete: applied ledger no-ops it
+    delete_from_ivf_index(spark, e.filter(F.expr(REBUILD_DEL)), path, "d1")
+    assert _codes_rows(read_ivf_codes(spark, path)) == after
+
+
+def test_ivf_rb_matches_oracle(spark, sf_dir, oracle):
+    from conftest import assert_matches_oracle
+
+    from newspapers_etl_spark.operators.ivf_refresh import (
+        IVF_RB_ORACLE,
+        ivf_rebuild_roundtrip,
+    )
+
+    assert_matches_oracle(
+        ivf_rebuild_roundtrip(spark, sf_dir), oracle, IVF_RB_ORACLE
+    )

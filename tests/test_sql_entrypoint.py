@@ -184,17 +184,17 @@ def test_registry_registration_order_is_contiguous_per_module():
     window = set(names[:50])
     for required in (
         # the only queries with no driver hash row in the r1-r10 union
-        "ivf_app", "drift_emb", "ivf_rec",
+        "ivf_app", "dr_emb", "ivf_rec",
         # r8-hashed row + module changed r10 (maintenance helpers)
         "bm25",
         # the oldest union row (r7 — missed the r10 window cap)
         "expl_wrd",
         # last driver-hashed r8 (stalest bulk history, full re-hash)
-        "pd_stats", "pd_chunks", "pd_quant",
+        "pd_stats", "pd_chk", "pd_quant",
         "mm_man", "mm_meta", "mm_frm", "mm_dec",
         "q3_ship", "q5_vol", "unpivot", "exp_o", "a_pctl",
-        "tdigest", "a_argmm", "win_dist", "cohorts",
-        "scd2", "scd2_pit", "scd_enr",
+        "tdigest", "a_argmm", "w_dist", "cohorts",
+        "scd2", "s2_pit", "scd_enr",
         "inc_ct", "inc_vr", "inc_rt",
         "skew", "urlcan", "snapdf",
         "ev_anm", "ev_gaps", "ev_out",
@@ -204,7 +204,7 @@ def test_registry_registration_order_is_contiguous_per_module():
         "bm25_b", "rrf", "ivfadc", "ivfadc_r", "semdedup", "pq_codes",
     ):
         assert required in window, f"{required} fell out of the window"
-    assert names[:2] == ["ivf_app", "drift_emb"], (
+    assert names[:2] == ["ivf_app", "dr_emb"], (
         f"ivf_app/drift_emb must lead the r11 window: {names[:3]}"
     )
     assert names[7:9] == ["ivf_rec", "bm25"], (
