@@ -27,6 +27,7 @@ from newspapers_etl_spark.operators.ivf_maintenance import (
     delete_from_ivf_index,
     fit_models,
     read_ivf_codes,
+    scratch_index_dir,
 )
 from newspapers_etl_spark.operators.retrieval import (
     bm25_oracle_sql,
@@ -54,22 +55,6 @@ SELECT * FROM (
 BM25_DEL_ORACLE = bm25_oracle_sql(where=f"NOT ({DOC_DEL_PRED})")
 
 
-def _scratch(prefix: str, sf_dir: str) -> str:
-    """One deterministic scratch dir per fixture dir, wiped up front
-    (the ivf_app pattern: mkdtemp-per-run would accumulate an index
-    copy per invocation, and the wipe also clears a previous run's
-    generation pointer that overwrite-mode writes would NOT replace)."""
-    import os
-    import re
-    import shutil
-    import tempfile
-
-    slug = re.sub(r"[^A-Za-z0-9._-]+", "-", sf_dir.strip("/")) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"{prefix}-{slug}")
-    shutil.rmtree(path, ignore_errors=True)
-    return path
-
-
 @query("ivf_del", oracle=IVF_DEL_ORACLE)
 def ivf_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index the full corpus under the frozen fit-slice models, DELETE
@@ -82,7 +67,7 @@ def ivf_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "vec_id long, cell int, codes_fp string"
         )
-    path = _scratch("ivf-del", sf_dir)
+    path = scratch_index_dir("ivf-del", sf_dir)
     build_ivf_index(spark, e, path, e_encode=e, models=models)
     delete_from_ivf_index(
         spark, e.filter(F.expr(IVF_DEL_PRED)), path, batch_id="d1"
@@ -97,7 +82,7 @@ def bm25_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     df recounted from survivors, avgdl from the subtracted (n, sum_dl)
     pair — identical to scoring the filtered corpus directly (the
     oracle), by construction."""
-    path = _scratch("bm25-del", sf_dir)
+    path = scratch_index_dir("bm25-del", sf_dir)
     write_bm25_postings(spark, sf_dir, path)
     docs = load_table(spark, sf_dir, "documents")
     delete_bm25_docs(

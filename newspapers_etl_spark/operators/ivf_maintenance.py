@@ -441,6 +441,7 @@ def delete_from_ivf_index(
     ptr = current_pointer(stats_root)
     applied_del = list(ptr.get("applied_deletes", [])) if ptr else []
     tombs = list(ptr.get("live_tombstones", [])) if ptr else []
+    covers = dict(ptr.get("tombstone_covers", {})) if ptr else {}
     if batch_id in applied_del:
         return
 
@@ -454,6 +455,11 @@ def delete_from_ivf_index(
             path, f"_tombs-batch-{batch_id}", f"tombs-batch-{batch_id}"
         ):
             tombs_after = tombs + [batch_id]
+            # ROOT-SCOPED: this tombstone suppresses only the roots that
+            # exist NOW — a later append of the same id lands in a new
+            # root this tombstone does not cover, so a takedown reversal
+            # is one ordinary append (sinks/verified.tombstoned_union).
+            covers[batch_id] = _live_code_roots(ptr)
         else:
             tombs_after = tombs
 
@@ -484,6 +490,7 @@ def delete_from_ivf_index(
             meta={
                 "applied_deletes": applied_del + [batch_id],
                 "live_tombstones": tombs_after,
+                "tombstone_covers": covers,
             },
         )
     finally:
@@ -492,21 +499,46 @@ def delete_from_ivf_index(
             both.unpersist()
 
 
-def _live_tombstones(
-    spark: SparkSession, path: str, ptr: dict | None
-) -> DataFrame | None:
-    """Union of the live tombstone roots, or None when there are none —
-    readers skip the anti-join entirely in the no-deletes case, so the
-    delete feature costs nothing until it is used."""
-    from functools import reduce
-
-    tombs = list(ptr.get("live_tombstones", [])) if ptr else []
-    if not tombs:
-        return None
-    return reduce(
-        DataFrame.unionByName,
-        [spark.read.parquet(f"{path}/tombs-batch-{b}") for b in tombs],
+def _live_code_roots(ptr: dict | None) -> list[str]:
+    """The code root NAMES (relative to the table root) a reader unions
+    right now — the base root plus every live batch root."""
+    base = ptr.get("codes_root", "codes") if ptr else "codes"
+    batches = (
+        list(ptr.get("live_batches", ptr.get("applied_batches", [])))
+        if ptr
+        else []
     )
+    return [base] + [f"codes-batch-{b}" for b in batches]
+
+
+
+
+def reap_orphan_rebuilds(path: str) -> None:
+    """Delete any ``rebuild-N``/``_rebuild-N`` dirs the pointer does not
+    reference — the debris of a rebuild that died between its rename
+    and its publish (a full index copy: the dominant storage cost at
+    100 TB).  The next rebuild replaces it wholesale anyway; this heal
+    covers the operator who re-measures churn and decides NOT to
+    rebuild after the crash.  Called at the start of every rebuild and
+    compaction; idempotent."""
+    import os
+    import re
+    import shutil
+
+    from newspapers_etl_spark.sinks.verified import (
+        current_pointer,
+        local_fs_path,
+    )
+
+    ptr = current_pointer(f"{path}/stats")
+    live = {
+        (ptr or {}).get("codes_root", "codes").split("/")[0],
+        (ptr or {}).get("model_root", "model").split("/")[0],
+    }
+    base = local_fs_path(path)
+    for name in os.listdir(base):
+        if re.fullmatch(r"_?rebuild-\d+", name) and name not in live:
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
 
 
 def rebuild_ivf_index(
@@ -564,6 +596,7 @@ def rebuild_ivf_index(
     ptr = current_pointer(stats_root)
     if ptr:
         reap_pending_roots(stats_root, path)  # heal a crashed prior reap
+    reap_orphan_rebuilds(path)  # heal a rebuild that died pre-publish
     live_ids = read_ivf_codes(spark, path).select("vec_id")
     # Persist the semi-joined live corpus: the Lloyd fit alone runs
     # 2·iters+1 actions over it and the encode one more — without the
@@ -619,6 +652,7 @@ def rebuild_ivf_index(
             "model_root": f"{new_root}/model",
             "live_batches": [],
             "live_tombstones": [],
+            "tombstone_covers": {},
             "rebuilds": n,
             "reap_roots": reap,
         },
@@ -629,31 +663,23 @@ def rebuild_ivf_index(
 
 def read_ivf_codes(spark: SparkSession, path: str) -> DataFrame:
     """The live code relation: the current base root plus every batch
-    the stats pointer's LIVE ledger records, minus the live tombstone
-    roots (anti-join on vec_id — deleted codes stay on disk until the
-    next compaction folds them out) — all derived from the POINTER,
-    never a directory listing, so a batch's codes and stats appear
-    atomically together and a compaction's single metadata write flips
-    readers to the folded root (the BM25 reader contract)."""
-    from functools import reduce
-
-    from newspapers_etl_spark.sinks.verified import current_pointer
+    the stats pointer's LIVE ledger records, minus the live tombstones
+    (anti-joined on vec_id, each scoped to the roots it COVERS — the
+    deleted codes stay on disk until the next compaction folds them
+    out, while a post-delete re-append's root is read untouched) — all
+    derived from the POINTER, never a directory listing, so a batch's
+    codes and stats appear atomically together and a compaction's
+    single metadata write flips readers to the folded root (the BM25
+    reader contract; shared reader sinks/verified.tombstoned_union)."""
+    from newspapers_etl_spark.sinks.verified import (
+        current_pointer,
+        tombstoned_union,
+    )
 
     ptr = current_pointer(f"{path}/stats")
-    base = ptr.get("codes_root", "codes") if ptr else "codes"
-    batches = (
-        list(ptr.get("live_batches", ptr.get("applied_batches", [])))
-        if ptr
-        else []
+    return tombstoned_union(
+        spark, path, ptr, _live_code_roots(ptr), "vec_id"
     )
-    roots = [f"{path}/{base}"] + [f"{path}/codes-batch-{b}" for b in batches]
-    codes = reduce(
-        DataFrame.unionByName, [spark.read.parquet(r) for r in roots]
-    )
-    t = _live_tombstones(spark, path, ptr)
-    if t is not None:
-        codes = codes.join(t, "vec_id", "left_anti")
-    return codes
 
 
 def compact_ivf_codes(
@@ -688,6 +714,7 @@ def compact_ivf_codes(
         # index and there is no pointer to rewrite.
         return "codes"
     reap_pending_roots(stats_root, path)  # heal a crashed prior reap
+    reap_orphan_rebuilds(path)  # heal a rebuild that died pre-publish
     base = ptr.get("codes_root", "codes")
     live = list(ptr.get("live_batches", ptr.get("applied_batches", [])))
     old_roots = [f"{path}/{base}"] + [
@@ -695,20 +722,20 @@ def compact_ivf_codes(
     ]
     n = int(ptr.get("compactions", 0)) + 1
     new_root = f"codes-compact-{n:04d}"
-    union = reduce(
-        DataFrame.unionByName, [spark.read.parquet(r) for r in old_roots]
-    )
     # Fold the live tombstones INTO the compacted root (the deleted
-    # rows finally leave disk) and reset ``live_tombstones`` in the
+    # rows finally leave disk, via the same root-scoped reader queries
+    # use) and reset ``live_tombstones``/``tombstone_covers`` in the
     # same pointer flip; ``applied_deletes`` survives, like
     # ``applied_batches`` — a late retry of a folded delete must no-op.
+    from newspapers_etl_spark.sinks.verified import tombstoned_union
+
     tomb_roots = [
         f"{path}/tombs-batch-{b}"
         for b in list(ptr.get("live_tombstones", []))
     ]
-    t = _live_tombstones(spark, path, ptr)
-    if t is not None:
-        union = union.join(t, "vec_id", "left_anti")
+    union = tombstoned_union(
+        spark, path, ptr, [base] + [f"codes-batch-{b}" for b in live], "vec_id"
+    )
     union.repartition(_OC_CELLS, "cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/_{new_root}")
@@ -734,9 +761,29 @@ def compact_ivf_codes(
         compactions=n,
         old_roots=old_roots + tomb_roots,
         keep_old_roots=keep_old_roots,
-        extra_meta={"live_tombstones": []},
+        extra_meta={"live_tombstones": [], "tombstone_covers": {}},
     )
     return new_root
+
+
+def scratch_index_dir(prefix: str, sf_dir: str) -> str:
+    """One deterministic scratch dir per (query, fixture dir), wiped up
+    front — shared by every registered maintenance roundtrip (ivf_app /
+    ivf_del / bm25_d / ivf_ref / ivf_rb).  mkdtemp-per-run would
+    accumulate an index copy in /tmp per bench/sweep/driver invocation
+    (results are LAZY reads of the dir, so it cannot be deleted at
+    return), and the wipe also clears a previous run's generation
+    pointer, which overwrite-mode writes would NOT replace
+    (read_current would resolve a stale generation)."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    slug = re.sub(r"[^A-Za-z0-9._-]+", "-", sf_dir.strip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"{prefix}-{slug}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
 
 
 @query("ivf_app", oracle=IVF_APP_ORACLE)
@@ -751,11 +798,6 @@ def ivf_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash canonicalizer wants hashable cells).  The output is
     root-agnostic, so the oracle replays fit + assignment + encode on
     the union without modeling the storage split."""
-    import os
-    import re
-    import shutil
-    import tempfile
-
     e = load_table(spark, sf_dir, "embeddings")
     models = fit_models(e.filter(F.expr(FIT_PREDICATE)))
     if not models[0] or not models[1]:
@@ -766,15 +808,7 @@ def ivf_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     base = e.filter(F.expr(BASE_PREDICATE))
     batch = e.filter(~F.expr(BASE_PREDICATE))
-    # ONE deterministic scratch dir per fixture dir, wiped up front —
-    # mkdtemp-per-run would accumulate an index copy in /tmp on every
-    # bench/sweep/driver invocation (the result is a LAZY read of this
-    # dir, so it cannot be deleted here), and the wipe also clears a
-    # previous run's generation pointer, which overwrite-mode writes
-    # would NOT replace (read_current would resolve a stale generation).
-    slug = re.sub(r"[^A-Za-z0-9._-]+", "-", sf_dir.strip("/")) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"ivf-app-{slug}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = scratch_index_dir("ivf-app", sf_dir)
     build_ivf_index(spark, base, path, e_encode=base, models=models)
     append_ivf_index(spark, batch, path, batch_id="b1")
     return codes_fingerprint(read_ivf_codes(spark, path))

@@ -49,6 +49,7 @@ from newspapers_etl_spark.operators.ivf_maintenance import (
     ivf_frozen_ctes,
     read_ivf_codes,
     rebuild_ivf_index,
+    scratch_index_dir,
 )
 from newspapers_etl_spark.registry import query
 
@@ -204,20 +205,13 @@ def ivf_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the stored stats alone.  The oracle replays fit + assignment +
     encode (the shared frozen-model fragment), derives the refreshed
     means with the same one-division algebra, decodes, and re-assigns."""
-    import os
-    import re
-    import shutil
-    import tempfile
-
     e = load_table(spark, sf_dir, "embeddings")
     models = fit_models(e.filter(F.expr(FIT_PREDICATE)))
     if not models[0] or not models[1]:
         return spark.createDataFrame(
             [], "total long, moved long, churn double, refresh boolean"
         )
-    slug = re.sub(r"[^A-Za-z0-9._-]+", "-", sf_dir.strip("/")) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"ivf-ref-{slug}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = scratch_index_dir("ivf-ref", sf_dir)
     build_ivf_index(spark, e, path, e_encode=e, models=models)
     return centroid_refresh_decision(spark, path)
 
@@ -251,20 +245,13 @@ def ivf_rebuild_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes_fp) view under the REBUILT models, which the oracle replays
     directly over the filtered corpus (the rebuild's whole contract is
     that history — batches, deletes, old models — leaves no trace)."""
-    import os
-    import re
-    import shutil
-    import tempfile
-
     e = load_table(spark, sf_dir, "embeddings")
     models = fit_models(e.filter(F.expr(FIT_PREDICATE)))
     if not models[0] or not models[1]:
         return spark.createDataFrame(
             [], "vec_id long, cell int, codes_fp string"
         )
-    slug = re.sub(r"[^A-Za-z0-9._-]+", "-", sf_dir.strip("/")) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"ivf-rb-{slug}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = scratch_index_dir("ivf-rb", sf_dir)
     build_ivf_index(spark, e, path, e_encode=e, models=models)
     delete_from_ivf_index(
         spark, e.filter(F.expr(REBUILD_DEL_PRED)), path, batch_id="d1"

@@ -464,6 +464,7 @@ def delete_bm25_docs(
     ptr = current_pointer(stats_root)
     applied_del = list(ptr.get("applied_deletes", [])) if ptr else []
     tombs = list(ptr.get("live_tombstones", [])) if ptr else []
+    covers = dict(ptr.get("tombstone_covers", {})) if ptr else {}
     if batch_id in applied_del:
         return
 
@@ -474,6 +475,11 @@ def delete_bm25_docs(
         path, f"_tombs-batch-{batch_id}", f"tombs-batch-{batch_id}"
     ):
         tombs_after = tombs + [batch_id]
+        # ROOT-SCOPED: this tombstone suppresses only the roots that
+        # exist NOW — a later append of the same doc lands in a new
+        # root it does not cover, so a takedown reversal is one
+        # ordinary append (sinks/verified.tombstoned_union).
+        covers[batch_id] = _live_posting_roots(ptr)
     else:
         tombs_after = tombs
 
@@ -493,24 +499,21 @@ def delete_bm25_docs(
         meta={
             "applied_deletes": applied_del + [batch_id],
             "live_tombstones": tombs_after,
+            "tombstone_covers": covers,
         },
     )
 
 
-def _live_doc_tombstones(
-    spark: SparkSession, path: str, ptr: dict | None
-) -> DataFrame | None:
-    """Union of the live tombstone roots, or None when there are none —
-    the read path skips the anti-join entirely until a delete lands."""
-    from functools import reduce
-
-    tombs = list(ptr.get("live_tombstones", [])) if ptr else []
-    if not tombs:
-        return None
-    return reduce(
-        DataFrame.unionByName,
-        [spark.read.parquet(f"{path}/tombs-batch-{b}") for b in tombs],
+def _live_posting_roots(ptr: dict | None) -> list[str]:
+    """The posting root NAMES (relative to the table root) a reader
+    unions right now — the base root plus every live batch root."""
+    base = ptr.get("postings_root", "postings") if ptr else "postings"
+    batches = (
+        list(ptr.get("live_batches", ptr.get("applied_batches", [])))
+        if ptr
+        else []
     )
+    return [base] + [f"postings-batch-{b}" for b in batches]
 
 
 def compact_bm25_postings(
@@ -578,20 +581,21 @@ def compact_bm25_postings(
     ]
     n = int(ptr.get("compactions", 0)) + 1
     new_root = f"postings-compact-{n:04d}"
-    union = reduce(
-        DataFrame.unionByName, [spark.read.parquet(r) for r in old_roots]
-    )
     # Fold the live tombstones into the compacted root (deleted docs'
-    # postings finally leave disk); the ledger reset rides the SAME
-    # atomic pointer flip.  ``applied_deletes`` survives, like
-    # ``applied_batches`` — a late retry of a folded delete must no-op.
+    # postings finally leave disk, via the same root-scoped reader
+    # queries use); the ledger reset rides the SAME atomic pointer
+    # flip.  ``applied_deletes`` survives, like ``applied_batches`` —
+    # a late retry of a folded delete must no-op.
+    from newspapers_etl_spark.sinks.verified import tombstoned_union
+
     tomb_roots = [
         f"{path}/tombs-batch-{b}"
         for b in list(ptr.get("live_tombstones", []))
     ]
-    t = _live_doc_tombstones(spark, path, ptr)
-    if t is not None:
-        union = union.join(t, "doc_id", "left_anti")
+    union = tombstoned_union(
+        spark, path, ptr,
+        [base] + [f"postings-batch-{b}" for b in live], "doc_id",
+    )
     union.repartition(shards, "term_shard").write.mode(
         "overwrite"
     ).partitionBy("term_shard").parquet(f"{path}/_{new_root}")
@@ -617,7 +621,7 @@ def compact_bm25_postings(
         compactions=n,
         old_roots=old_roots + tomb_roots,
         keep_old_roots=keep_old_roots,
-        extra_meta={"live_tombstones": []},
+        extra_meta={"live_tombstones": [], "tombstone_covers": {}},
     )
     return new_root
 
@@ -657,8 +661,6 @@ def retrieval_bm25_topk_from_postings(
     predicate; identical scores to the direct path by construction
     (same tf/dl/df inputs, same integer-scaled arithmetic),
     pytest-asserted along with the PartitionFilters pruning."""
-    from functools import reduce
-
     from newspapers_etl_spark.sinks.verified import current_pointer
 
     wanted = _term_shards(spark, terms, shards)
@@ -674,28 +676,24 @@ def retrieval_bm25_topk_from_postings(
     # plan-asserted in pytest).  Pre-split pointers carry only
     # applied_batches; fall back to it.
     ptr = current_pointer(f"{path}/stats")
-    base = ptr.get("postings_root", "postings") if ptr else "postings"
-    batches = (
-        list(ptr.get("live_batches", ptr.get("applied_batches", [])))
-        if ptr
-        else []
-    )
-    roots = [f"{path}/{base}"] + [
-        f"{path}/postings-batch-{b}" for b in batches
-    ]
+    # Deleted documents are anti-joined per ROOT inside the shared
+    # tombstoned_union (each live tombstone scoped to the roots it
+    # covers, so a post-delete re-append is read untouched) and BEFORE
+    # df is derived, so document frequencies count only surviving docs
+    # (stats were already subtracted at delete time).  Costs nothing
+    # until a delete lands; the term_shard/term predicates still push
+    # into every branch scan through the union and the anti-join
+    # (left-side columns — plan-asserted in pytest).
+    from newspapers_etl_spark.sinks.verified import tombstoned_union
+
     tf = (
-        reduce(DataFrame.unionByName, [spark.read.parquet(r) for r in roots])
+        tombstoned_union(
+            spark, path, ptr, _live_posting_roots(ptr), "doc_id"
+        )
         .filter(F.col("term_shard").isin(wanted))
         .filter(F.col("term").isin(*terms))
         .select("doc_id", "term", "tf", "dl")
     )
-    # Deleted documents: anti-join the live tombstone roots BEFORE df
-    # is derived, so document frequencies count only surviving docs
-    # (stats were already subtracted at delete time).  Costs nothing
-    # until a delete lands (t is None → plan unchanged).
-    t = _live_doc_tombstones(spark, path, ptr)
-    if t is not None:
-        tf = tf.join(t, "doc_id", "left_anti")
     dft = tf.groupBy("term").agg(
         F.count_distinct("doc_id").cast("double").alias("dft")
     )

@@ -473,3 +473,44 @@ def sink_partition_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact relation both sides of verify_partitioned_write compute."""
     d = load_table(spark, sf_dir, "documents")
     return partition_manifest(d, ["lang", "source"], "text")
+
+
+def tombstoned_union(
+    spark: SparkSession,
+    table_root: str,
+    ptr: dict | None,
+    roots: list[str],
+    key: str,
+):
+    """Union the data ``roots`` (names relative to ``table_root``) with
+    every live tombstone anti-joined on ``key`` — but ONLY against the
+    roots that tombstone COVERS (the roots that existed when its delete
+    published, recorded in the pointer's ``tombstone_covers`` map).
+
+    Root-scoping is what makes re-adding a previously deleted id
+    correct: the old rows (in covered roots) stay suppressed while a
+    LATER append's root — never covered by an earlier tombstone — is
+    read untouched, so a takedown reversal is one ordinary append, no
+    compaction required first.  A tombstone with no ``covers`` entry
+    (a pre-scoping pointer) conservatively covers every root.  Costs
+    nothing until a delete lands; the shared reader for the BM25
+    postings and the IVF codes — the ledger protocol lives once."""
+    from functools import reduce
+
+    covers = dict(ptr.get("tombstone_covers", {})) if ptr else {}
+    tombs = list(ptr.get("live_tombstones", [])) if ptr else []
+    parts = []
+    for r in roots:
+        df = spark.read.parquet(f"{table_root}/{r}")
+        hits = [t for t in tombs if r in covers.get(t, [r])]
+        if hits:
+            tdf = reduce(
+                DataFrame.unionByName,
+                [
+                    spark.read.parquet(f"{table_root}/tombs-batch-{t}")
+                    for t in hits
+                ],
+            )
+            df = df.join(tdf, key, "left_anti")
+        parts.append(df)
+    return reduce(DataFrame.unionByName, parts)

@@ -12,9 +12,6 @@ from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
 
-# whole-module battery: index builds / 142-query sweeps / hypothesis
-pytestmark = pytest.mark.heavy
-
 DEL_PRED = "vec_id % 5 = 0"
 DOC_DEL_PRED = "doc_id % 7 = 0"
 
@@ -49,6 +46,7 @@ def _built_index(spark, sf_dir, path):
 # ---------------------------------------------------------------- IVF
 
 
+@pytest.mark.heavy
 def test_ivf_delete_then_compact_equals_rebuild_bit_for_bit(
     spark, sf_dir, tmp_path
 ):
@@ -82,6 +80,7 @@ def test_ivf_delete_then_compact_equals_rebuild_bit_for_bit(
     )
 
 
+@pytest.mark.heavy
 def test_ivf_delete_visible_before_compaction(spark, sf_dir, tmp_path):
     """The anti-join read path: deleted vec_ids disappear from
     read_ivf_codes the instant the pointer publishes, while their code
@@ -106,6 +105,7 @@ def test_ivf_delete_visible_before_compaction(spark, sf_dir, tmp_path):
     assert os.path.exists(f"{path}/tombs-batch-d1")
 
 
+@pytest.mark.heavy
 def test_ivf_delete_is_idempotent_under_retry(spark, sf_dir, tmp_path):
     from newspapers_etl_spark.operators.ivf_maintenance import (
         delete_from_ivf_index,
@@ -133,6 +133,7 @@ def test_ivf_delete_is_idempotent_under_retry(spark, sf_dir, tmp_path):
     assert ptr["live_tombstones"] == ["d1"]
 
 
+@pytest.mark.heavy
 def test_ivf_delete_crash_before_stats_publish_leaves_index_readable(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -168,6 +169,7 @@ def test_ivf_delete_crash_before_stats_publish_leaves_index_readable(
     assert set(after) <= set(before)
 
 
+@pytest.mark.heavy
 def test_ivf_compaction_reaps_tombstone_roots_and_keeps_delete_ledger(
     spark, sf_dir, tmp_path
 ):
@@ -198,6 +200,7 @@ def test_ivf_compaction_reaps_tombstone_roots_and_keeps_delete_ledger(
     assert current_pointer(f"{path}/stats")["live_tombstones"] == []
 
 
+@pytest.mark.heavy
 def test_ivf_delete_everything_then_compact_keeps_index_readable(
     spark, sf_dir, tmp_path
 ):
@@ -235,6 +238,7 @@ def _postings_rows(spark, path):
     )
 
 
+@pytest.mark.heavy
 def test_bm25_delete_scores_match_filtered_corpus(spark, sf_dir, tmp_path):
     """from_postings after a delete == direct scoring over the
     surviving documents: df recounted from surviving postings, avgdl
@@ -257,6 +261,7 @@ def test_bm25_delete_scores_match_filtered_corpus(spark, sf_dir, tmp_path):
     assert got == want
 
 
+@pytest.mark.heavy
 def test_bm25_delete_then_compact_equals_rebuild_bit_for_bit(
     spark, sf_dir, tmp_path
 ):
@@ -295,6 +300,7 @@ def test_bm25_delete_then_compact_equals_rebuild_bit_for_bit(
     assert (got["n"], got["sum_dl"]) == (want["n"], want["sum_dl"])
 
 
+@pytest.mark.heavy
 def test_bm25_delete_is_idempotent_and_crash_safe(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -359,3 +365,73 @@ def test_bm25_d_matches_oracle(spark, sf_dir, oracle):
     assert_matches_oracle(
         bm25_delete_roundtrip(spark, sf_dir), oracle, BM25_DEL_ORACLE
     )
+
+
+# ------------------------------------------ re-append after delete
+# (root-scoped tombstones: a takedown reversal is one ordinary append)
+
+
+@pytest.mark.heavy
+def test_ivf_reappend_after_delete_restores_the_full_index(
+    spark, sf_dir, tmp_path
+):
+    """Delete a slice, append the same vectors back as a NEW batch: the
+    tombstone covers only the roots that existed at delete time, so the
+    old rows stay suppressed while the re-appended rows are read — the
+    index equals never-having-deleted, bit-for-bit (encode is a pure
+    function of the frozen model), and stats are restored exactly
+    (subtract then add the same exact sums).  Compaction afterwards
+    folds the tombstone without killing the re-added rows."""
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        append_ivf_index,
+        compact_ivf_codes,
+        delete_from_ivf_index,
+        read_ivf_codes,
+    )
+    from newspapers_etl_spark.sinks.verified import read_current
+
+    path = str(tmp_path / "idx")
+    e, _ = _built_index(spark, sf_dir, path)
+    never_deleted = _codes_rows(read_ivf_codes(spark, path))
+    stats_before = _stats_rows(spark.read.parquet(f"{path}/stats"))
+
+    batch = e.filter(F.expr(DEL_PRED))
+    delete_from_ivf_index(spark, batch, path, "d1")
+    append_ivf_index(spark, batch, path, batch_id="b2")
+
+    assert _codes_rows(read_ivf_codes(spark, path)) == never_deleted
+    assert _stats_rows(read_current(spark, f"{path}/stats")) == stats_before
+
+    compact_ivf_codes(spark, path)
+    assert _codes_rows(read_ivf_codes(spark, path)) == never_deleted
+    assert _stats_rows(read_current(spark, f"{path}/stats")) == stats_before
+
+
+@pytest.mark.heavy
+def test_bm25_reappend_after_delete_restores_scores(spark, sf_dir, tmp_path):
+    from newspapers_etl_spark.operators.retrieval import (
+        append_bm25_postings,
+        bm25_topk_over,
+        compact_bm25_postings,
+        delete_bm25_docs,
+        retrieval_bm25_topk_from_postings,
+        write_bm25_postings,
+    )
+
+    path = str(tmp_path / "bm25")
+    write_bm25_postings(spark, sf_dir, path)
+    docs = load_table(spark, sf_dir, "documents")
+    sliced = docs.filter(F.expr(DOC_DEL_PRED))
+    # the re-append source: the deleted docs as their own corpus dir
+    from newspapers_etl_spark.catalog import table_path
+
+    redir = str(tmp_path / "readd")
+    sliced.write.parquet(table_path(redir, "documents"))
+
+    delete_bm25_docs(spark, sliced, path, "d1")
+    append_bm25_postings(spark, redir, path, batch_id="b2")
+
+    want = _topk_rows(bm25_topk_over(docs))
+    assert _topk_rows(retrieval_bm25_topk_from_postings(spark, path)) == want
+    compact_bm25_postings(spark, path)
+    assert _topk_rows(retrieval_bm25_topk_from_postings(spark, path)) == want

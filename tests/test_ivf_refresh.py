@@ -313,3 +313,51 @@ def test_ivf_rb_matches_oracle(spark, sf_dir, oracle):
     assert_matches_oracle(
         ivf_rebuild_roundtrip(spark, sf_dir), oracle, IVF_RB_ORACLE
     )
+
+
+@pytest.mark.heavy
+def test_crashed_rebuild_orphan_is_healed_by_next_maintenance(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A rebuild that dies between the rename and the publish leaves an
+    unreferenced rebuild-N root (a full index copy).  If the operator
+    then decides NOT to retry the rebuild, the next compaction (or any
+    later rebuild) must reap the orphan — and must never touch a
+    rebuild root the pointer DOES reference."""
+    import os
+
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        compact_ivf_codes,
+        read_ivf_codes,
+        rebuild_ivf_index,
+    )
+    from newspapers_etl_spark.sinks import verified
+
+    path = str(tmp_path / "idx")
+    e = _lifecycle_index(spark, sf_dir, path)
+    before = _codes_rows(read_ivf_codes(spark, path))
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected: died before pointer flip")
+
+    monkeypatch.setattr(verified, "publish_generation", boom)
+    with pytest.raises(RuntimeError):
+        rebuild_ivf_index(spark, e, path)
+    monkeypatch.undo()
+    assert os.path.exists(f"{path}/rebuild-0001")  # the orphan
+
+    compact_ivf_codes(spark, path)  # operator compacts instead
+    assert not os.path.exists(f"{path}/rebuild-0001")
+    assert _codes_rows(read_ivf_codes(spark, path)) == before
+
+    # a LIVE rebuild root must survive later maintenance heals
+    new_root = rebuild_ivf_index(spark, e, path)
+    assert os.path.exists(f"{path}/{new_root}")
+    compact_after = compact_ivf_codes(spark, path)
+    # compaction moved codes out of the rebuild root but the model
+    # still lives there: the shell must NOT be reaped
+    ptr = verified.current_pointer(f"{path}/stats")
+    assert ptr["codes_root"] == compact_after
+    assert ptr["model_root"] == f"{new_root}/model"
+    assert os.path.exists(f"{path}/{new_root}/model")
+    assert read_ivf_codes(spark, path).count() > 0

@@ -65,7 +65,11 @@ def main() -> int:
     rounds: list[tuple[str, dict[str, float]]] = []
     # numeric round order (r9 < r10 < r100); zero-padding makes the
     # lexicographic sort coincide today but don't rely on it
-    for f in sorted(REPO.glob("BENCH_r*.json"), key=lambda p: int(p.stem.lstrip("BENCH_r"))):
+    bench_files = [
+        p for p in REPO.glob("BENCH_r*.json")
+        if p.stem[len("BENCH_r"):].isdigit()  # skip letter-suffixed side artifacts
+    ]
+    for f in sorted(bench_files, key=lambda p: int(p.stem[len("BENCH_r"):])):
         cap = _load_capture(f)
         if cap:
             rounds.append((f.stem.replace("BENCH_", ""), cap))

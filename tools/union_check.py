@@ -41,8 +41,10 @@ sys.path.insert(0, str(REPO))
 
 
 def round_num(rnd: str) -> int:
-    """Numeric round order for names like 'r06', 'r9', 'r10', 'r100'."""
-    return int(rnd.lstrip("r"))
+    """Numeric round order for names like 'r06', 'r9', 'r10', 'r100'.
+    Prefix slice, NOT lstrip (a character-set strip would also eat
+    leading digits it happens to match in other alphabets of names)."""
+    return int(rnd[1:] if rnd.startswith("r") else rnd)
 
 
 def compute_union(files, registered, resolve):
