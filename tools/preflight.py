@@ -14,6 +14,11 @@ Usage:
     python tools/preflight.py                  # changed vs HEAD
     python tools/preflight.py --since HEAD~3   # changed in last 3 commits
     python tools/preflight.py --full           # sweep everything
+
+For broader per-change coverage run the FAST pytest tier alongside
+(`python -m pytest tests/ -q -m "not heavy"`, <8 min — every
+oracle-parity and plan-shape test); the full tier including the
+`heavy` batteries runs at round end (see pytest.ini).
 """
 
 from __future__ import annotations
