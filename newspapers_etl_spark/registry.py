@@ -26,6 +26,25 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
+#   r12 (planned): the four r11 union holes lead — but BOTH new
+#       modules top-level-import earlier operator modules, so the
+#       DECLARED order must put the imported modules first or their
+#       whole blocks splice (the contiguity test enforces realized ==
+#       declared): ivf_maintenance 1 (ivf_app — re-hashes a round early
+#       as the import price, the similarity-in-r11 precedent),
+#       retrieval 1 (bm25 — same), index_delete 2 (ivf_del, bm25_d),
+#       ivf_refresh 2 (ivf_ref, ivf_rb) = 6 slots.  Then the 39
+#       r9-hashed stale queries (pca 2, rollup 2, sketches 1,
+#       text_formats 4, data_quality 1, corpus 5, sampling 2,
+#       text_analysis 6, events_windows 6, pipeline 2, sinks.verified 1,
+#       dedup_scale 1, corpus_overlap 2, incremental_stream 4) = 45,
+#       and the oldest r10 families fill to exactly 50: drift_monitor 1,
+#       retrieval_eval 1, model_fit 3.  text_lm/dedup/extraction/
+#       text_scoring and relational keep their r11/r10 rows and rotate
+#       in r13 (relational's 20 riders at slots 51+ keep r10 rows —
+#       they can straddle again in r13 if any single query goes stale).
+#       Any NEW r12 registration triggers rename wave 10 (candidates in
+#       BASELINE.md; line ~1966/1990).
 #   r11 (executed): the three r10 union holes lead — ivf_maintenance 1
 #       (ivf_app), embedding_drift 1 (drift_emb), similarity 5
 #       (declared before ann_eval, whose top-level import would
