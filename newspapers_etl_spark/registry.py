@@ -33,16 +33,17 @@ ORACLE: dict[str, str] = {}
 #       declared): ivf_maintenance 1 (ivf_app — re-hashes a round early
 #       as the import price, the similarity-in-r11 precedent),
 #       retrieval 1 (bm25 — same), index_delete 2 (ivf_del, bm25_d),
-#       ivf_refresh 2 (ivf_ref, ivf_rb) = 6 slots.  Then the 39
-#       r9-hashed stale queries (pca 2, rollup 2, sketches 1,
+#       ivf_refresh 2 (ivf_ref, ivf_rb), index_stream 1 (st_ivf — its
+#       ivf_maintenance import is already satisfied) = 7 slots.  Then
+#       the 39 r9-hashed stale queries (pca 2, rollup 2, sketches 1,
 #       text_formats 4, data_quality 1, corpus 5, sampling 2,
 #       text_analysis 6, events_windows 6, pipeline 2, sinks.verified 1,
-#       dedup_scale 1, corpus_overlap 2, incremental_stream 4) = 45,
-#       and the oldest r10 families fill to exactly 50: drift_monitor 1,
-#       retrieval_eval 1, model_fit 3.  text_lm/dedup/extraction/
-#       text_scoring and relational keep their r11/r10 rows and rotate
-#       in r13 (relational's 20 riders at slots 51+ keep r10 rows —
-#       they can straddle again in r13 if any single query goes stale).
+#       dedup_scale 1, corpus_overlap 2, incremental_stream 4) = 46,
+#       drift_monitor 1 + retrieval_eval 1 + text_lm 1 = 49, and dedup
+#       STRADDLES the boundary (the expl_wrd trick: its first query
+#       dd_ex closes the window at slot 50, the other 9 ride).
+#       model_fit/extraction/text_scoring and relational keep their
+#       r11/r10 rows and rotate in r13.
 #       Any NEW r12 registration triggers rename wave 10 (candidates in
 #       BASELINE.md; line ~1966/1990).
 #   r11 (executed): the three r10 union holes lead — ivf_maintenance 1
@@ -296,6 +297,7 @@ _OPERATOR_MODULES = (
     # imported when the loader reaches this tail).
     "newspapers_etl_spark.operators.index_delete",        # 2   NEW r11 (post-window -> r12 front)
     "newspapers_etl_spark.operators.ivf_refresh",         # 2   NEW r11: ivf_ref + ivf_rb (post-window -> r12 front)
+    "newspapers_etl_spark.streaming.index_stream",        # 1   NEW r11: st_ivf (post-window -> r12 front; imports ivf_maintenance — declared earlier)
 )
 
 _loaded = False
