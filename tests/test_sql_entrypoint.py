@@ -174,47 +174,44 @@ def test_registry_registration_order_is_contiguous_per_module():
         f"realized {block_order} vs declared {declared}; a top-level "
         "cross-module operator import is splicing a whole block"
     )
-    # And the r11 window design holds: the three r10 union holes lead
-    # (ivf_app slot 1, drift_emb slot 2, ivf_rec at 8 behind the
-    # similarity block its module imports), bm25 at 9 (r8 row + module
-    # changed r10), the 34-query r8-hashed tail, the oldest r9 families
-    # to 49, and expl_wrd (the r7 union straggler, moved to the front
-    # of relational.py) closing the window at slot 50 — see the
-    # rotation ledger in registry.py.
+    # And the r13 window design holds: the five r11 lifecycle newcomers
+    # get their FIRST driver rows at slots 3-7 behind the two modules
+    # they top-level-import (ivf_app slot 1, bm25 slot 2 — the import
+    # price), then the 39 r9-stale queries to slot 46, the three
+    # r10-hashed singletons at 47-49, and dd_ex (dedup straddling the
+    # boundary) closing the window at slot 50 — see the rotation
+    # ledger in registry.py.
     window = set(names[:50])
     for required in (
-        # the only queries with no driver hash row in the r1-r10 union
-        "ivf_app", "dr_emb", "ivf_rec",
-        # r8-hashed row + module changed r10 (maintenance helpers)
-        "bm25",
-        # the oldest union row (r7 — missed the r10 window cap)
-        "expl_wrd",
-        # last driver-hashed r8 (stalest bulk history, full re-hash)
-        "pd_stats", "pd_chk", "pd_quant",
-        "mm_man", "mm_meta", "mm_frm", "mm_dec",
-        "q3_ship", "q5_vol", "unpivot", "exp_o", "a_pctl",
-        "tdigest", "a_argmm", "w_dist", "cohorts",
-        "scd2", "s2_pit", "scd_enr",
-        "inc_ct", "inc_vr", "inc_rt",
-        "skew", "urlcan", "snapdf",
-        "ev_anm", "ev_gaps", "ev_out",
-        "tk_lang", "tok_bud", "q_samp",
-        "st_enr", "st_scd", "st_state",
-        # oldest r9-hashed fill
-        "bm25_b", "rrf", "ivfadc", "ivfadc_r", "semdedup", "pq_codes",
+        # the only queries with no driver hash row in the r1-r12 union
+        "ivf_del", "bm25_d", "ivf_ref", "ivf_rb", "st_ivf",
+        # import price: their modules must precede the newcomers
+        "ivf_app", "bm25",
+        # the 39 r9-hashed stale queries (three rounds old)
+        "emb_cov", "pca_pr", "ev_roll", "st_roll", "kmv_ndv",
+        "src_csv", "src_xml", "src_orc", "src_jsl", "dq_aud",
+        "dd_incr", "split3", "q_clf", "c_mix", "leakage",
+        "strat", "pack_sq",
+        "tokens", "txt_ql", "lang_id", "tfidf", "text_fp", "txt_rp",
+        "ev_tmbl", "ev_sld", "ev_sess", "ev_json", "ev_fnl", "ev_ret",
+        "pipeline", "pii_m", "sink_aud", "sh32",
+        "dd_chk", "overlap",
+        "st_tmb", "st_ddp", "st_join", "st_sess",
+        # r10-hashed singletons
+        "drift", "ndcg", "ppl2",
+        # dedup straddles: first query closes the window
+        "dd_ex",
     ):
         assert required in window, f"{required} fell out of the window"
-    assert names[:2] == ["ivf_app", "dr_emb"], (
-        f"ivf_app/drift_emb must lead the r11 window: {names[:3]}"
-    )
-    assert names[7:9] == ["ivf_rec", "bm25"], (
-        f"ivf_rec/bm25 slots drifted: {names[6:10]}"
-    )
-    # expl_wrd closes the window; relational's 20 r10-hashed queries
-    # ride behind (rotation ledger: drift_monitor..text_scoring tail
-    # rotates forward in r12).
-    assert names[49] == "expl_wrd", f"window boundary drifted: {names[45:52]}"
-    assert names[50] == "flagship", (
+    assert names[:7] == [
+        "ivf_app", "bm25", "ivf_del", "bm25_d", "ivf_ref", "ivf_rb",
+        "st_ivf",
+    ], f"r13 lifecycle lead drifted: {names[:8]}"
+    # dd_ex closes the window; dedup's 9 other queries ride behind
+    # (rotation ledger: model_fit/extraction/text_scoring/relational
+    # rotate forward in r14).
+    assert names[49] == "dd_ex", f"window boundary drifted: {names[45:52]}"
+    assert names[50] == "jaccard", (
         f"boundary riders drifted: {names[50:53]}"
     )
 

@@ -80,3 +80,23 @@ def test_repo_glob_includes_round_10_file():
     committed = {p.name for p in REPO.glob("CORRECTNESS_r*.json")}
     assert "CORRECTNESS_r10.json" in globbed
     assert globbed == committed
+
+
+def test_letter_suffixed_side_artifacts_are_skipped(tmp_path):
+    """ADVICE r11: the CORRECTNESS_r*.json glob also matches scratch
+    copies like CORRECTNESS_r11b.json, and round_num() raises on them —
+    the loader must filter non-digit stems (compare_rounds.py already
+    does) instead of crashing the round-end gate."""
+    from union_check import correctness_files
+
+    _write(tmp_path, "r09", {"a": GREEN})
+    _write(tmp_path, "r10", {"a": GREEN})
+    (tmp_path / "CORRECTNESS_r11b.json").write_text(json.dumps({"a": GREEN}))
+    files = correctness_files(tmp_path)
+    assert sorted(Path(f).stem for f in files) == [
+        "CORRECTNESS_r09",
+        "CORRECTNESS_r10",
+    ]
+    # and the filtered list flows through compute_union without raising
+    out = compute_union(files, ["a"], lambda k: k)
+    assert out["latest_green_histogram"] == {"r10": 1}

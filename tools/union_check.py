@@ -47,6 +47,18 @@ def round_num(rnd: str) -> int:
     return int(rnd[1:] if rnd.startswith("r") else rnd)
 
 
+def correctness_files(repo_dir) -> list[str]:
+    """Driver correctness artifacts, skipping letter-suffixed side
+    files (e.g. a CORRECTNESS_r11b scratch copy) — same filter as
+    tools/compare_rounds.py; round_num() would raise on them and
+    crash the round-end gate instead of ignoring them."""
+    return [
+        f
+        for f in glob.glob(str(Path(repo_dir) / "CORRECTNESS_r*.json"))
+        if Path(f).stem[len("CORRECTNESS_r"):].isdigit()
+    ]
+
+
 def compute_union(files, registered, resolve):
     """Union the driver correctness rows in ``files`` over the current
     ``registered`` query names, chaining historical keys through
@@ -101,7 +113,7 @@ def main() -> int:
     from newspapers_etl_spark import renames
     from newspapers_etl_spark.registry import all_queries
 
-    files = glob.glob(str(REPO / "CORRECTNESS_r*.json"))
+    files = correctness_files(REPO)
     out = compute_union(files, all_queries(), renames.resolve)
     if args.json:
         print(json.dumps(out, sort_keys=True))
