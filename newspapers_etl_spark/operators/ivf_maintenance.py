@@ -449,6 +449,25 @@ def delete_from_ivf_index(
     coded = _encode(e_deleted, cents, codebook, with_embedding=True).persist()
     both = None
     try:
+        if ptr is not None and not coded.head(1):
+            # Empty batch (zero rows / all-null embeddings): nothing to
+            # subtract and nothing to tombstone — ledger the batch_id
+            # with a pointer-meta-only write instead of allocating a
+            # byte-identical stats generation (ADVICE r11: pointer
+            # churn per no-op delete).  The unshuffled staging write
+            # below emits schema-bearing part files even for zero rows,
+            # so expose_staged_batch cannot be the emptiness signal
+            # here; head(1) on the persisted batch is one tiny action.
+            # A legacy pointer-less root falls through to the full
+            # path, whose publish establishes the pointer.
+            from newspapers_etl_spark.sinks.verified import (
+                update_pointer_meta,
+            )
+
+            update_pointer_meta(
+                stats_root, applied_deletes=applied_del + [batch_id]
+            )
+            return
         staging = f"{path}/_tombs-batch-{batch_id}"
         coded.select("vec_id").write.mode("overwrite").parquet(staging)
         if expose_staged_batch(
@@ -597,6 +616,9 @@ def rebuild_ivf_index(
     if ptr:
         reap_pending_roots(stats_root, path)  # heal a crashed prior reap
     reap_orphan_rebuilds(path)  # heal a rebuild that died pre-publish
+    from newspapers_etl_spark.sinks.verified import reap_orphan_tombstones
+
+    reap_orphan_tombstones(path)  # heal a delete that died pre-publish
     live_ids = read_ivf_codes(spark, path).select("vec_id")
     # Persist the semi-joined live corpus: the Lloyd fit alone runs
     # 2·iters+1 actions over it and the encode one more — without the
@@ -715,6 +737,9 @@ def compact_ivf_codes(
         return "codes"
     reap_pending_roots(stats_root, path)  # heal a crashed prior reap
     reap_orphan_rebuilds(path)  # heal a rebuild that died pre-publish
+    from newspapers_etl_spark.sinks.verified import reap_orphan_tombstones
+
+    reap_orphan_tombstones(path)  # heal a delete that died pre-publish
     base = ptr.get("codes_root", "codes")
     live = list(ptr.get("live_batches", ptr.get("applied_batches", [])))
     old_roots = [f"{path}/{base}"] + [

@@ -469,6 +469,20 @@ def delete_bm25_docs(
         return
 
     staged = _staged_of(docs)
+    if ptr is not None and not staged.head(1):
+        # Empty batch: nothing to subtract and nothing to tombstone —
+        # ledger the batch_id with a pointer-meta-only write instead of
+        # allocating a byte-identical stats generation (ADVICE r11).
+        # The unshuffled staging write emits schema-bearing part files
+        # even for zero rows, so expose_staged_batch cannot signal
+        # emptiness here.  A legacy pointer-less root falls through to
+        # the full path, whose publish establishes the pointer.
+        from newspapers_etl_spark.sinks.verified import update_pointer_meta
+
+        update_pointer_meta(
+            stats_root, applied_deletes=applied_del + [batch_id]
+        )
+        return
     staging = f"{path}/_tombs-batch-{batch_id}"
     staged.select("doc_id").write.mode("overwrite").parquet(staging)
     if expose_staged_batch(
@@ -574,6 +588,9 @@ def compact_bm25_postings(
         publish_generation(stats_root, gen_no, new_name)
         ptr = current_pointer(stats_root)
     reap_pending_roots(stats_root, path)  # heal a crashed prior reap
+    from newspapers_etl_spark.sinks.verified import reap_orphan_tombstones
+
+    reap_orphan_tombstones(path)  # heal a delete that died pre-publish
     base = ptr.get("postings_root", "postings")
     live = list(ptr.get("live_batches", ptr.get("applied_batches", [])))
     old_roots = [f"{path}/{base}"] + [

@@ -349,6 +349,33 @@ def reap_pending_roots(stats_root: str, table_root: str) -> None:
     update_pointer_meta(stats_root, reap_roots=[])
 
 
+def reap_orphan_tombstones(table_root: str) -> None:
+    """Delete tombstone debris the pointer no longer (or never)
+    references — the delete-path twin of the rebuild-orphan heal
+    (ADVICE r11): a delete that dies between its staging write and
+    ``expose_staged_batch`` leaves an ``_tombs-batch-<id>`` dir, one
+    that dies between expose and publish leaves a live-named
+    ``tombs-batch-<id>`` dir with no ledger row, and a compaction that
+    dies between its reap and the next retry can strand a folded one.
+    Readers are pointer-driven (only ``live_tombstones`` roots are
+    anti-joined), so these are storage-only leaks — but at 100 TB a
+    leak per crashed delete still accumulates.  Keeps every dir whose
+    batch_id IS in ``live_tombstones``; removes the rest.  Idempotent;
+    SINGLE WRITER ASSUMED (call from maintenance entry points, never
+    concurrently with an in-flight delete)."""
+    import os
+    import re
+    import shutil
+
+    ptr = _read_pointer(f"{table_root}/stats")
+    live = set((ptr or {}).get("live_tombstones", []))
+    base = local_fs_path(table_root)
+    for name in os.listdir(base):
+        m = re.fullmatch(r"(_?)tombs-batch-(.+)", name)
+        if m and (m.group(1) == "_" or m.group(2) not in live):
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+
+
 def flip_compacted_roots(
     stats_root: str,
     table_root: str,

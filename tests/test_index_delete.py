@@ -435,3 +435,124 @@ def test_bm25_reappend_after_delete_restores_scores(spark, sf_dir, tmp_path):
     assert _topk_rows(retrieval_bm25_topk_from_postings(spark, path)) == want
     compact_bm25_postings(spark, path)
     assert _topk_rows(retrieval_bm25_topk_from_postings(spark, path)) == want
+
+
+# ------------------------------------- ADVICE r11: no-op delete hygiene
+
+
+def test_ivf_empty_delete_short_circuits_stats_generation(
+    spark, sf_dir, tmp_path
+):
+    """An empty delete batch (zero rows / all-null embeddings) must be
+    ledgered for idempotency WITHOUT allocating a byte-identical stats
+    generation (ADVICE r11: pointer churn per no-op delete)."""
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        delete_from_ivf_index,
+        read_ivf_codes,
+    )
+    from newspapers_etl_spark.sinks.verified import current_pointer
+
+    path = str(tmp_path / "idx")
+    e, _ = _built_index(spark, sf_dir, path)
+    delete_from_ivf_index(spark, e.filter(F.expr(DEL_PRED)), path, "d1")
+    ptr1 = current_pointer(f"{path}/stats")
+    rows1 = _codes_rows(read_ivf_codes(spark, path))
+
+    delete_from_ivf_index(spark, e.filter("vec_id < 0"), path, "empty")
+    ptr2 = current_pointer(f"{path}/stats")
+    assert ptr2["generation"] == ptr1["generation"], (
+        "empty delete allocated a new stats generation"
+    )
+    assert ptr2["applied_deletes"] == ["d1", "empty"]
+    assert ptr2["live_tombstones"] == ["d1"]
+    assert "empty" not in ptr2.get("tombstone_covers", {})
+    assert _codes_rows(read_ivf_codes(spark, path)) == rows1
+
+    # retry of the ledgered empty batch no-ops entirely
+    delete_from_ivf_index(spark, e.filter("vec_id < 0"), path, "empty")
+    assert current_pointer(f"{path}/stats") == ptr2
+
+
+def test_bm25_empty_delete_short_circuits_stats_generation(
+    spark, sf_dir, tmp_path
+):
+    from newspapers_etl_spark.operators.retrieval import (
+        delete_bm25_docs,
+        retrieval_bm25_topk_from_postings,
+        write_bm25_postings,
+    )
+    from newspapers_etl_spark.sinks.verified import current_pointer
+
+    path = str(tmp_path / "bm25")
+    write_bm25_postings(spark, sf_dir, path)
+    docs = load_table(spark, sf_dir, "documents")
+    delete_bm25_docs(spark, docs.filter(F.expr(DOC_DEL_PRED)), path, "d1")
+    ptr1 = current_pointer(f"{path}/stats")
+    scores1 = _topk_rows(retrieval_bm25_topk_from_postings(spark, path))
+
+    delete_bm25_docs(spark, docs.filter("doc_id < 0"), path, "empty")
+    ptr2 = current_pointer(f"{path}/stats")
+    assert ptr2["generation"] == ptr1["generation"]
+    assert ptr2["applied_deletes"] == ["d1", "empty"]
+    assert ptr2["live_tombstones"] == ["d1"]
+    assert (
+        _topk_rows(retrieval_bm25_topk_from_postings(spark, path)) == scores1
+    )
+
+
+# --------------------------------- ADVICE r11: orphan tombstone debris
+
+
+def test_orphan_tombstone_dirs_are_reaped(spark, sf_dir, tmp_path):
+    """A delete that dies between its staging write and expose leaves
+    _tombs-batch-<id>; one that dies between expose and publish leaves
+    a live-named dir with no ledger row.  The reaper removes both and
+    keeps every dir the live_tombstones ledger references."""
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        delete_from_ivf_index,
+    )
+    from newspapers_etl_spark.sinks.verified import reap_orphan_tombstones
+
+    path = str(tmp_path / "idx")
+    e, _ = _built_index(spark, sf_dir, path)
+    delete_from_ivf_index(spark, e.filter(F.expr(DEL_PRED)), path, "d1")
+
+    staged_orphan = tmp_path / "idx" / "_tombs-batch-crashA"
+    live_orphan = tmp_path / "idx" / "tombs-batch-crashB"
+    staged_orphan.mkdir()
+    live_orphan.mkdir()
+    (staged_orphan / "part-0.parquet").write_bytes(b"x")
+    (live_orphan / "part-0.parquet").write_bytes(b"x")
+
+    reap_orphan_tombstones(path)
+    assert not staged_orphan.exists()
+    assert not live_orphan.exists()
+    assert (tmp_path / "idx" / "tombs-batch-d1").exists(), (
+        "reaper must keep ledgered live tombstones"
+    )
+
+
+def test_ivf_compaction_reaps_orphan_tombstones(spark, sf_dir, tmp_path):
+    """The compaction entry point heals the delete crash seams the same
+    way it heals rebuild orphans — an operator never has to call the
+    reaper directly."""
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        append_ivf_index,
+        compact_ivf_codes,
+        delete_from_ivf_index,
+        read_ivf_codes,
+    )
+
+    path = str(tmp_path / "idx")
+    e, _ = _built_index(spark, sf_dir, path)
+    # an append so compaction has a pointer to work with either way
+    delete_from_ivf_index(spark, e.filter(F.expr(DEL_PRED)), path, "d1")
+    before = _codes_rows(read_ivf_codes(spark, path))
+
+    orphan = tmp_path / "idx" / "tombs-batch-crashC"
+    orphan.mkdir()
+    (orphan / "part-0.parquet").write_bytes(b"x")
+
+    compact_ivf_codes(spark, path)
+    assert not orphan.exists()
+    assert _codes_rows(read_ivf_codes(spark, path)) == before
