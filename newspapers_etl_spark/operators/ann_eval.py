@@ -10,7 +10,7 @@ src/01-scrape-images.py).  Recall@k = |ANN top-k ∩ exact top-k| / k is
 THE standard ANN quality metric (what every FAISS/IVF paper reports),
 and here it is exactly oracle-checkable because BOTH rankings are
 deterministic and SQL-replayable: the exact side is ``bf_topk``'s
-rounded-cosine ranking, the approximate side is ``ivf_topk``'s
+rounded-cosine ranking, the approximate side is ``ivf_tk``'s
 exact-fit Lloyd quantizer + probed-cell scan (functions/lloyd_sql.py) —
 the oracle simply intersects the two registered oracles.
 

@@ -288,7 +288,7 @@ GROUP BY 1, 2
 """
 
 
-@query("leakage", oracle=LEAKAGE_ORACLE)
+@query("leak", oracle=LEAKAGE_ORACLE)
 def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split contamination audit: pairs of duplicate documents
     (same order-insensitive content fingerprint) that landed in

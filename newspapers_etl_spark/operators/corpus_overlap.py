@@ -136,7 +136,7 @@ JOIN sizes sb ON sb.source = src_b
 """
 
 
-@query("overlap", oracle=SOURCE_OVERLAP_ORACLE)
+@query("ovlp", oracle=SOURCE_OVERLAP_ORACLE)
 def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise trigram-shingle Jaccard across sources: for every
     source pair, the shared distinct-shingle count, both vocabulary

@@ -130,7 +130,7 @@ WHERE j >= {JACCARD_T}
 """
 
 
-@query("jaccard", oracle=JACCARD_ORACLE)
+@query("jacc", oracle=JACCARD_ORACLE)
 def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-threshold Jaccard similarity join via PREFIX FILTERING
     (AllPairs/PPJoin): returns every pair with shingle-set Jaccard >= t,
@@ -301,7 +301,7 @@ FROM perdoc p LEFT JOIN dup d ON p.doc_id = d.doc_id
 """
 
 
-@query("dd_spans", oracle=SPANS_ORACLE)
+@query("dd_spn", oracle=SPANS_ORACLE)
 def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplication ratio over k-token rolling windows — the
     ExactSubstr signal (Lee et al., "Deduplicating Training Data Makes
@@ -928,7 +928,7 @@ def manku_neardup_pairs(
     hamming_fn: Callable[[Column, Column], Column],
 ) -> DataFrame:
     """Manku multi-table SimHash near-dup join, parametric in hash width:
-    the shared engine behind ``sh_pairs`` (16-bit fixture hash,
+    the shared engine behind ``sh_prs`` (16-bit fixture hash,
     literal-mask popcount) and ``sh32`` (operators/dedup_scale.py:
     production 32-bit hash, ``F.bit_count``).  ``hamming_fn(a, b)``
     returns the Hamming distance between two ``bits``-wide simhash
@@ -1001,7 +1001,7 @@ def manku_neardup_pairs(
     return cross.unionByName(within)
 
 
-@query("sh_pairs")  # rows-only: hash values are engine-specific
+@query("sh_prs")  # rows-only: hash values are engine-specific
 def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming <= 3, 16-bit fixture width —
     thin wrapper over manku_neardup_pairs (which see); the literal-mask

@@ -64,7 +64,7 @@ FROM html
 """
 
 
-@query("ex_fall", oracle=MANIFEST_FALLBACK_ORACLE)
+@query("ex_fl", oracle=MANIFEST_FALLBACK_ORACLE)
 def extract_manifest_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: first-pattern-wins fallback chain (reference tries data-src=
     then src=, src/01-scrape-images.py:270-279)."""

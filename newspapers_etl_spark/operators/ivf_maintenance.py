@@ -74,19 +74,26 @@ BASE_PREDICATE = "vec_id % 4 < 3"
 _ASG_DOT = SQL_DOT.format(a="n_.embedding", b="c.cvec")
 
 def ivf_frozen_ctes(
-    corpus_where: str | None = None, fit_where: str = FIT_PREDICATE
+    corpus_where: str | None = None,
+    fit_where: str = FIT_PREDICATE,
+    source: str = "embeddings",
 ) -> str:
-    """The frozen-model replay fragment shared with the refresh and
-    rebuild oracles (operators/ivf_refresh.py, index_delete.py):
-    non-null corpus (optionally narrowed — the rebuild replays over the
-    survivors), exact Lloyd fit on the fit slice, frozen assignment of
-    everything, frozen first-K codebook, PQ encode.  Composes as
+    """The frozen-model replay fragment shared with the refresh,
+    rebuild and upsert oracles (operators/ivf_refresh.py,
+    index_delete.py, index_upsert.py): non-null corpus (optionally
+    narrowed — the rebuild replays over the survivors — or swapped for
+    a substituted CTE via ``source`` — the upsert replays over the
+    corpus with updated rows substituted; the FIT stays on the real
+    ``embeddings`` table, which is exactly the frozen-model contract as
+    long as the substitution never touches the fit slice), exact Lloyd
+    fit on the fit slice, frozen assignment of everything, frozen
+    first-K codebook, PQ encode.  Composes as
     ``WITH {ivf_frozen_ctes()} ...``; the default arguments produce the
     byte-identical fragment every existing oracle hashes against."""
     extra = f" AND ({corpus_where})" if corpus_where else ""
     fit = fit_where if not corpus_where else f"({fit_where}) AND ({corpus_where})"
     return f"""nnall AS (
-  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL{extra}
+  SELECT vec_id, embedding FROM {source} WHERE embedding IS NOT NULL{extra}
 ),
 {lloyd_centroid_ctes(_OC_CELLS, _OC_ITERS, where=fit)},
 asg AS (
@@ -516,6 +523,45 @@ def delete_from_ivf_index(
         coded.unpersist()
         if both is not None:
             both.unpersist()
+
+
+def upsert_ivf_index(
+    spark: SparkSession,
+    e_old: DataFrame,
+    e_new: DataFrame,
+    path: str,
+    batch_id: str,
+) -> None:
+    """Replace vectors in place — the UPDATE of the maintenance
+    contract, and the most common index mutation at 100 TB (an
+    embedding-model upgrade or a document edit re-embeds existing ids).
+    Composed from the two verified halves under ONE batch discipline:
+
+    - DELETE ``e_old`` (the currently-indexed rows for the ids — the
+      system-of-record corpus has them) under ``<batch_id>.del``, then
+    - APPEND ``e_new`` (the replacement rows) under ``<batch_id>.add``.
+
+    Correct by construction: the delete's tombstone is ROOT-SCOPED to
+    the code roots that exist when it publishes, and the append lands
+    in a NEW ``codes-batch-<batch_id>.add`` root the tombstone
+    therefore never covers — the re-appended ids are read untouched
+    while their old codes stay suppressed (sinks/verified.
+    tombstoned_union), and upsert-equals-rebuild holds bit-for-bit
+    because both halves' stats are combinable and encode is a pure
+    function of (frozen model, vector).
+
+    IDEMPOTENT and crash-safe with NO new machinery: each half keeps
+    its own append-only ledger row (``applied_deletes`` /
+    ``applied_batches``), so a retry of a torn upsert — crashed between
+    the halves, or after both — no-ops the published half and applies
+    the rest (pinned by the failure-injection pytest).  The caller owns
+    membership exactly as for the halves: every ``e_old`` id must be
+    live in the index, ``e_new`` must not duplicate a live id it is not
+    replacing.  An id in ``e_old`` but not ``e_new`` is deleted; one in
+    ``e_new`` only is appended — the composition degrades to its halves.
+    SINGLE WRITER ASSUMED, like every generation-pointer publisher."""
+    delete_from_ivf_index(spark, e_old, path, batch_id=f"{batch_id}.del")
+    append_ivf_index(spark, e_new, path, batch_id=f"{batch_id}.add")
 
 
 def _live_code_roots(ptr: dict | None) -> list[str]:

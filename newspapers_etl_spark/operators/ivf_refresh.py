@@ -60,9 +60,12 @@ REFRESH_CHURN_THRESHOLD = 0.1
 
 _REF_DOT = SQL_DOT.format(a="r.rvec", b="c.cvec")
 
-IVF_REF_ORACLE = f"""
-WITH {IVF_FROZEN_CTES},
-rm AS (
+# The decision fragment (refreshed means -> PQ decode -> re-assign) is
+# shared with the maintenance-policy oracle (operators/
+# maintenance_policy.py): it references only the frozen-fragment CTE
+# names (asg/nnall/enc/cbk), so it replays over ANY corpus
+# ivf_frozen_ctes() was parameterized with.
+REF_DECISION_CTES = f"""rm AS (
   -- refreshed centroid components: per-(cell, position) sum/count of
   -- the double-cast members — the exact algebra of the stored
   -- (n, svec) pair, ONE division (never avg: engine-internal
@@ -91,7 +94,11 @@ nr AS (
                               ORDER BY {_REF_DOT} DESC, c.cell) AS rk
     FROM rv r CROSS JOIN rc c
   ) WHERE rk = 1
-)
+)"""
+
+IVF_REF_ORACLE = f"""
+WITH {IVF_FROZEN_CTES},
+{REF_DECISION_CTES}
 SELECT CAST(count(*) AS BIGINT) AS total,
        CAST(sum(CASE WHEN n.ncell != a.cell THEN 1 ELSE 0 END)
             AS BIGINT) AS moved,

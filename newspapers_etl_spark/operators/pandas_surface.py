@@ -71,7 +71,7 @@ GROUP BY lang
 """
 
 
-@query("pd_stats", oracle=ROBUST_ORACLE)
+@query("pd_sts", oracle=ROBUST_ORACLE)
 def pd_grouped_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median + MAD of document length per language via applyInPandas —
     order statistics that need the whole group materialized (exactly the
@@ -193,7 +193,7 @@ GROUP BY label
 """
 
 
-@query("pd_quant", oracle=QUANTIZE_ORACLE)
+@query("pd_qnt", oracle=QUANTIZE_ORACLE)
 def pd_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantize embeddings to int8 range in a pandas_udf, then reduce
     JVM-side (aggregate/filter higher-order fns) to per-label L1 mass and

@@ -8,7 +8,7 @@ PER PARTITION, never a row.  The eigendecomposition runs on the driver
 over the d×d matrix (numpy.linalg.eigh — O(d³) on 64×64 is microseconds)
 and the resulting projection matrix re-enters the plan as literals, so
 projecting the full corpus is a second map-only scan with ZERO
-shuffles — the same literal-model discipline as ``pq_codes`` and the
+shuffles — the same literal-model discipline as ``pq_cds`` and the
 IVF quantizer.
 
 Two registered queries:

@@ -74,7 +74,7 @@ GROUP BY lang
 """
 
 
-@query("pipeline", oracle=PIPELINE_ORACLE)
+@query("pipel", oracle=PIPELINE_ORACLE)
 def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter → fingerprint-dedup (keeper = lowest doc_id) →
     overlapping-chunk accounting (size {CHUNK_SIZE}, stride

@@ -86,7 +86,7 @@ HAVING count(*) >= 5
 """
 
 
-@query("expl_wrd", oracle=EXPLODE_ORACLE)
+@query("expl_w", oracle=EXPLODE_ORACLE)
 def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Issue→files 1:N fan-out (J3, reference download_newspaper_issue
     src/01-scrape-images.py:440-459) as explode + count."""
@@ -100,7 +100,7 @@ def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("flagship", oracle=FLAGSHIP_ORACLE)
+@query("flagsp", oracle=FLAGSHIP_ORACLE)
 def flagship_issue_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's daily loop as ONE declarative plan (S1+J1+A1):
     date-range scan with the predicate pushed to the source (reference
@@ -289,7 +289,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_ndv")  # rows-only: HLL estimates are engine-specific
+@query("a_ndv")  # rows-only: HLL estimates are engine-specific
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct — the 100 TB path where exact distinct would
     shuffle every key; HLL sketches merge associatively so this needs one
@@ -485,7 +485,7 @@ WHERE rn = 1
 """
 
 
-@query("win_topn", oracle=TOP_ORDER_ORACLE)
+@query("w_topn", oracle=TOP_ORDER_ORACLE)
 def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-match-wins semantics (reference P1 fallback chains / files[0],
     src/01-scrape-images.py:270-279,146-147) as row_number()==1. Tie-broken
@@ -519,7 +519,7 @@ FROM orders
 """
 
 
-@query("win_frm", oracle=RUNNING_ORACLE)
+@query("w_frm", oracle=RUNNING_ORACLE)
 def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic windows: running frame sum, lag delta, rank — one shuffle on
     o_custkey serves all three (same partitioning/ordering)."""
@@ -550,7 +550,7 @@ LIMIT 10
 """
 
 
-@query("topk_ln", oracle=TOPK_ORACLE)
+@query("tk_ln", oracle=TOPK_ORACLE)
 def topk_net_price_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: Catalyst plans TakeOrderedAndProject — per-partition
     heap of k then a k-row merge on the driver, no global sort at 100 TB."""

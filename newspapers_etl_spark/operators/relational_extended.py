@@ -145,7 +145,7 @@ FROM wide UNPIVOT (n FOR status IN (n_f, n_o, n_p))
 """
 
 
-@query("unpivot", oracle=UNPIVOT_ORACLE)
+@query("unpvt", oracle=UNPIVOT_ORACLE)
 def agg_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unpivot/melt: wide per-status count columns back to long form —
     the inverse of the pivot operator.  Map-side row expansion (×3), no
@@ -255,7 +255,7 @@ GROUP BY l_returnflag
 """
 
 
-@query("tdigest")  # rows-only: t-digest estimates are engine-specific
+@query("tdig")  # rows-only: t-digest estimates are engine-specific
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile path: percentile_approx (t-digest sketch) —
     mergeable partial state, bounded memory per group regardless of
@@ -354,7 +354,7 @@ GROUP BY cohort, offset_m
 """
 
 
-@query("cohorts", oracle=COHORTS_ORACLE)
+@query("cohrt", oracle=COHORTS_ORACLE)
 def order_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic cohort-retention matrix over orders: customers grouped by
     first-order month, activity counted at each month offset.  Two

@@ -53,17 +53,23 @@ from newspapers_etl_spark.registry import query
 _TERMS_SQL = "', '".join(BM25_QUERY_TERMS)
 
 
-def bm25_oracle_sql(where: str | None = None) -> str:
-    """The BM25 replay SQL, optionally over a narrowed corpus —
-    ``where`` filters the documents feeding the index (the deletion
-    oracle scores the survivors; the default is byte-identical to the
-    registered ``bm25`` oracle)."""
+def bm25_oracle_sql(
+    where: str | None = None,
+    source: str = "documents",
+    prelude: str = "",
+) -> str:
+    """The BM25 replay SQL, optionally over a narrowed or substituted
+    corpus — ``where`` filters the documents feeding the index (the
+    deletion oracle scores the survivors), ``source``/``prelude`` swap
+    the corpus for a prepended CTE (the upsert oracle scores the corpus
+    with updated rows substituted); the defaults are byte-identical to
+    the registered ``bm25`` oracle."""
     extra = f"\n  WHERE {where}" if where else ""
     return rf"""
-WITH toks AS (
+WITH {prelude}toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ts
-  FROM documents{extra}
+  FROM {source}{extra}
 ),
 dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM toks),
 hits AS (
@@ -202,9 +208,10 @@ BM25_POSTING_SHARDS = 256
 
 def write_bm25_postings(
     spark: SparkSession,
-    sf_dir: str,
+    sf_dir: str | None,
     path: str,
     shards: int = BM25_POSTING_SHARDS,
+    docs: DataFrame | None = None,
 ) -> None:
     """The stored-index half of the 100 TB contract: tokenize ONCE and
     write the (term, doc_id, tf, dl) posting relation partitioned by a
@@ -216,8 +223,14 @@ def write_bm25_postings(
     terms spread nothing here because a shard holds whole terms (the
     skew unit is the term itself, bounded by doc frequency).  df is NOT
     stored — it is exactly count_distinct(doc_id) within a term's
-    postings, all of which live in one shard."""
-    staged = _staged_tokens(spark, sf_dir)
+    postings, all of which live in one shard.
+
+    The corpus arrives either as ``sf_dir`` (the fixture documents
+    table) or as ``docs`` (a (doc_id, text) relation — the streaming
+    ingester builds its base index over a slice)."""
+    staged = (
+        _staged_of(docs) if docs is not None else _staged_tokens(spark, sf_dir)
+    )
     postings = _postings_of(staged, shards)
     # Repartition ON the layout key before the partitioned write:
     # without it every task holds rows for all shards and writes up to
@@ -289,10 +302,11 @@ def _corpus_stats(staged: DataFrame) -> DataFrame:
 
 def append_bm25_postings(
     spark: SparkSession,
-    sf_dir: str,
+    sf_dir: str | None,
     path: str,
     shards: int = BM25_POSTING_SHARDS,
     batch_id: str | None = None,
+    docs: DataFrame | None = None,
 ) -> None:
     """Incremental index maintenance: add a NEW corpus slice's postings
     to an existing index — O(batch) work, no rebuild.  Per-(doc, term)
@@ -335,8 +349,21 @@ def append_bm25_postings(
     SINGLE WRITER ASSUMED, like every generation-pointer publisher
     (sinks/verified.py publish_generation): concurrent appends would
     race the pointer read-modify-write; serialize maintenance, or add
-    CAS on the pointer object for multi-writer deployments."""
+    CAS on the pointer object for multi-writer deployments.
+
+    The batch arrives either as ``sf_dir`` (a fixture directory whose
+    documents table IS the batch — the registered roundtrips) or as
+    ``docs`` (a (doc_id, text) relation — what the streaming ingester
+    and the upsert hand in per micro-batch); ``docs`` callers must
+    pass an explicit ``batch_id`` (a DataFrame has no path to slug and
+    fingerprinting it would add an extra pass per micro-batch — the
+    epoch / upsert id is the natural name)."""
     import re
+
+    if docs is not None and batch_id is None:
+        raise ValueError(
+            "append_bm25_postings(docs=...) requires an explicit batch_id"
+        )
 
     # Lazy import: sinks.verified registers its own query (sink_aud) at
     # import time; a top-level import here would splice that block into
@@ -374,7 +401,9 @@ def append_bm25_postings(
         # published — everything is already visible, nothing to redo.
         return
 
-    staged = _staged_tokens(spark, sf_dir)
+    staged = (
+        _staged_of(docs) if docs is not None else _staged_tokens(spark, sf_dir)
+    )
     staging = f"{path}/_postings-batch-{batch_id}"
     _postings_of(staged, shards).repartition(
         shards, "term_shard"
@@ -515,6 +544,40 @@ def delete_bm25_docs(
             "live_tombstones": tombs_after,
             "tombstone_covers": covers,
         },
+    )
+
+
+def upsert_bm25_docs(
+    spark: SparkSession,
+    docs_old: DataFrame,
+    docs_new: DataFrame,
+    path: str,
+    batch_id: str,
+) -> None:
+    """Re-index documents in place — a document EDIT at 100 TB is a
+    delete of the stored tokenization plus an append of the new one,
+    composed under ONE batch discipline (the IVF twin is
+    ivf_maintenance.upsert_ivf_index; the two compose identically
+    because both indexes share the tombstone + applied-ledger
+    protocol):
+
+    - DELETE ``docs_old`` (the currently-indexed text for the ids — the
+      system of record has it) under ``<batch_id>.del``;
+    - APPEND ``docs_new``'s postings under ``<batch_id>.add``.
+
+    The delete's tombstone is root-scoped to the posting roots that
+    exist when it publishes, so the append's new
+    ``postings-batch-<batch_id>.add`` root is never covered — the
+    re-indexed documents score from their new postings while the old
+    ones stay suppressed, and df/avgdl see exactly the substituted
+    corpus (df derives from surviving postings at query time; the
+    (n, sum_dl) pair subtracts then adds exactly).  Idempotent + crash
+    safe via the halves' own ledgers: a retry no-ops the published half
+    and applies the rest.  Caller owns membership, as for the halves.
+    SINGLE WRITER ASSUMED."""
+    delete_bm25_docs(spark, docs_old, path, batch_id=f"{batch_id}.del")
+    append_bm25_postings(
+        spark, None, path, batch_id=f"{batch_id}.add", docs=docs_new
     )
 
 

@@ -5,12 +5,12 @@ identity notion is the md5 content check, reference
 src/01-scrape-images.py:78-83); these are the embedding-space curation
 steps a training-data pipeline runs after `dd_emb`'s pair-level LSH:
 
-- ``semdedup`` — Abbas et al.'s SemDeDup recipe (arXiv:2303.09540):
+- ``semdd`` — Abbas et al.'s SemDeDup recipe (arXiv:2303.09540):
   assign every vector to its nearest anchor centroid, then search for
   near-duplicates ONLY within a cluster.  Clustering is what makes
   semantic dedup tractable at 100 TB: the pairwise stage is O(sum of
   C(cluster_n, 2)), never corpus-wide O(n^2).
-- ``pq_codes`` — product-quantization assignment (Jegou et al., PAMI
+- ``pq_cds`` — product-quantization assignment (Jegou et al., PAMI
   2011): split each vector into M subspaces, encode each subspace as
   the id of its nearest codebook entry.  64 floats (256 B) become M
   small ints (~M bytes) — the compressed representation an IVF-PQ
@@ -27,7 +27,7 @@ Scale design:
   anchor set comes from a sampled k-means fit (``similarity.py``
   ``_fit_centroids``) with K sized ~sqrt(N); only the anchor SOURCE
   changes, the assignment plan is identical.
-- ``semdedup``'s one shuffle is the self-join on cluster_id.  The
+- ``semdd``'s one shuffle is the self-join on cluster_id.  The
   fixture's K=16 keeps key cardinality small; at scale K grows with the
   corpus (SemDeDup uses 50k clusters for LAION-440M), so the join key
   is high-cardinality and AQE splits any skewed cluster.
@@ -109,7 +109,7 @@ def fit_anchors(
     """The at-scale anchor source: a sampled Lloyd k-means fit (reusing
     similarity.py's ``_centroids`` — seeded sample, literal-embedded
     assignment, only k×dim floats to the driver).  The registered
-    ``semdedup``/``pq_codes`` queries keep the deterministic first-K
+    ``semdd``/``pq_cds`` queries keep the deterministic first-K
     fixture anchors so the DuckDB oracle can mirror them; production
     callers pass ``anchors=fit_anchors(...)`` for data-adaptive
     clusters with the identical assignment plan.  ``fit_fraction``
@@ -211,7 +211,7 @@ FROM mem m LEFT JOIN dup_of_lower d ON m.vec_id = d.vec_id
 """
 
 
-@query("semdedup", oracle=SEMDEDUP_ORACLE)
+@query("semdd", oracle=SEMDEDUP_ORACLE)
 def semdedup(
     spark: SparkSession,
     sf_dir: str,
@@ -354,7 +354,7 @@ FROM best WHERE rk = 1
 """
 
 
-@query("pq_codes", oracle=PQ_ORACLE)
+@query("pq_cds", oracle=PQ_ORACLE)
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding: one row per (vec_id, subspace)
     with the nearest codebook id and its squared reconstruction error.

@@ -366,7 +366,7 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
-@query("ivf_topk", oracle=IVF_TOPK_ORACLE)
+@query("ivf_tk", oracle=IVF_TOPK_ORACLE)
 def sim_ann_ivf_topk(
     spark: SparkSession, sf_dir: str, fit_fraction: float = 1.0
 ) -> DataFrame:

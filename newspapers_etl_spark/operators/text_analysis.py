@@ -128,7 +128,7 @@ _LANGS = sorted(LANG_MARKERS)  # alphabetical → deterministic tiebreak
 LANG_ID_ORACLE = lang_id_oracle_sql()
 
 
-@query("lang_id", oracle=LANG_ID_ORACLE)
+@query("lg_id", oracle=LANG_ID_ORACLE)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID: per-language hit counts + argmax with
     alphabetical tiebreak (identical CASE ordering in the oracle).

@@ -147,12 +147,12 @@ GROUP BY lang_true, lang_pred
 """
 
 
-@query("lg_conf", oracle=_lang_conf_oracle())
+@query("lg_cf", oracle=_lang_conf_oracle())
 def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the marker-lexicon language classifier
     against the labeled lang column — the evaluation loop every
     filtering heuristic needs before it gates a corpus.  Composes the
-    registered `lang_id` relation (single tokenization, argmax
+    registered `lg_id` relation (single tokenization, argmax
     with alphabetical tie-break) and rolls it up to O(langs²) rows;
     the rollup adds one tiny shuffle on (lang_true, lang_pred)."""
     from newspapers_etl_spark.operators.text_analysis import text_lang_id

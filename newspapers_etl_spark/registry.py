@@ -315,6 +315,11 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.retrieval_fusion",    # 2   hashed r12
     "newspapers_etl_spark.operators.ivfadc",              # 2   hashed r12
     "newspapers_etl_spark.operators.semantic_dedup",      # 2   hashed r12
+    # ---- NEW r13 (registered post-window, the bm25_b/drift precedent:
+    # never displace an earned slot mid-round) — these lead r14. ----
+    "newspapers_etl_spark.operators.index_upsert",        # 2   ivf_up, bm25_u (NEW r13)
+    "newspapers_etl_spark.streaming.bm25_stream",         # 1   st_bm25 (NEW r13)
+    "newspapers_etl_spark.operators.maintenance_policy",  # 1   mnt_pol (NEW r13)
 )
 
 _loaded = False

@@ -368,7 +368,7 @@ _GENERATED_CORPUS_QUERIES = (
     "dd_chk",
     "tokens",
     "len_h",
-    "lang_id",
+    "lg_id",
     "split3",
     "strat",
     "pack_sq",

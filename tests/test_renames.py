@@ -72,20 +72,20 @@ def test_compare_rounds_parses_driver_capture_formats(tmp_path):
 
     plain = tmp_path / "plain.json"
     plain.write_text(_json.dumps({"queries": {"flagship": 1.0}}))
-    assert mod._load_capture(plain) == {"flagship": 1.0}
+    assert mod._load_capture(plain) == {"flagsp": 1.0}
 
     wrapped = tmp_path / "wrapped.json"
     wrapped.write_text(
         _json.dumps({"tail": "x", "parsed": {"queries": {"text_lang_id": 2.0}}})
     )
-    # r4 rename: text_lang_id -> lang_id must resolve through the ledger
-    assert mod._load_capture(wrapped) == {"lang_id": 2.0}
+    # chained: text_lang_id -> lang_id (r4) -> lg_id (r13)
+    assert mod._load_capture(wrapped) == {"lg_id": 2.0}
 
     tail_only = tmp_path / "tail.json"
     line = _json.dumps({"metric": "wall", "queries": {"agg_approx_distinct": 3.0}})
     tail_only.write_text(_json.dumps({"tail": "junk\n" + line, "parsed": None}))
-    # chained rename: agg_approx_distinct -> agg_approx_ndv -> agg_ndv
-    assert mod._load_capture(tail_only) == {"agg_ndv": 3.0}
+    # chained rename: agg_approx_distinct -> ... -> agg_ndv -> a_ndv (r13)
+    assert mod._load_capture(tail_only) == {"a_ndv": 3.0}
 
     broken = tmp_path / "broken.json"
     broken.write_text("{not json")

@@ -190,12 +190,12 @@ def test_registry_registration_order_is_contiguous_per_module():
         # the 39 r9-hashed stale queries (three rounds old)
         "emb_cov", "pca_pr", "ev_roll", "st_roll", "kmv_ndv",
         "src_csv", "src_xml", "src_orc", "src_jsl", "dq_aud",
-        "dd_incr", "split3", "q_clf", "c_mix", "leakage",
+        "dd_incr", "split3", "q_clf", "c_mix", "leak",
         "strat", "pack_sq",
-        "tokens", "txt_ql", "lang_id", "tfidf", "text_fp", "txt_rp",
+        "tokens", "txt_ql", "lg_id", "tfidf", "text_fp", "txt_rp",
         "ev_tmbl", "ev_sld", "ev_sess", "ev_json", "ev_fnl", "ev_ret",
-        "pipeline", "pii_m", "sink_aud", "sh32",
-        "dd_chk", "overlap",
+        "pipel", "pii_m", "snk_au", "sh32",
+        "dd_chk", "ovlp",
         "st_tmb", "st_ddp", "st_join", "st_sess",
         # r10-hashed singletons
         "drift", "ndcg", "ppl2",
@@ -211,7 +211,7 @@ def test_registry_registration_order_is_contiguous_per_module():
     # (rotation ledger: model_fit/extraction/text_scoring/relational
     # rotate forward in r14).
     assert names[49] == "dd_ex", f"window boundary drifted: {names[45:52]}"
-    assert names[50] == "jaccard", (
+    assert names[50] == "jacc", (
         f"boundary riders drifted: {names[50:53]}"
     )
 
