@@ -167,6 +167,55 @@ def test_crash_between_halves_retries_to_convergence(
 
 
 @pytest.mark.heavy
+def test_upsert_then_compact_equals_rebuild(spark, sf_dir, tmp_path):
+    """Compacting an upserted index folds the tombstoned old codes out
+    and the re-appended batch in — one root, same rows as a fresh build
+    over the substituted corpus, stats untouched (compaction adds no
+    vectors).  This is the upsert's end state at 100 TB: the delete
+    debris leaves disk on the next compaction, not before."""
+    from newspapers_etl_spark.operators.index_upsert import IVF_UP_PRED
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        FIT_PREDICATE,
+        build_ivf_index,
+        compact_ivf_codes,
+        fit_models,
+        read_ivf_codes,
+        upsert_ivf_index,
+    )
+    from newspapers_etl_spark.sinks.verified import current_pointer
+
+    e = load_table(spark, sf_dir, "embeddings")
+    models = fit_models(e.filter(F.expr(FIT_PREDICATE)))
+    old = e.filter(F.expr(IVF_UP_PRED))
+    new = old.select("vec_id", F.reverse("embedding").alias("embedding"))
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, e, path, e_encode=e, models=models)
+    upsert_ivf_index(spark, old, new, path, batch_id="u1")
+    compact_ivf_codes(spark, path)
+
+    substituted = (
+        e.select("vec_id", "embedding")
+        .filter(~F.expr(IVF_UP_PRED))
+        .unionByName(new)
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    build_ivf_index(
+        spark, substituted, rebuilt, e_encode=substituted, models=models
+    )
+    assert _codes_rows(read_ivf_codes(spark, path)) == _codes_rows(
+        read_ivf_codes(spark, rebuilt)
+    )
+    ptr = current_pointer(f"{path}/stats")
+    assert ptr["live_tombstones"] == [] and ptr["live_batches"] == []
+    # a late retry of the folded upsert stays a no-op after compaction
+    upsert_ivf_index(spark, old, new, path, batch_id="u1")
+    assert _codes_rows(read_ivf_codes(spark, path)) == _codes_rows(
+        read_ivf_codes(spark, rebuilt)
+    )
+
+
+@pytest.mark.heavy
 def test_bm25_upsert_equals_reindex_of_substituted_corpus(
     spark, sf_dir, tmp_path
 ):
