@@ -50,7 +50,7 @@ GROUP BY 1, 2
 """
 
 
-@query("ev_tmbl", oracle=TUMBLING_ORACLE)
+@query("ev_tmb", oracle=TUMBLING_ORACLE)
 def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour count/sum per event type.  `window()` is
     epoch-aligned, matching DuckDB's time_bucket origin for sub-day
@@ -158,7 +158,7 @@ GROUP BY event_type
 """
 
 
-@query("ev_json", oracle=PROPS_ORACLE)
+@query("ev_js", oracle=PROPS_ORACLE)
 def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`from_json` with a DECLARED schema over the props column (never
     schema inference — at 100 TB that is a full extra pass), then plain

@@ -124,7 +124,7 @@ FROM named
 """
 
 
-@query("ex_date", oracle=DATE_RECOMPOSE_ORACLE)
+@query("ex_dt", oracle=DATE_RECOMPOSE_ORACLE)
 def extract_date_recompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 pattern 3: rebuild YYYY-MM-DD from archive-filename digit groups
     (reference src/01-scrape-images.py:290-293), with the zero-padded

@@ -644,7 +644,7 @@ QUALIFY rnk <= {_OC_TOP_K}
 """
 
 
-@query("ivfadc_r", oracle=IVFADC_R_ORACLE)
+@query("ivfadcr", oracle=IVFADC_R_ORACLE)
 def ivfadc_residual_topk(
     spark: SparkSession,
     sf_dir: str,

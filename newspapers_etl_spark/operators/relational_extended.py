@@ -43,7 +43,7 @@ LIMIT 10
 """
 
 
-@query("q3_ship", oracle=Q3_ORACLE)
+@query("q3shp", oracle=Q3_ORACLE)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment-filtered customers ⋈ date-filtered orders
     ⋈ lineitem, revenue per order, top 10.  Both date predicates push to
@@ -283,7 +283,7 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a_argmm", oracle=ARGMINMAX_ORACLE)
+@query("argmm", oracle=ARGMINMAX_ORACLE)
 def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by/min_by (SQL arg_max/arg_min): the 'which row holds the
     extreme' aggregate — one pass, no self-join-on-max anti-pattern.

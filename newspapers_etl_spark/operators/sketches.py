@@ -76,7 +76,7 @@ def kmv_estimate(sketch: DataFrame) -> DataFrame:
     )
 
 
-@query("kmv_ndv")  # rows-only: estimates ride on Spark's xxhash64
+@query("kmv")  # rows-only: estimates ride on Spark's xxhash64
 def kmv_vocabulary_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language vocabulary-size estimate (distinct tokens) via the
     KMV sketch: (lang, n_kept, est_ndv).  The error bound vs the exact

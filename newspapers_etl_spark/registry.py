@@ -320,6 +320,7 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.index_upsert",        # 2   ivf_up, bm25_u (NEW r13)
     "newspapers_etl_spark.streaming.bm25_stream",         # 1   st_bm25 (NEW r13)
     "newspapers_etl_spark.operators.maintenance_policy",  # 1   mnt_pol (NEW r13)
+    "newspapers_etl_spark.streaming.upsert_stream",       # 1   st_up (NEW r13)
 )
 
 _loaded = False

@@ -306,7 +306,7 @@ def test_ivfadc_residual_without_residual_codebook_refuses():
 
 
 def test_registered_ivfadc_r_serves_every_probe_ranked(spark, sf_dir):
-    """The REGISTERED end-to-end residual query (`ivfadc_r`: shared
+    """The REGISTERED end-to-end residual query (`ivfadcr`: shared
     quantizer fit + residual codebook + residual search) honors the same
     output contract as the component paths above — every probe served,
     contiguous ranks, non-negative ascending ADC distances — so a

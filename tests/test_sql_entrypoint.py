@@ -188,12 +188,12 @@ def test_registry_registration_order_is_contiguous_per_module():
         # import price: their modules must precede the newcomers
         "ivf_app", "bm25",
         # the 39 r9-hashed stale queries (three rounds old)
-        "emb_cov", "pca_pr", "ev_roll", "st_roll", "kmv_ndv",
+        "e_cov", "pca_pr", "ev_roll", "st_roll", "kmv",
         "src_csv", "src_xml", "src_orc", "src_jsl", "dq_aud",
         "dd_incr", "split3", "q_clf", "c_mix", "leak",
         "strat", "pack_sq",
         "tokens", "txt_ql", "lg_id", "tfidf", "text_fp", "txt_rp",
-        "ev_tmbl", "ev_sld", "ev_sess", "ev_json", "ev_fnl", "ev_ret",
+        "ev_tmb", "ev_sld", "ev_sess", "ev_js", "ev_fnl", "ev_ret",
         "pipel", "pii_m", "snk_au", "sh32",
         "dd_chk", "ovlp",
         "st_tmb", "st_ddp", "st_join", "st_sess",
