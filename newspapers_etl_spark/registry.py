@@ -26,6 +26,25 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
+#   r14 (PLAN, ledgered): the five r13 post-window registrations lead —
+#       they are the only queries without a driver row after r13.
+#       Import-splice constraints, worked out: index_upsert top-level-
+#       imports ivf_maintenance AND retrieval (both already at window
+#       slots 1-2 in r13; in r14 they must again precede it, re-hashing
+#       ivf_app/bm25 a round early as the import price), bm25_stream
+#       imports retrieval + ivf_maintenance (satisfied by the same two),
+#       maintenance_policy imports ivf_maintenance + ivf_refresh (so
+#       ivf_refresh's 2 queries ALSO re-hash early), upsert_stream
+#       imports index_upsert + ivf_maintenance (satisfied).  Declared
+#       order therefore: ivf_maintenance 1, retrieval 1, ivf_refresh 2,
+#       index_upsert 2 (ivf_up, bm25_u), bm25_stream 1 (st_bm25),
+#       maintenance_policy 1 (mnt_pol), upsert_stream 1 (st_up) =
+#       slots 1-9.  Then the r10-hashed stale families: model_fit 3,
+#       extraction_queries 8, text_scoring 6, relational 21 (slots
+#       10-47; its single r12 row expl_w rides the module), and
+#       index_delete 2 + index_stream 1 (r13-hashed, but they ride at
+#       48-50 for free behind their already-declared imports — slot 50
+#       closes on st_ivf).  Everything r12/r13-hashed rides behind.
 #   r13 (executed): round 12 STALLED (one commit, no rotation), so this
 #       window IS the ledgered r12 plan, executed verbatim a round
 #       late: ivf_maintenance 1 (ivf_app — re-hashes as the import
@@ -43,10 +62,12 @@ ORACLE: dict[str, str] = {}
 #       dedup STRADDLES the boundary (dd_ex closes the window at slot
 #       50; its 9 siblings ride).  model_fit/extraction_queries/
 #       text_scoring and relational's 20 r10-hashed queries keep their
-#       rows and rotate in r14.  NEW r13 ops (index upsert, streaming
-#       BM25 ingestion, maintenance-policy chain) register post-window
-#       at the list tail and lead r14; the first registration
-#       triggered rename wave 10 (candidates in BASELINE.md).
+#       rows and rotate in r14.  NEW r13 ops (ivf_up/bm25_u index
+#       upsert, st_bm25 streaming posting ingestion, mnt_pol gated
+#       maintenance-policy chain, st_up streaming re-embedding upsert)
+#       registered post-window at the list tail and lead r14; their
+#       registrations executed rename waves 10 and 10b (25 + 8 renames,
+#       r13/r13b maps — BASELINE.md).
 #   r12 (STALLED — never executed; the plan below ran as r13): the
 #       four r11 union holes lead — but BOTH new
 #       modules top-level-import earlier operator modules, so the
