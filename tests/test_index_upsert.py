@@ -216,6 +216,53 @@ def test_upsert_then_compact_equals_rebuild(spark, sf_dir, tmp_path):
 
 
 @pytest.mark.heavy
+def test_bm25_upsert_then_compact_equals_reindex(spark, sf_dir, tmp_path):
+    """The lexical twin of upsert-then-compact: compacting the upserted
+    posting index folds the tombstoned old postings out and the
+    re-appended batch in — scores equal to a fresh index over the
+    substituted documents, and a late retry of the folded upsert stays
+    a no-op through the applied ledgers."""
+    from newspapers_etl_spark.operators.index_upsert import DOC_UP_PRED
+    from newspapers_etl_spark.operators.retrieval import (
+        compact_bm25_postings,
+        retrieval_bm25_topk_from_postings,
+        upsert_bm25_docs,
+        write_bm25_postings,
+    )
+    from newspapers_etl_spark.sinks.verified import current_pointer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.expr(DOC_UP_PRED))
+    new = old.select(
+        "doc_id", F.concat("text", F.lit(" "), "text").alias("text")
+    )
+
+    path = str(tmp_path / "idx")
+    write_bm25_postings(spark, None, path, docs=docs)
+    upsert_bm25_docs(spark, old, new, path, batch_id="u1")
+    compact_bm25_postings(spark, path)
+
+    fresh = str(tmp_path / "fresh")
+    substituted = docs.filter(~F.expr(DOC_UP_PRED)).unionByName(new)
+    write_bm25_postings(spark, None, fresh, docs=substituted)
+
+    got = sorted(
+        map(tuple, retrieval_bm25_topk_from_postings(spark, path).collect())
+    )
+    want = sorted(
+        map(tuple, retrieval_bm25_topk_from_postings(spark, fresh).collect())
+    )
+    assert got == want
+    ptr = current_pointer(f"{path}/stats")
+    assert ptr["live_tombstones"] == [] and ptr["live_batches"] == []
+    upsert_bm25_docs(spark, old, new, path, batch_id="u1")  # folded retry
+    got2 = sorted(
+        map(tuple, retrieval_bm25_topk_from_postings(spark, path).collect())
+    )
+    assert got2 == want
+
+
+@pytest.mark.heavy
 def test_bm25_upsert_equals_reindex_of_substituted_corpus(
     spark, sf_dir, tmp_path
 ):
