@@ -69,7 +69,13 @@ _OC_CODES, _OC_SUBS, _OC_SUB_DIM = 16, 8, 8
 # stand-in for the seeded Bernoulli sample no other engine can replay),
 # the BASE slice populates the initial index, the rest appends.
 FIT_PREDICATE = "vec_id % 8 = 0"
-BASE_PREDICATE = "vec_id % 4 < 3"
+# NULL-keyed rows route into the BASE slice: the split's complement is
+# taken as ``~expr``, and a bare modulo predicate is NULL for a NULL
+# key — false BOTH ways — which would silently drop such rows from the
+# engine's split while the shared oracles still score the full corpus
+# (ADVICE r13).  Fixtures carry no NULL keys, so this is output-
+# identical there; it makes the split total for real corpora.
+BASE_PREDICATE = "vec_id % 4 < 3 OR vec_id IS NULL"
 
 _ASG_DOT = SQL_DOT.format(a="n_.embedding", b="c.cvec")
 
@@ -353,6 +359,8 @@ def append_ivf_index(
     live = list(ptr.get("live_batches", applied)) if ptr else []
     if batch_id in applied:
         return
+    ops_log = list(ptr.get("ops_log", [])) if ptr else []
+    epoch = _root_epoch(ptr)
 
     cents, codebook = _read_model(spark, path)
     coded = _encode(e_batch, cents, codebook, with_embedding=True).persist()

@@ -68,7 +68,7 @@ _PSI_S9_BAR = int(PSI_ALERT * 1e9)
 # rebuild's fit slice).
 OFF = 1_000_000
 
-_CHURN_SQL = f"round(CAST(d.moved AS DOUBLE) / d.total, 6)"
+_CHURN_SQL = "round(CAST(d.moved AS DOUBLE) / d.total, 6)"
 
 MNT_POL_ORACLE = f"""
 WITH emb_u AS (
@@ -131,7 +131,7 @@ FROM psi p CROSS JOIN dec d
 """
 
 
-def _psi_s9(spark: SparkSession, path: str, off: int) -> int:
+def _psi_s9(spark: SparkSession, path: str, off: int) -> int | None:
     """The smoothed-PSI total between the sub-``off`` (reference) and
     offset (candidate) halves of the index at ``path``, as a
     1e-9-scaled integer — computed from the stored (vec_id, cell)
@@ -164,7 +164,11 @@ def _psi_s9(spark: SparkSession, path: str, off: int) -> int:
     row = counts.agg(
         F.sum(F.round((p - q) * F.log(p / q) * 1e9).cast("long")).alias("s9")
     ).collect()[0]
-    return int(row["s9"]) if row["s9"] is not None else 0
+    # NULL sum == the index holds zero code rows: surface None so the
+    # chain emits the nothing-to-monitor row (metric NULL) instead of a
+    # fabricated PSI of 0.0 — the oracle's psi CTE yields NULL for the
+    # same state, and 0.0 would claim "measured, no drift" untruthfully.
+    return int(row["s9"]) if row["s9"] is not None else None
 
 
 def maintenance_policy_chain(
@@ -191,8 +195,19 @@ def maintenance_policy_chain(
 
     The threshold compares are integer-exact (PSI) or the
     ivf_ref-proven round-then-compare (churn), so the branch taken is
-    the branch the oracle replays."""
+    the branch the oracle replays.
+
+    An EMPTY index (zero code rows) is nothing-to-monitor, not
+    zero-drift: the drift row comes back metric NULL / act false (the
+    oracle's psi CTE is NULL for the same state) and every later stage
+    stays gated off."""
     s9 = _psi_s9(spark, path, off)
+    if s9 is None:
+        return spark.createDataFrame(
+            [("drift", None, False), ("refresh", None, False),
+             ("rebuild", None, False)],
+            "stage string, metric double, act boolean",
+        )
     alert = s9 > int(psi_threshold * 1e9)
     rows: list[tuple] = [("drift", s9 / 1e9, alert)]
     rebuild = False

@@ -228,6 +228,10 @@ def write_bm25_postings(
     The corpus arrives either as ``sf_dir`` (the fixture documents
     table) or as ``docs`` (a (doc_id, text) relation — the streaming
     ingester builds its base index over a slice)."""
+    if docs is None and sf_dir is None:
+        raise ValueError(
+            "write_bm25_postings needs a corpus: pass sf_dir or docs"
+        )
     staged = (
         _staged_of(docs) if docs is not None else _staged_tokens(spark, sf_dir)
     )

@@ -26,11 +26,11 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
-#   r14 (PLAN, ledgered): the five r13 post-window registrations lead —
-#       they are the only queries without a driver row after r13.
+#   r14 (executed): the five r13 post-window registrations lead —
+#       they were the only queries without a driver row after r13.
 #       Import-splice constraints, worked out: index_upsert top-level-
 #       imports ivf_maintenance AND retrieval (both already at window
-#       slots 1-2 in r13; in r14 they must again precede it, re-hashing
+#       slots 1-2 in r13; in r14 they again precede it, re-hashing
 #       ivf_app/bm25 a round early as the import price), bm25_stream
 #       imports retrieval + ivf_maintenance (satisfied by the same two),
 #       maintenance_policy imports ivf_maintenance + ivf_refresh (so
@@ -41,10 +41,15 @@ ORACLE: dict[str, str] = {}
 #       maintenance_policy 1 (mnt_pol), upsert_stream 1 (st_up) =
 #       slots 1-9.  Then the r10-hashed stale families: model_fit 3,
 #       extraction_queries 8, text_scoring 6, relational 21 (slots
-#       10-47; its single r12 row expl_w rides the module), and
-#       index_delete 2 + index_stream 1 (r13-hashed, but they ride at
-#       48-50 for free behind their already-declared imports — slot 50
-#       closes on st_ivf).  Everything r12/r13-hashed rides behind.
+#       10-47; its single r13 row expl_w rides the module), and
+#       index_delete 2 + index_stream 1 (r13-hashed, riding at 48-50
+#       for free behind their already-declared imports — slot 50
+#       closes on st_ivf exactly, no straddle).  Tail: r12-hashed
+#       families first (they rotate forward in r15), then the
+#       r13-window families.  NEW r14 ops (st_del streaming index
+#       deletion, bm_pol BM25 maintenance-policy twin, ivf_pit
+#       point-in-time index read) register post-window at the list
+#       tail and lead r15.
 #   r13 (executed): round 12 STALLED (one commit, no rotation), so this
 #       window IS the ledgered r12 plan, executed verbatim a round
 #       late: ivf_maintenance 1 (ivf_app — re-hashes as the import
@@ -279,44 +284,36 @@ ORACLE: dict[str, str] = {}
 # that changes fixture values re-hashes in the round it changes, no
 # exceptions.
 _OPERATOR_MODULES = (
-    # ---- r13 window (slots 1-50): the five r11 lifecycle newcomers
-    # get their first driver rows.  ivf_maintenance and retrieval are
-    # declared first because index_delete (both), ivf_refresh and
-    # index_stream (ivf_maintenance) import them at top level — their
-    # single queries re-hash a round early as the import price (the
-    # similarity-in-r11 precedent).  Then the 39 r9-hashed stale
-    # queries, the three r10-hashed singletons, and dedup STRADDLES
-    # the boundary: dd_ex closes the window at slot 50, its 9
-    # siblings ride at 51+. ----
-    "newspapers_etl_spark.operators.ivf_maintenance",     # 1   ivf_app hashed r12; import price (3 dependents below)
-    "newspapers_etl_spark.operators.retrieval",           # 1   bm25 hashed r12; import price (index_delete)
-    "newspapers_etl_spark.operators.index_delete",        # 2   ivf_del, bm25_d: FIRST driver rows (NEW r11)
-    "newspapers_etl_spark.operators.ivf_refresh",         # 2   ivf_ref, ivf_rb: FIRST driver rows (NEW r11)
-    "newspapers_etl_spark.streaming.index_stream",        # 1   st_ivf: FIRST driver row (NEW r11) — slot 7
-    "newspapers_etl_spark.operators.pca",                 # 2   hashed r9
-    "newspapers_etl_spark.operators.rollup",              # 2   hashed r9
-    "newspapers_etl_spark.operators.sketches",            # 1   hashed r9
-    "newspapers_etl_spark.sources.text_formats",          # 4   hashed r9
-    "newspapers_etl_spark.operators.data_quality",        # 1   hashed r9
-    "newspapers_etl_spark.operators.corpus",              # 5   hashed r9
-    "newspapers_etl_spark.operators.sampling",            # 2   hashed r9
-    "newspapers_etl_spark.operators.text_analysis",       # 6   hashed r9
-    "newspapers_etl_spark.operators.events_windows",      # 6   hashed r9
-    "newspapers_etl_spark.operators.pipeline",            # 2   hashed r9
-    "newspapers_etl_spark.sinks.verified",                # 1   hashed r9
-    "newspapers_etl_spark.operators.dedup_scale",         # 1   hashed r9
-    "newspapers_etl_spark.operators.corpus_overlap",      # 2   hashed r9
-    "newspapers_etl_spark.streaming.incremental_stream",  # 4   hashed r9 — slot 46
-    "newspapers_etl_spark.operators.drift_monitor",       # 1   hashed r10 — slot 47
-    "newspapers_etl_spark.operators.retrieval_eval",      # 1   hashed r10 — slot 48
-    "newspapers_etl_spark.operators.text_lm",             # 1   hashed r10 — slot 49
-    "newspapers_etl_spark.operators.dedup",               # 10  dd_ex closes the window at slot 50; 9 ride
-    # ---- tail: r10-hashed families rotating forward in r14, then
-    # fresh r12 history. ----
-    "newspapers_etl_spark.operators.model_fit",           # 3   hashed r10 (rotate r14)
-    "newspapers_etl_spark.operators.extraction_queries",  # 8   hashed r10 (rotate r14)
-    "newspapers_etl_spark.operators.text_scoring",        # 6   hashed r10 (rotate r14)
-    "newspapers_etl_spark.operators.relational",          # 21  expl_wrd hashed r12; 20 r10 (rotate r14)
+    # ---- r14 window (slots 1-50): the five r13 post-window
+    # registrations (ivf_up/bm25_u/st_bm25/mnt_pol/st_up) get their
+    # FIRST driver rows — the only remaining union never-green names.
+    # Import price (top-level cross-module imports, so the imported
+    # modules must be DECLARED first or their blocks splice):
+    # index_upsert imports ivf_maintenance + retrieval; bm25_stream
+    # imports retrieval + ivf_maintenance; maintenance_policy imports
+    # ivf_maintenance + ivf_refresh; upsert_stream imports index_upsert
+    # + ivf_maintenance.  So ivf_app/bm25/ivf_ref/ivf_rb re-hash a
+    # round early (the similarity-in-r11 precedent).  Then the
+    # r10-hashed stale families (model_fit 3, extraction_queries 8,
+    # text_scoring 6, relational 21 — four rounds old if skipped), and
+    # index_delete 2 + index_stream 1 (r13-hashed; their imports are
+    # already satisfied) close the window: st_ivf at slot 50 exactly,
+    # no straddle. ----
+    "newspapers_etl_spark.operators.ivf_maintenance",     # 1   ivf_app hashed r13; import price (4 dependents below)
+    "newspapers_etl_spark.operators.retrieval",           # 1   bm25 hashed r13; import price (index_upsert, bm25_stream, index_delete)
+    "newspapers_etl_spark.operators.ivf_refresh",         # 2   ivf_ref, ivf_rb hashed r13; import price (maintenance_policy)
+    "newspapers_etl_spark.operators.index_upsert",        # 2   ivf_up, bm25_u: FIRST driver rows (NEW r13) — slots 5-6
+    "newspapers_etl_spark.streaming.bm25_stream",         # 1   st_bm25: FIRST driver row (NEW r13) — slot 7
+    "newspapers_etl_spark.operators.maintenance_policy",  # 1   mnt_pol: FIRST driver row (NEW r13) — slot 8
+    "newspapers_etl_spark.streaming.upsert_stream",       # 1   st_up: FIRST driver row (NEW r13) — slot 9
+    "newspapers_etl_spark.operators.model_fit",           # 3   hashed r10 — slots 10-12
+    "newspapers_etl_spark.operators.extraction_queries",  # 8   hashed r10 — slots 13-20
+    "newspapers_etl_spark.operators.text_scoring",        # 6   hashed r10 — slots 21-26
+    "newspapers_etl_spark.operators.relational",          # 21  20 hashed r10 + expl_w r13 — slots 27-47
+    "newspapers_etl_spark.operators.index_delete",        # 2   ivf_del, bm25_d hashed r13 — slots 48-49 (imports satisfied)
+    "newspapers_etl_spark.streaming.index_stream",        # 1   st_ivf hashed r13 closes the window at slot 50
+    # ---- tail: r12-hashed families (oldest remaining history — they
+    # rotate forward in r15), then the r13-window families. ----
     "newspapers_etl_spark.operators.embedding_drift",     # 1   hashed r12
     "newspapers_etl_spark.operators.similarity",          # 5   hashed r12 (must precede ann_eval: top-level import)
     "newspapers_etl_spark.operators.ann_eval",            # 1   hashed r12
@@ -336,12 +333,30 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.retrieval_fusion",    # 2   hashed r12
     "newspapers_etl_spark.operators.ivfadc",              # 2   hashed r12
     "newspapers_etl_spark.operators.semantic_dedup",      # 2   hashed r12
-    # ---- NEW r13 (registered post-window, the bm25_b/drift precedent:
-    # never displace an earned slot mid-round) — these lead r14. ----
-    "newspapers_etl_spark.operators.index_upsert",        # 2   ivf_up, bm25_u (NEW r13)
-    "newspapers_etl_spark.streaming.bm25_stream",         # 1   st_bm25 (NEW r13)
-    "newspapers_etl_spark.operators.maintenance_policy",  # 1   mnt_pol (NEW r13)
-    "newspapers_etl_spark.streaming.upsert_stream",       # 1   st_up (NEW r13)
+    "newspapers_etl_spark.operators.pca",                 # 2   hashed r13
+    "newspapers_etl_spark.operators.rollup",              # 2   hashed r13
+    "newspapers_etl_spark.operators.sketches",            # 1   hashed r13
+    "newspapers_etl_spark.sources.text_formats",          # 4   hashed r13
+    "newspapers_etl_spark.operators.data_quality",        # 1   hashed r13
+    "newspapers_etl_spark.operators.corpus",              # 5   hashed r13
+    "newspapers_etl_spark.operators.sampling",            # 2   hashed r13
+    "newspapers_etl_spark.operators.text_analysis",       # 6   hashed r13
+    "newspapers_etl_spark.operators.events_windows",      # 6   hashed r13
+    "newspapers_etl_spark.operators.pipeline",            # 2   hashed r13
+    "newspapers_etl_spark.sinks.verified",                # 1   hashed r13
+    "newspapers_etl_spark.operators.dedup_scale",         # 1   hashed r13
+    "newspapers_etl_spark.operators.corpus_overlap",      # 2   hashed r13
+    "newspapers_etl_spark.streaming.incremental_stream",  # 4   hashed r13
+    "newspapers_etl_spark.operators.drift_monitor",       # 1   hashed r13
+    "newspapers_etl_spark.operators.retrieval_eval",      # 1   hashed r13
+    "newspapers_etl_spark.operators.text_lm",             # 1   hashed r13
+    "newspapers_etl_spark.operators.dedup",               # 10  dd_ex hashed r13; 9 siblings r10-r13
+    # ---- NEW r14 (registered post-window, the bm25_b/drift precedent:
+    # never displace an earned slot mid-round) — these lead r15.
+    # delete_stream imports index_delete + ivf_maintenance (both
+    # declared in the window above, satisfied). ----
+    "newspapers_etl_spark.streaming.delete_stream",       # 1   st_del (NEW r14)
+    "newspapers_etl_spark.operators.bm25_policy",         # 1   bm_pol (NEW r14; imports index_delete + retrieval, satisfied)
 )
 
 _loaded = False

@@ -47,7 +47,12 @@ from newspapers_etl_spark.operators.retrieval import (
 from newspapers_etl_spark.registry import query
 
 # The fixture split: the base slice seeds the index, the rest streams.
-DOC_BASE_PREDICATE = "doc_id % 4 < 3"
+# NULL doc_ids route into the base slice — the streamed complement is
+# ``~expr``, and a bare modulo predicate filters NULL keys false BOTH
+# ways, silently dropping them from the split while the shared
+# BM25_ORACLE scores the full documents table (ADVICE r13).  Fixtures
+# carry no NULL keys (output-identical there); the split is now total.
+DOC_BASE_PREDICATE = "doc_id % 4 < 3 OR doc_id IS NULL"
 
 
 def stream_append_bm25(

@@ -71,7 +71,18 @@ def stream_upsert_ivf(
     corpus).  batch_id is the epoch, so the checkpoint's replay and the
     halves' ledgers compose into exactly-once; ids must be disjoint
     across epochs (each id re-embedded once per wave), the upsert
-    membership contract lifted to the stream."""
+    membership contract lifted to the stream.
+
+    ORDERING CONTRACT: because the delete half re-derives the old rows
+    by semi-joining ``corpus`` AT DRAIN TIME, ``corpus`` must still
+    reflect the PRE-update embeddings for every id in flight — update
+    the system of record only after the stream has drained (or pass a
+    snapshot taken before the wave).  If the corpus is mutated first,
+    the delete subtracts the NEW vectors and corrupts the per-cell
+    (n, svec) statistics silently.  Callers that cannot guarantee the
+    ordering should supply an explicit old-rows source per batch via
+    ``upsert_ivf_index`` directly — the same membership contract its
+    docstring states for the batch path."""
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         old = corpus.join(

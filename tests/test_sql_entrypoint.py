@@ -174,44 +174,42 @@ def test_registry_registration_order_is_contiguous_per_module():
         f"realized {block_order} vs declared {declared}; a top-level "
         "cross-module operator import is splicing a whole block"
     )
-    # And the r13 window design holds: the five r11 lifecycle newcomers
-    # get their FIRST driver rows at slots 3-7 behind the two modules
-    # they top-level-import (ivf_app slot 1, bm25 slot 2 — the import
-    # price), then the 39 r9-stale queries to slot 46, the three
-    # r10-hashed singletons at 47-49, and dd_ex (dedup straddling the
-    # boundary) closing the window at slot 50 — see the rotation
-    # ledger in registry.py.
+    # And the r14 window design holds: the five r13 post-window
+    # registrations get their FIRST driver rows at slots 5-9 behind the
+    # four queries whose modules they top-level-import (ivf_app slot 1,
+    # bm25 slot 2, ivf_ref/ivf_rb slots 3-4 — the import price), then
+    # the r10-stale families (model_fit 3, extraction_queries 8,
+    # text_scoring 6, relational 21) at slots 10-47, and index_delete +
+    # index_stream closing the window at slots 48-50 (st_ivf at 50
+    # exactly, no straddle) — see the rotation ledger in registry.py.
     window = set(names[:50])
     for required in (
-        # the only queries with no driver hash row in the r1-r12 union
-        "ivf_del", "bm25_d", "ivf_ref", "ivf_rb", "st_ivf",
+        # the only queries with no driver hash row in the r1-r13 union
+        "ivf_up", "bm25_u", "st_bm25", "mnt_pol", "st_up",
         # import price: their modules must precede the newcomers
-        "ivf_app", "bm25",
-        # the 39 r9-hashed stale queries (three rounds old)
-        "e_cov", "pca_pr", "ev_roll", "st_roll", "kmv",
-        "src_csv", "src_xml", "src_orc", "src_jsl", "dq_aud",
-        "dd_incr", "split3", "q_clf", "c_mix", "leak",
-        "strat", "pack_sq",
-        "tokens", "txt_ql", "lg_id", "tfidf", "text_fp", "txt_rp",
-        "ev_tmb", "ev_sld", "ev_sess", "ev_js", "ev_fnl", "ev_ret",
-        "pipel", "pii_m", "snk_au", "sh32",
-        "dd_chk", "ovlp",
-        "st_tmb", "st_ddp", "st_join", "st_sess",
-        # r10-hashed singletons
-        "drift", "ndcg", "ppl2",
-        # dedup straddles: first query closes the window
-        "dd_ex",
+        "ivf_app", "bm25", "ivf_ref", "ivf_rb",
+        # the 38 r10-hashed stale queries (four rounds old otherwise)
+        "fit_pq", "fit_pca", "fit_anc",
+        "ex_fl", "ex_dt", "ex_find", "ex_san", "rlike",
+        "ex_mime", "ex_base", "ex_md5",
+        "len_h", "ngrams", "lg_cf", "compr", "zipf", "ppl",
+        "flagsp", "q1_pr", "a_roll", "a_cube", "a_gsets", "a_cdist",
+        "a_ndv", "pivot", "j_star", "j_semi", "j_anti", "j_left",
+        "jrange", "w_topn", "w_frm", "tk_ln", "setops", "dstnct",
+        "a_coll", "j_asof", "expl_w",
+        # r13-hashed closers riding their satisfied imports
+        "ivf_del", "bm25_d", "st_ivf",
     ):
         assert required in window, f"{required} fell out of the window"
-    assert names[:7] == [
-        "ivf_app", "bm25", "ivf_del", "bm25_d", "ivf_ref", "ivf_rb",
-        "st_ivf",
-    ], f"r13 lifecycle lead drifted: {names[:8]}"
-    # dd_ex closes the window; dedup's 9 other queries ride behind
-    # (rotation ledger: model_fit/extraction/text_scoring/relational
-    # rotate forward in r14).
-    assert names[49] == "dd_ex", f"window boundary drifted: {names[45:52]}"
-    assert names[50] == "jacc", (
+    assert names[:9] == [
+        "ivf_app", "bm25", "ivf_ref", "ivf_rb", "ivf_up", "bm25_u",
+        "st_bm25", "mnt_pol", "st_up",
+    ], f"r14 lifecycle lead drifted: {names[:10]}"
+    # st_ivf closes the window at slot 50 exactly; the r12-hashed tail
+    # (embedding_drift first) rides behind (rotation ledger: the
+    # r12-hashed families rotate forward in r15).
+    assert names[49] == "st_ivf", f"window boundary drifted: {names[45:52]}"
+    assert names[50] == "dr_emb", (
         f"boundary riders drifted: {names[50:53]}"
     )
 
