@@ -328,6 +328,18 @@ def _read_model(
     return cents, codebook
 
 
+def _root_epoch(ptr: dict | None) -> str:
+    """The root-rewrite epoch a maintenance op publishes under —
+    ``<compactions>.<rebuilds>``.  Appends and deletes within one epoch
+    leave every root they exposed on disk, so the index view as of any
+    such op is reconstructible (operators/index_pit.py); a compaction
+    or rebuild bumps its counter and physically rewrites roots, which
+    truncates point-in-time history at that boundary."""
+    if ptr is None:
+        return "0.0"
+    return f"{int(ptr.get('compactions', 0))}.{int(ptr.get('rebuilds', 0))}"
+
+
 def append_ivf_index(
     spark: SparkSession,
     e_batch: DataFrame,
@@ -374,12 +386,10 @@ def append_ivf_index(
         # (sinks/verified.expose_staged_batch — the BM25 append runs
         # the identical sequence): an empty batch is ledgered as
         # applied but never enters the live read roots.
-        if expose_staged_batch(
+        exposed = expose_staged_batch(
             path, f"_codes-batch-{batch_id}", f"codes-batch-{batch_id}"
-        ):
-            live_after = live + [batch_id]
-        else:
-            live_after = live
+        )
+        live_after = live + [batch_id] if exposed else live
 
         old = read_current(spark, stats_root)
         batch_stats = _cell_stats(coded)
@@ -399,6 +409,13 @@ def append_ivf_index(
             meta={
                 "applied_batches": applied + [batch_id],
                 "live_batches": live_after,
+                # Append-ordered op journal for point-in-time reads
+                # (operators/index_pit.py): generation, op kind, batch,
+                # whether a root was exposed, root-rewrite epoch.
+                "ops_log": ops_log + [
+                    {"g": gen_no, "op": "add", "b": batch_id,
+                     "r": exposed, "ep": epoch}
+                ],
             },
         )
     finally:
@@ -459,6 +476,8 @@ def delete_from_ivf_index(
     covers = dict(ptr.get("tombstone_covers", {})) if ptr else {}
     if batch_id in applied_del:
         return
+    ops_log = list(ptr.get("ops_log", [])) if ptr else []
+    epoch = _root_epoch(ptr)
 
     cents, codebook = _read_model(spark, path)
     coded = _encode(e_deleted, cents, codebook, with_embedding=True).persist()
@@ -480,14 +499,20 @@ def delete_from_ivf_index(
             )
 
             update_pointer_meta(
-                stats_root, applied_deletes=applied_del + [batch_id]
+                stats_root,
+                applied_deletes=applied_del + [batch_id],
+                ops_log=ops_log + [
+                    {"g": int(ptr["generation"]), "op": "del",
+                     "b": batch_id, "r": False, "ep": epoch}
+                ],
             )
             return
         staging = f"{path}/_tombs-batch-{batch_id}"
         coded.select("vec_id").write.mode("overwrite").parquet(staging)
-        if expose_staged_batch(
+        exposed = expose_staged_batch(
             path, f"_tombs-batch-{batch_id}", f"tombs-batch-{batch_id}"
-        ):
+        )
+        if exposed:
             tombs_after = tombs + [batch_id]
             # ROOT-SCOPED: this tombstone suppresses only the roots that
             # exist NOW — a later append of the same id lands in a new
@@ -525,6 +550,10 @@ def delete_from_ivf_index(
                 "applied_deletes": applied_del + [batch_id],
                 "live_tombstones": tombs_after,
                 "tombstone_covers": covers,
+                "ops_log": ops_log + [
+                    {"g": gen_no, "op": "del", "b": batch_id,
+                     "r": exposed, "ep": epoch}
+                ],
             },
         )
     finally:

@@ -357,6 +357,7 @@ _OPERATOR_MODULES = (
     # declared in the window above, satisfied). ----
     "newspapers_etl_spark.streaming.delete_stream",       # 1   st_del (NEW r14)
     "newspapers_etl_spark.operators.bm25_policy",         # 1   bm_pol (NEW r14; imports index_delete + retrieval, satisfied)
+    "newspapers_etl_spark.operators.index_pit",           # 1   ivf_pit (NEW r14; imports ivf_maintenance, satisfied)
 )
 
 _loaded = False

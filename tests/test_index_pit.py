@@ -1,0 +1,119 @@
+"""Point-in-time index reads (operators/index_pit.py): oracle parity,
+the three-generation walk reconstructing every intermediate view,
+read-at-latest == live read, and the honest history boundary (a
+compaction refuses the views it folded)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from newspapers_etl_spark.catalog import load_table
+
+
+def _codes_rows(df):
+    return sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"])) for r in df.collect()
+    )
+
+
+def test_ivf_pit_matches_oracle(spark, sf_dir, oracle):
+    from conftest import assert_matches_oracle
+
+    from newspapers_etl_spark.operators.index_pit import (
+        IVF_PIT_ORACLE,
+        ivf_point_in_time_roundtrip,
+    )
+
+    assert_matches_oracle(
+        ivf_point_in_time_roundtrip(spark, sf_dir), oracle, IVF_PIT_ORACLE
+    )
+
+
+def _walk(spark, sf_dir, path):
+    from newspapers_etl_spark.operators.index_pit import (
+        PIT_B1_PRED,
+        PIT_B2_PRED,
+        PIT_DEL_PRED,
+    )
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        BASE_PREDICATE,
+        FIT_PREDICATE,
+        append_ivf_index,
+        build_ivf_index,
+        delete_from_ivf_index,
+        fit_models,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    models = fit_models(e.filter(F.expr(FIT_PREDICATE)))
+    build_ivf_index(
+        spark, e.filter(F.expr(BASE_PREDICATE)), path, models=models
+    )
+    append_ivf_index(spark, e.filter(F.expr(PIT_B1_PRED)), path, batch_id="b1")
+    delete_from_ivf_index(
+        spark,
+        e.filter(F.expr(BASE_PREDICATE)).filter(F.expr(PIT_DEL_PRED)),
+        path,
+        batch_id="d1",
+    )
+    append_ivf_index(spark, e.filter(F.expr(PIT_B2_PRED)), path, batch_id="b2")
+    return e
+
+
+@pytest.mark.heavy
+def test_three_generation_walk_reconstructs_every_view(
+    spark, sf_dir, tmp_path
+):
+    """Each of the three journaled ops is addressable and returns the
+    exact view a live reader saw at that moment; the newest equals the
+    current read bit-for-bit."""
+    from newspapers_etl_spark.operators.index_pit import (
+        PIT_B1_PRED,
+        PIT_DEL_PRED,
+        read_ivf_codes_at,
+    )
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        BASE_PREDICATE,
+        read_ivf_codes,
+    )
+
+    path = str(tmp_path / "idx")
+    e = _walk(spark, sf_dir, path)
+
+    at_b1 = read_ivf_codes_at(spark, path, "b1")
+    at_d1 = read_ivf_codes_at(spark, path, "d1")
+    at_b2 = read_ivf_codes_at(spark, path, "b2")
+
+    base_or_b1 = e.filter(
+        F.expr(f"({BASE_PREDICATE}) OR ({PIT_B1_PRED})")
+    ).filter(F.col("embedding").isNotNull())
+    deleted = e.filter(F.expr(BASE_PREDICATE)).filter(F.expr(PIT_DEL_PRED))
+
+    assert at_b1.count() == base_or_b1.count()
+    assert at_d1.count() == base_or_b1.count() - deleted.count()
+    ids_at_d1 = {r["vec_id"] for r in at_d1.select("vec_id").collect()}
+    assert not ids_at_d1 & {
+        r["vec_id"] for r in deleted.select("vec_id").collect()
+    }
+    # the view sequence is strictly ordered: b1 ⊂ b2's corpus minus d1
+    assert _codes_rows(at_b2) == _codes_rows(read_ivf_codes(spark, path))
+
+
+@pytest.mark.heavy
+def test_history_boundary_refuses_folded_views(spark, sf_dir, tmp_path):
+    """Compaction folds roots; every pre-compaction view must REFUSE
+    (clear ValueError), never serve the folded approximation — and an
+    unknown batch id refuses too."""
+    from newspapers_etl_spark.operators.index_pit import read_ivf_codes_at
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        compact_ivf_codes,
+    )
+
+    path = str(tmp_path / "idx")
+    _walk(spark, sf_dir, path)
+
+    with pytest.raises(ValueError, match="no op journal entry"):
+        read_ivf_codes_at(spark, path, "never-applied")
+
+    compact_ivf_codes(spark, path)
+    with pytest.raises(ValueError, match="predates the last compaction"):
+        read_ivf_codes_at(spark, path, "d1")
