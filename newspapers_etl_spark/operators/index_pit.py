@@ -1,8 +1,9 @@
-"""Point-in-time reads of the maintained IVF index — reconstruct the
-exact code relation the index served AS OF any past append/delete
-batch (VERDICT r13 next-round #5): the audit and reproducibility story
-a 100 TB training pipeline needs ("which index state produced run X?",
-"re-run yesterday's retrieval under yesterday's index").
+"""Point-in-time reads of BOTH maintained indexes — reconstruct the
+exact view an index served AS OF any past append/delete batch
+(VERDICT r13 next-round #5): the audit and reproducibility story a
+100 TB training pipeline needs ("which index state produced run X?",
+"re-run yesterday's retrieval under yesterday's index" — literally, for
+the BM25 twin: ``retrieval_bm25_topk_at`` replays a scored query).
 
 No reference counterpart (the reference keeps no index at all,
 src/01-scrape-images.py); the mechanism is the one already paid for:
@@ -40,6 +41,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.functions.bm25_common import (
+    BM25_QUERY_TERMS,
+    BM25_TOP_K,
+)
 from newspapers_etl_spark.operators.ivf_maintenance import (
     BASE_PREDICATE,
     FIT_PREDICATE,
@@ -51,6 +56,13 @@ from newspapers_etl_spark.operators.ivf_maintenance import (
     delete_from_ivf_index,
     fit_models,
     scratch_index_dir,
+)
+from newspapers_etl_spark.operators.retrieval import (
+    BM25_POSTING_SHARDS,
+    append_bm25_postings,
+    bm25_oracle_sql,
+    delete_bm25_docs,
+    write_bm25_postings,
 )
 from newspapers_etl_spark.registry import query
 
@@ -76,19 +88,20 @@ SELECT * FROM (
 """
 
 
-def read_ivf_codes_at(
-    spark: SparkSession, path: str, batch_id: str
-) -> DataFrame:
-    """The code relation exactly as the index served it right after
-    ``batch_id`` (an append or delete batch) published — see the module
-    docstring for the reconstruction and its history boundary."""
-    from newspapers_etl_spark.sinks.verified import (
-        current_pointer,
-        tombstoned_union,
-    )
-
-    stats_root = f"{path}/stats"
-    ptr = current_pointer(stats_root)
+def _as_of_view(
+    ptr: dict | None,
+    path: str,
+    batch_id: str,
+    root_key: str,
+    default_root: str,
+    batch_prefix: str,
+) -> tuple[list[dict], list[str], dict]:
+    """The shared ops_log reconstruction both maintained indexes use:
+    returns (journal prefix up to the target in the current epoch,
+    data roots to union, a synthetic pointer carrying the tombstones to
+    anti-join under their recorded scopes).  Raises the two honest
+    refusals — unknown batch, and a view the last compaction/rebuild
+    folded."""
     log = list(ptr.get("ops_log", [])) if ptr else []
     idx = next(
         (i for i, o in enumerate(log) if o.get("b") == batch_id), None
@@ -106,8 +119,8 @@ def read_ivf_codes_at(
             "roots were folded; retain history with keep_old_roots=True"
         )
     prefix = [o for o in log[: idx + 1] if o.get("ep") == epoch]
-    roots = [ptr.get("codes_root", "codes") if ptr else "codes"] + [
-        f"codes-batch-{o['b']}"
+    roots = [ptr.get(root_key, default_root) if ptr else default_root] + [
+        f"{batch_prefix}{o['b']}"
         for o in prefix
         if o["op"] == "add" and o.get("r")
     ]
@@ -117,7 +130,75 @@ def read_ivf_codes_at(
         "live_tombstones": tombs,
         "tombstone_covers": {t: covers[t] for t in tombs if t in covers},
     }
+    return prefix, roots, pit_ptr
+
+
+def read_ivf_codes_at(
+    spark: SparkSession, path: str, batch_id: str
+) -> DataFrame:
+    """The code relation exactly as the index served it right after
+    ``batch_id`` (an append or delete batch) published — see the module
+    docstring for the reconstruction and its history boundary."""
+    from newspapers_etl_spark.sinks.verified import (
+        current_pointer,
+        tombstoned_union,
+    )
+
+    ptr = current_pointer(f"{path}/stats")
+    _, roots, pit_ptr = _as_of_view(
+        ptr, path, batch_id, "codes_root", "codes", "codes-batch-"
+    )
     return tombstoned_union(spark, path, pit_ptr, roots, "vec_id")
+
+
+def retrieval_bm25_topk_at(
+    spark: SparkSession,
+    path: str,
+    batch_id: str,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+    shards: int = BM25_POSTING_SHARDS,
+) -> DataFrame:
+    """Score a query against the posting index AS OF ``batch_id`` — the
+    lexical twin of ``read_ivf_codes_at`` (reproduce yesterday's
+    retrieval under yesterday's index).  Roots and tombstones come from
+    the same journal algebra; the (n, avgdl) statistics the score needs
+    come from the journal too (each BM25 entry records its published
+    (n, sum_dl) pair — two scalars — because superseded stats
+    GENERATIONS are reaped; no-op entries record None and inherit the
+    nearest earlier pair).  Scan pruning and the scoring tail are the
+    live reader's own (`_score_pruned_postings`), so an as-of read
+    costs exactly what the live read cost at that moment."""
+    from newspapers_etl_spark.operators.retrieval import (
+        _score_pruned_postings,
+        _term_shards,
+    )
+    from newspapers_etl_spark.sinks.verified import (
+        current_pointer,
+        tombstoned_union,
+    )
+
+    ptr = current_pointer(f"{path}/stats")
+    prefix, roots, pit_ptr = _as_of_view(
+        ptr, path, batch_id, "postings_root", "postings", "postings-batch-"
+    )
+    stat = next(
+        (o for o in reversed(prefix) if o.get("n") is not None), None
+    )
+    if stat is None:
+        raise ValueError(
+            f"no journaled stats at or before batch {batch_id!r} — the "
+            "op journal starts at the first published append/delete"
+        )
+    postings = tombstoned_union(spark, path, pit_ptr, roots, "doc_id")
+    stats = spark.createDataFrame(
+        [(float(stat["n"]), float(stat["sum_dl"]))], "n double, sum_dl double"
+    ).select(
+        "n",
+        F.when(F.col("n") > 0, F.col("sum_dl") / F.col("n")).alias("avgdl"),
+    )
+    wanted = _term_shards(spark, terms, shards)
+    return _score_pruned_postings(postings, stats, terms, k, wanted)
 
 
 @query("ivf_pit", oracle=IVF_PIT_ORACLE)
@@ -152,3 +233,48 @@ def ivf_point_in_time_roundtrip(
         spark, e.filter(F.expr(PIT_B2_PRED)), path, batch_id="b2"
     )
     return codes_fingerprint(read_ivf_codes_at(spark, path, "d1"))
+
+
+# The posting-index walk mirrors the vector one on doc_id: base write
+# (the st_bm25 split, NULL keys routed to base), append b1, delete the
+# %10=1 sub-slice OF THE BASE, append b2, score AS OF the delete.
+BM_PIT_BASE = "doc_id % 4 < 3 OR doc_id IS NULL"
+BM_PIT_B1_PRED = "doc_id % 8 = 3"
+BM_PIT_B2_PRED = "doc_id % 8 = 7"
+BM_PIT_DEL_PRED = "doc_id % 10 = 1"
+
+BM_PIT_ORACLE = bm25_oracle_sql(
+    where=(
+        f"(({BM_PIT_BASE}) OR ({BM_PIT_B1_PRED})) "
+        f"AND NOT coalesce(({BM_PIT_DEL_PRED}) AND doc_id % 4 < 3, FALSE)"
+    )
+)
+
+
+@query("bm_pit", oracle=BM_PIT_ORACLE)
+def bm25_point_in_time_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The posting-index walk (append b1, delete d1, append b2) scored
+    AS OF the middle op: BM25 top-k over (base ∪ b1) − d1 with b2's
+    postings and stats invisible — bit-for-bit the ranking a live query
+    between d1 and b2 returned, which is what the oracle replays over
+    the same corpus filter.  Same (doc_id, score) shape as ``bm25``."""
+    path = scratch_index_dir("bm-pit", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    write_bm25_postings(spark, None, path, docs=docs.filter(F.expr(BM_PIT_BASE)))
+    append_bm25_postings(
+        spark, None, path,
+        batch_id="b1", docs=docs.filter(F.expr(BM_PIT_B1_PRED)),
+    )
+    delete_bm25_docs(
+        spark,
+        docs.filter(F.expr(BM_PIT_BASE)).filter(F.expr(BM_PIT_DEL_PRED)),
+        path,
+        batch_id="d1",
+    )
+    append_bm25_postings(
+        spark, None, path,
+        batch_id="b2", docs=docs.filter(F.expr(BM_PIT_B2_PRED)),
+    )
+    return retrieval_bm25_topk_at(spark, path, "d1")

@@ -404,6 +404,10 @@ def append_bm25_postings(
         # Retry after full success: postings renamed AND stats
         # published — everything is already visible, nothing to redo.
         return
+    from newspapers_etl_spark.operators.ivf_maintenance import _root_epoch
+
+    ops_log = list(ptr.get("ops_log", [])) if ptr else []
+    epoch = _root_epoch(ptr)
 
     staged = (
         _staged_of(docs) if docs is not None else _staged_tokens(spark, sf_dir)
@@ -420,19 +424,17 @@ def append_bm25_postings(
     # EMPTY batch writes no data files and a fileless root breaks
     # readers (UNABLE_TO_INFER_SCHEMA) — it is ledgered as applied (the
     # retry no-op contract) but kept out of the live read roots.
-    if expose_staged_batch(
+    exposed = expose_staged_batch(
         path, f"_postings-batch-{batch_id}", f"postings-batch-{batch_id}"
-    ):
-        live_after = live + [batch_id]
-    else:
-        live_after = live
+    )
+    live_after = live + [batch_id] if exposed else live
 
     old = read_current(spark, stats_root).collect()[0]
     batch = _corpus_stats(staged).collect()[0]
+    new_n = float(old["n"]) + float(batch["n"])
+    new_sum_dl = float(old["sum_dl"] or 0.0) + float(batch["sum_dl"] or 0.0)
     merged = spark.createDataFrame(
-        [(float(old["n"]) + float(batch["n"]),
-          float(old["sum_dl"] or 0.0) + float(batch["sum_dl"] or 0.0))],
-        "n double, sum_dl double",
+        [(new_n, new_sum_dl)], "n double, sum_dl double"
     )
     # GENERATION-POINTER publish (sinks/verified.py — the same publish
     # its compaction uses): the merged stats land fully in a fresh
@@ -450,6 +452,15 @@ def append_bm25_postings(
         meta={
             "applied_batches": applied + [batch_id],
             "live_batches": live_after,
+            # Append-ordered op journal for point-in-time reads
+            # (operators/index_pit.py): the BM25 entries also carry the
+            # published (n, sum_dl) pair — two scalars — because past
+            # stats GENERATIONS are reaped but as-of scoring needs them
+            # (the IVF journal skips this: codes reads need no stats).
+            "ops_log": ops_log + [
+                {"g": gen_no, "op": "add", "b": batch_id, "r": exposed,
+                 "ep": epoch, "n": new_n, "sum_dl": new_sum_dl}
+            ],
         },
     )
 
@@ -500,6 +511,10 @@ def delete_bm25_docs(
     covers = dict(ptr.get("tombstone_covers", {})) if ptr else {}
     if batch_id in applied_del:
         return
+    from newspapers_etl_spark.operators.ivf_maintenance import _root_epoch
+
+    ops_log = list(ptr.get("ops_log", [])) if ptr else []
+    epoch = _root_epoch(ptr)
 
     staged = _staged_of(docs)
     if ptr is not None and not staged.head(1):
@@ -513,14 +528,20 @@ def delete_bm25_docs(
         from newspapers_etl_spark.sinks.verified import update_pointer_meta
 
         update_pointer_meta(
-            stats_root, applied_deletes=applied_del + [batch_id]
+            stats_root,
+            applied_deletes=applied_del + [batch_id],
+            ops_log=ops_log + [
+                {"g": int(ptr["generation"]), "op": "del", "b": batch_id,
+                 "r": False, "ep": epoch, "n": None, "sum_dl": None}
+            ],
         )
         return
     staging = f"{path}/_tombs-batch-{batch_id}"
     staged.select("doc_id").write.mode("overwrite").parquet(staging)
-    if expose_staged_batch(
+    exposed = expose_staged_batch(
         path, f"_tombs-batch-{batch_id}", f"tombs-batch-{batch_id}"
-    ):
+    )
+    if exposed:
         tombs_after = tombs + [batch_id]
         # ROOT-SCOPED: this tombstone suppresses only the roots that
         # exist NOW — a later append of the same doc lands in a new
@@ -532,10 +553,10 @@ def delete_bm25_docs(
 
     old = read_current(spark, stats_root).collect()[0]
     gone = _corpus_stats(staged).collect()[0]
+    new_n = float(old["n"]) - float(gone["n"])
+    new_sum_dl = float(old["sum_dl"] or 0.0) - float(gone["sum_dl"] or 0.0)
     merged = spark.createDataFrame(
-        [(float(old["n"]) - float(gone["n"]),
-          float(old["sum_dl"] or 0.0) - float(gone["sum_dl"] or 0.0))],
-        "n double, sum_dl double",
+        [(new_n, new_sum_dl)], "n double, sum_dl double"
     )
     gen_no, new_name = allocate_generation(stats_root)
     merged.write.mode("overwrite").parquet(f"{stats_root}/{new_name}")
@@ -547,6 +568,10 @@ def delete_bm25_docs(
             "applied_deletes": applied_del + [batch_id],
             "live_tombstones": tombs_after,
             "tombstone_covers": covers,
+            "ops_log": ops_log + [
+                {"g": gen_no, "op": "del", "b": batch_id, "r": exposed,
+                 "ep": epoch, "n": new_n, "sum_dl": new_sum_dl}
+            ],
         },
     )
 
@@ -770,16 +795,8 @@ def retrieval_bm25_topk_from_postings(
     # (left-side columns — plan-asserted in pytest).
     from newspapers_etl_spark.sinks.verified import tombstoned_union
 
-    tf = (
-        tombstoned_union(
-            spark, path, ptr, _live_posting_roots(ptr), "doc_id"
-        )
-        .filter(F.col("term_shard").isin(wanted))
-        .filter(F.col("term").isin(*terms))
-        .select("doc_id", "term", "tf", "dl")
-    )
-    dft = tf.groupBy("term").agg(
-        F.count_distinct("doc_id").cast("double").alias("dft")
+    postings = tombstoned_union(
+        spark, path, ptr, _live_posting_roots(ptr), "doc_id"
     )
     # avgdl derived from the stored combinable (n, sum_dl) pair — the
     # same division both the batch and incremental paths perform, so
@@ -795,6 +812,28 @@ def retrieval_bm25_topk_from_postings(
         # stream is empty then too, so avgdl is never consumed; the
         # guard only keeps ANSI mode from failing the 1-row projection.
         F.when(F.col("n") > 0, F.col("sum_dl") / F.col("n")).alias("avgdl"),
+    )
+    return _score_pruned_postings(postings, stats, terms, k, wanted)
+
+
+def _score_pruned_postings(
+    postings: DataFrame,
+    stats: DataFrame,
+    terms: tuple[str, ...],
+    k: int,
+    wanted: list[int],
+) -> DataFrame:
+    """The shared scoring tail over an already-resolved posting relation
+    and a 1-row (n, avgdl) stats relation — the live reader and the
+    point-in-time reader (operators/index_pit.py) differ only in which
+    roots and which stats generation feed it."""
+    tf = (
+        postings.filter(F.col("term_shard").isin(wanted))
+        .filter(F.col("term").isin(*terms))
+        .select("doc_id", "term", "tf", "dl")
+    )
+    dft = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("dft")
     )
     idf = F.log(1 + (F.col("n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
     part9 = F.round(

@@ -117,3 +117,75 @@ def test_history_boundary_refuses_folded_views(spark, sf_dir, tmp_path):
     compact_ivf_codes(spark, path)
     with pytest.raises(ValueError, match="predates the last compaction"):
         read_ivf_codes_at(spark, path, "d1")
+
+
+def test_bm_pit_matches_oracle(spark, sf_dir, oracle):
+    from conftest import assert_matches_oracle
+
+    from newspapers_etl_spark.operators.index_pit import (
+        BM_PIT_ORACLE,
+        bm25_point_in_time_roundtrip,
+    )
+
+    assert_matches_oracle(
+        bm25_point_in_time_roundtrip(spark, sf_dir), oracle, BM_PIT_ORACLE
+    )
+
+
+@pytest.mark.heavy
+def test_bm25_as_of_read_replays_the_live_ranking(spark, sf_dir, tmp_path):
+    """The as-of ranking equals the live ranking captured at that
+    moment (same roots, same journaled stats), and read-at-latest
+    equals the current live read — the scored-query reproducibility
+    contract."""
+    from newspapers_etl_spark.operators.index_pit import (
+        BM_PIT_B1_PRED,
+        BM_PIT_B2_PRED,
+        BM_PIT_BASE,
+        BM_PIT_DEL_PRED,
+        retrieval_bm25_topk_at,
+    )
+    from newspapers_etl_spark.operators.retrieval import (
+        append_bm25_postings,
+        delete_bm25_docs,
+        retrieval_bm25_topk_from_postings,
+        write_bm25_postings,
+    )
+
+    path = str(tmp_path / "idx")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    write_bm25_postings(
+        spark, None, path, docs=docs.filter(F.expr(BM_PIT_BASE))
+    )
+    append_bm25_postings(
+        spark, None, path,
+        batch_id="b1", docs=docs.filter(F.expr(BM_PIT_B1_PRED)),
+    )
+    delete_bm25_docs(
+        spark,
+        docs.filter(F.expr(BM_PIT_BASE)).filter(F.expr(BM_PIT_DEL_PRED)),
+        path,
+        batch_id="d1",
+    )
+    live_at_d1 = [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk_from_postings(spark, path).collect()
+    ]
+    append_bm25_postings(
+        spark, None, path,
+        batch_id="b2", docs=docs.filter(F.expr(BM_PIT_B2_PRED)),
+    )
+    as_of_d1 = [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk_at(spark, path, "d1").collect()
+    ]
+    assert as_of_d1 == live_at_d1
+    as_of_b2 = [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk_at(spark, path, "b2").collect()
+    ]
+    live_now = [
+        (r["doc_id"], r["score"])
+        for r in retrieval_bm25_topk_from_postings(spark, path).collect()
+    ]
+    assert as_of_b2 == live_now
