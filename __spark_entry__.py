@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
     the front of the registration order and silently shifts the ~50-
     query correctness window.  all_queries() always realizes the
     declared _OPERATOR_MODULES order."""
-    return registry.all_queries()["flagsp"](spark, SMOKE_SF_DIR)
+    return registry.all_queries()["flags"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -65,7 +65,7 @@ FROM truth t LEFT JOIN hits h USING (probe_id)
 """
 
 
-@query("ivf_rec", oracle=IVF_RECALL_ORACLE)
+@query("ivfrec", oracle=IVF_RECALL_ORACLE)
 def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(probe_id, hits, truth_k, recall): per-probe recall@k of the
     registered IVF search against the exact brute-force cosine top-k.

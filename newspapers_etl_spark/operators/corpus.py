@@ -62,7 +62,7 @@ GROUP BY b.lang
 """
 
 
-@query("dd_incr", oracle=DEDUP_INCR_ORACLE)
+@query("dd_inc", oracle=DEDUP_INCR_ORACLE)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-snapshot dedup: the new batch (sources
     src10+) joined against the distinct fingerprints of the historical

@@ -301,7 +301,7 @@ FROM perdoc p LEFT JOIN dup d ON p.doc_id = d.doc_id
 """
 
 
-@query("dd_spn", oracle=SPANS_ORACLE)
+@query("ddspn", oracle=SPANS_ORACLE)
 def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplication ratio over k-token rolling windows — the
     ExactSubstr signal (Lee et al., "Deduplicating Training Data Makes
@@ -586,7 +586,7 @@ def dedup_minhash_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_VERIFY_THRESHOLD = 0.8
 
 
-@query("lsh_ver")  # rows-only: candidate set is hash-derived
+@query("lshver")  # rows-only: candidate set is hash-derived
 def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE MinHash near-dedup pipeline in one query:
     shingle → signature → banded buckets → candidate pairs → exact
@@ -1017,7 +1017,7 @@ def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sh_bkts")  # rows-only: hash values are engine-specific
+@query("shbkts")  # rows-only: hash values are engine-specific
 def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-table SimHash bucket statistics — the skew/fan-out diagnostic
     for the Manku multi-table blocking: per table, how many distinct

@@ -119,7 +119,7 @@ GROUP BY user_id
 """
 
 
-@query("ev_gaps", oracle=GAPS_ORACLE)
+@query("ev_gap", oracle=GAPS_ORACLE)
 def events_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-arrival profile: event count, mean gap (seconds,
     from an exact microsecond sum), min/max gap.  The tie-break on

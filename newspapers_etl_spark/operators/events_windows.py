@@ -120,7 +120,7 @@ def events_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming twin, stream_sessions — see that module's docstring).
 
 
-@query("ev_sess", oracle=SESSION_ORACLE)
+@query("ev_ses", oracle=SESSION_ORACLE)
 def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a {gap} inactivity gap — the
     native `session_window` operator; the oracle rebuilds it as

@@ -172,7 +172,7 @@ FROM html
 """
 
 
-@query("ex_find", oracle=FINDALL_ORACLE)
+@query("ex_fnd", oracle=FINDALL_ORACLE)
 def extract_filenames_findall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: findall + set-dedup (reference re.findall + list(set(...)),
     src/01-scrape-images.py:296-299) as
@@ -315,7 +315,7 @@ GROUP BY 1
 """
 
 
-@query("ex_mime", oracle=MIME_ORACLE)
+@query("ex_mim", oracle=MIME_ORACLE)
 def extract_mime_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9: extension→MIME dispatch with default (reference
     src/01-scrape-images.py:110-116); the .JP2 branch exercises the
@@ -353,7 +353,7 @@ FROM urls
 """
 
 
-@query("ex_base", oracle=URL_ORACLE)
+@query("ex_bas", oracle=URL_ORACLE)
 def extract_url_basename(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9/F10: percent-decode then take the last path segment (reference
     unquote + Path(...).name, src/01-scrape-images.py:458)."""

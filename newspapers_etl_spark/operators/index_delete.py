@@ -55,7 +55,7 @@ SELECT * FROM (
 BM25_DEL_ORACLE = bm25_oracle_sql(where=f"NOT ({DOC_DEL_PRED})")
 
 
-@query("ivf_del", oracle=IVF_DEL_ORACLE)
+@query("ivfdel", oracle=IVF_DEL_ORACLE)
 def ivf_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index the full corpus under the frozen fit-slice models, DELETE
     the ``vec_id % 5 = 0`` slice through the tombstone ledger, read the

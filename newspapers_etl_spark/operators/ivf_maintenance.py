@@ -894,7 +894,7 @@ def scratch_index_dir(prefix: str, sf_dir: str) -> str:
     return path
 
 
-@query("ivf_app", oracle=IVF_APP_ORACLE)
+@query("ivfapp", oracle=IVF_APP_ORACLE)
 def ivf_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end index maintenance on the fixture: fit the frozen
     models on the 1-in-8 fit slice, build the index over the base slice

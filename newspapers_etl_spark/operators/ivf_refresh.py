@@ -205,7 +205,7 @@ def centroid_refresh_decision(
     )
 
 
-@query("ivf_ref", oracle=IVF_REF_ORACLE)
+@query("ivfref", oracle=IVF_REF_ORACLE)
 def ivf_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end refresh decision on the fixture: fit the frozen
     models on the 1-in-8 fit slice, index the full corpus, then decide

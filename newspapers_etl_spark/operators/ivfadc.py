@@ -644,7 +644,7 @@ QUALIFY rnk <= {_OC_TOP_K}
 """
 
 
-@query("ivfadcr", oracle=IVFADC_R_ORACLE)
+@query("ivfadr", oracle=IVFADC_R_ORACLE)
 def ivfadc_residual_topk(
     spark: SparkSession,
     sf_dir: str,

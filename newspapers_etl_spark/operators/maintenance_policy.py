@@ -228,7 +228,7 @@ def maintenance_policy_chain(
     )
 
 
-@query("mnt_pol", oracle=MNT_POL_ORACLE)
+@query("mntpol", oracle=MNT_POL_ORACLE)
 def maintenance_policy_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -86,7 +86,7 @@ HAVING count(*) >= 5
 """
 
 
-@query("expl_w", oracle=EXPLODE_ORACLE)
+@query("explw", oracle=EXPLODE_ORACLE)
 def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Issue→files 1:N fan-out (J3, reference download_newspaper_issue
     src/01-scrape-images.py:440-459) as explode + count."""
@@ -100,7 +100,7 @@ def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("flagsp", oracle=FLAGSHIP_ORACLE)
+@query("flags", oracle=FLAGSHIP_ORACLE)
 def flagship_issue_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's daily loop as ONE declarative plan (S1+J1+A1):
     date-range scan with the predicate pushed to the source (reference
@@ -247,7 +247,7 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
 
 
-@query("a_gsets", oracle=GROUPING_SETS_ORACLE)
+@query("a_gset", oracle=GROUPING_SETS_ORACLE)
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via DataFrame.groupingSets (Spark 4.x) — no temp-view
     side effect on the shared session (a createOrReplaceTempView here would
@@ -276,7 +276,7 @@ GROUP BY l_returnflag
 """
 
 
-@query("a_cdist", oracle=COUNT_DISTINCT_ORACLE)
+@query("a_cdst", oracle=COUNT_DISTINCT_ORACLE)
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-column distinct aggregation (Catalyst expands to
     partial-distinct + final agg). The approximate variant is
@@ -452,7 +452,7 @@ GROUP BY 1
 """
 
 
-@query("jrange", oracle=RANGE_JOIN_ORACLE)
+@query("jrang", oracle=RANGE_JOIN_ORACLE)
 def join_range_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-join with a range residual (ship > order + 90d) — the equi key
     carries the shuffle, the range predicate evaluates post-match, so this
@@ -485,7 +485,7 @@ WHERE rn = 1
 """
 
 
-@query("w_topn", oracle=TOP_ORDER_ORACLE)
+@query("wtopn", oracle=TOP_ORDER_ORACLE)
 def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-match-wins semantics (reference P1 fallback chains / files[0],
     src/01-scrape-images.py:270-279,146-147) as row_number()==1. Tie-broken
@@ -583,7 +583,7 @@ SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM building EXCEPT SELECT 
 """
 
 
-@query("setops", oracle=SETOPS_ORACLE)
+@query("setop", oracle=SETOPS_ORACLE)
 def setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """union / intersect / except — absent from the reference beyond
     anti-join except-semantics (SURVEY §2.5)."""
@@ -614,7 +614,7 @@ SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
 """
 
 
-@query("dstnct", oracle=DISTINCT_ORACLE)
+@query("dstct", oracle=DISTINCT_ORACLE)
 def distinct_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relation-level distinct (A2; reference dedups with list(set(...)),
     src/01-scrape-images.py:299)."""

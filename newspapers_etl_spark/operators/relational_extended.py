@@ -94,7 +94,7 @@ GROUP BY n.n_name
 """
 
 
-@query("q5_vol", oracle=Q5_ORACLE)
+@query("q5vol", oracle=Q5_ORACLE)
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with the local-supplier correlation
     (customer nation == supplier nation).  All four dims broadcast —

@@ -93,7 +93,7 @@ GROUP BY shard, pack_id
 """
 
 
-@query("pack_sq", oracle=PACK_ORACLE)
+@query("packsq", oracle=PACK_ORACLE)
 def pack_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-local greedy sequence packing: within each deterministic
     shard, documents (ordered by key) are assigned to the context

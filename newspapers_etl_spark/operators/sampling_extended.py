@@ -48,7 +48,7 @@ QUALIFY rk <= {TOPK_K}
 """
 
 
-@query("tk_lang", oracle=SAMPLE_TOPK_ORACLE)
+@query("tklang", oracle=SAMPLE_TOPK_ORACLE)
 def sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly {TOPK_K} documents per language, selected by md5(doc_id)
     order (reproducible), ranked — via salted pre-ranking so no
@@ -103,7 +103,7 @@ WHERE cum_tokens <= {TOK_BUDGET}
 """
 
 
-@query("tok_bud", oracle=TOK_BUDGET_ORACLE)
+@query("tokbud", oracle=TOK_BUDGET_ORACLE)
 def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Select documents per source up to a fixed TOKEN budget — the
     corpus-mixing primitive when the recipe says "N billion tokens of

@@ -145,7 +145,7 @@ GROUP BY segment
 """
 
 
-@query("scd_enr", oracle=SCD_ENRICH_ORACLE)
+@query("scdenr", oracle=SCD_ENRICH_ORACLE)
 def scd2_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time-CORRECT event enrichment: each event joins the SCD2
     dimension version valid AT ITS OWN timestamp (equi-join on the

@@ -116,7 +116,7 @@ GROUP BY label, i
 """
 
 
-@query("cntrds", oracle=CENTROID_ORACLE)
+@query("cents", oracle=CENTROID_ORACLE)
 def sim_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid, one row per (label, component): posexplode the
     vector and average per position.  This is the scale-correct way to

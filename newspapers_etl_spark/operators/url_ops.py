@@ -104,7 +104,7 @@ GROUP BY domain
 """
 
 
-@query("urlcan", oracle=URL_CANON_ORACLE)
+@query("urlcn", oracle=URL_CANON_ORACLE)
 def url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalize synthesized messy URLs and roll up per registered
     domain (url count, distinct canonical count, deterministic sample).

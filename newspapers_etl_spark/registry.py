@@ -47,9 +47,13 @@ ORACLE: dict[str, str] = {}
 #       closes on st_ivf exactly, no straddle).  Tail: r12-hashed
 #       families first (they rotate forward in r15), then the
 #       r13-window families.  NEW r14 ops (st_del streaming index
-#       deletion, bm_pol BM25 maintenance-policy twin, ivf_pit
-#       point-in-time index read) register post-window at the list
-#       tail and lead r15.
+#       deletion, bm_pol BM25 maintenance-policy twin, ivf_pit/bm_pit
+#       point-in-time reads of both indexes) register post-window at
+#       the list tail and lead r15; the four registrations overflowed
+#       the 1-decimal stdout band and executed rename wave 11 ("r14"
+#       map, 43 renames — BASELINE.md), so five window names changed
+#       in place: ivfapp, ivfref, stbm25, mntpol, ivfdel (+ the
+#       r10-stale families' f_/s_ moves and singles).
 #   r13 (executed): round 12 STALLED (one commit, no rotation), so this
 #       window IS the ledgered r12 plan, executed verbatim a round
 #       late: ivf_maintenance 1 (ivf_app — re-hashes as the import
@@ -299,18 +303,18 @@ _OPERATOR_MODULES = (
     # index_delete 2 + index_stream 1 (r13-hashed; their imports are
     # already satisfied) close the window: st_ivf at slot 50 exactly,
     # no straddle. ----
-    "newspapers_etl_spark.operators.ivf_maintenance",     # 1   ivf_app hashed r13; import price (4 dependents below)
+    "newspapers_etl_spark.operators.ivf_maintenance",     # 1   ivfapp (ex ivf_app, wave 11) hashed r13; import price (4 dependents below)
     "newspapers_etl_spark.operators.retrieval",           # 1   bm25 hashed r13; import price (index_upsert, bm25_stream, index_delete)
-    "newspapers_etl_spark.operators.ivf_refresh",         # 2   ivf_ref, ivf_rb hashed r13; import price (maintenance_policy)
+    "newspapers_etl_spark.operators.ivf_refresh",         # 2   ivfref (ex ivf_ref, wave 11) + ivf_rb hashed r13; import price (maintenance_policy)
     "newspapers_etl_spark.operators.index_upsert",        # 2   ivf_up, bm25_u: FIRST driver rows (NEW r13) — slots 5-6
-    "newspapers_etl_spark.streaming.bm25_stream",         # 1   st_bm25: FIRST driver row (NEW r13) — slot 7
-    "newspapers_etl_spark.operators.maintenance_policy",  # 1   mnt_pol: FIRST driver row (NEW r13) — slot 8
+    "newspapers_etl_spark.streaming.bm25_stream",         # 1   stbm25 (ex st_bm25, wave 11): FIRST driver row (NEW r13) — slot 7
+    "newspapers_etl_spark.operators.maintenance_policy",  # 1   mntpol (ex mnt_pol, wave 11): FIRST driver row (NEW r13) — slot 8
     "newspapers_etl_spark.streaming.upsert_stream",       # 1   st_up: FIRST driver row (NEW r13) — slot 9
     "newspapers_etl_spark.operators.model_fit",           # 3   hashed r10 — slots 10-12
     "newspapers_etl_spark.operators.extraction_queries",  # 8   hashed r10 — slots 13-20
     "newspapers_etl_spark.operators.text_scoring",        # 6   hashed r10 — slots 21-26
     "newspapers_etl_spark.operators.relational",          # 21  20 hashed r10 + expl_w r13 — slots 27-47
-    "newspapers_etl_spark.operators.index_delete",        # 2   ivf_del, bm25_d hashed r13 — slots 48-49 (imports satisfied)
+    "newspapers_etl_spark.operators.index_delete",        # 2   ivfdel (ex ivf_del, wave 11) + bm25_d hashed r13 — slots 48-49 (imports satisfied)
     "newspapers_etl_spark.streaming.index_stream",        # 1   st_ivf hashed r13 closes the window at slot 50
     # ---- tail: r12-hashed families (oldest remaining history — they
     # rotate forward in r15), then the r13-window families. ----

@@ -103,7 +103,7 @@ def stream_append_bm25(
     q.awaitTermination()
 
 
-@query("st_bm25", oracle=BM25_ORACLE)
+@query("stbm25", oracle=BM25_ORACLE)
 def stream_bm25_append_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

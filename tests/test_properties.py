@@ -371,7 +371,7 @@ _GENERATED_CORPUS_QUERIES = (
     "lg_id",
     "split3",
     "strat",
-    "pack_sq",
+    "packsq",
     "text_fp",
 )
 

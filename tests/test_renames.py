@@ -72,7 +72,7 @@ def test_compare_rounds_parses_driver_capture_formats(tmp_path):
 
     plain = tmp_path / "plain.json"
     plain.write_text(_json.dumps({"queries": {"flagship": 1.0}}))
-    assert mod._load_capture(plain) == {"flagsp": 1.0}
+    assert mod._load_capture(plain) == {"flags": 1.0}
 
     wrapped = tmp_path / "wrapped.json"
     wrapped.write_text(

@@ -185,25 +185,25 @@ def test_registry_registration_order_is_contiguous_per_module():
     window = set(names[:50])
     for required in (
         # the only queries with no driver hash row in the r1-r13 union
-        "ivf_up", "bm25_u", "st_bm25", "mnt_pol", "st_up",
+        "ivf_up", "bm25_u", "stbm25", "mntpol", "st_up",
         # import price: their modules must precede the newcomers
-        "ivf_app", "bm25", "ivf_ref", "ivf_rb",
+        "ivfapp", "bm25", "ivfref", "ivf_rb",
         # the 38 r10-hashed stale queries (four rounds old otherwise)
-        "fit_pq", "fit_pca", "fit_anc",
-        "ex_fl", "ex_dt", "ex_find", "ex_san", "rlike",
-        "ex_mime", "ex_base", "ex_md5",
+        "f_pq", "f_pca", "f_anc",
+        "ex_fl", "ex_dt", "ex_fnd", "ex_san", "rlike",
+        "ex_mim", "ex_bas", "ex_md5",
         "len_h", "ngrams", "lg_cf", "compr", "zipf", "ppl",
-        "flagsp", "q1_pr", "a_roll", "a_cube", "a_gsets", "a_cdist",
+        "flags", "q1_pr", "a_roll", "a_cube", "a_gset", "a_cdst",
         "a_ndv", "pivot", "j_star", "j_semi", "j_anti", "j_left",
-        "jrange", "w_topn", "w_frm", "tk_ln", "setops", "dstnct",
-        "a_coll", "j_asof", "expl_w",
+        "jrang", "wtopn", "w_frm", "tk_ln", "setop", "dstct",
+        "a_coll", "j_asof", "explw",
         # r13-hashed closers riding their satisfied imports
-        "ivf_del", "bm25_d", "st_ivf",
+        "ivfdel", "bm25_d", "st_ivf",
     ):
         assert required in window, f"{required} fell out of the window"
     assert names[:9] == [
-        "ivf_app", "bm25", "ivf_ref", "ivf_rb", "ivf_up", "bm25_u",
-        "st_bm25", "mnt_pol", "st_up",
+        "ivfapp", "bm25", "ivfref", "ivf_rb", "ivf_up", "bm25_u",
+        "stbm25", "mntpol", "st_up",
     ], f"r14 lifecycle lead drifted: {names[:10]}"
     # st_ivf closes the window at slot 50 exactly; the r12-hashed tail
     # (embedding_drift first) rides behind (rotation ledger: the
