@@ -26,6 +26,27 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
+#   r15 (PLAN, ledgered): the four r14 post-window registrations lead —
+#       they are the only queries without a driver row after r14.
+#       Import-splice constraints, worked out: delete_stream top-level-
+#       imports index_delete AND ivf_maintenance; bm25_policy imports
+#       index_delete + retrieval; index_pit imports ivf_maintenance +
+#       retrieval (bm25_common registers nothing).  Declared order
+#       therefore: ivf_maintenance 1 (ivfapp — import price), retrieval
+#       1 (bm25 — import price), index_delete 2 (ivfdel, bm25_d —
+#       import price), delete_stream 1 (st_del), bm25_policy 1
+#       (bm_pol), index_pit 2 (ivf_pit, bm_pit) = slots 1-8.  Then the
+#       r12-hashed stale families in their current tail order:
+#       embedding_drift 1, similarity 5 (before ann_eval), ann_eval 1,
+#       pandas_surface 3, multimodal 4, relational_extended 9, scd 3
+#       (before scd_stream), incremental 3, diagnostics 1, url_ops 1,
+#       snapshot_diff 1, events_analytics 3, sampling_extended 3,
+#       enrichment 1, scd_stream 1, stateful 1, retrieval_fusion 2,
+#       ivfadc 2, semantic_dedup 2 = slots 9-46; then pca 2 (47-48)
+#       and rollup 2 (49-50) from the r13-hashed families — slot 50
+#       closes on st_rol exactly, no straddle.  Everything else
+#       (r13/r14-hashed) rides behind; model_fit/extraction_queries/
+#       text_scoring/relational take r14 rows and rotate again ~r17.
 #   r14 (executed): the five r13 post-window registrations lead —
 #       they were the only queries without a driver row after r13.
 #       Import-splice constraints, worked out: index_upsert top-level-
