@@ -62,7 +62,7 @@ GROUP BY b.lang
 """
 
 
-@query("dd_inc", oracle=DEDUP_INCR_ORACLE)
+@query("ddinc", oracle=DEDUP_INCR_ORACLE)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-snapshot dedup: the new batch (sources
     src10+) joined against the distinct fingerprints of the historical
@@ -179,7 +179,7 @@ GROUP BY source
 """
 
 
-@query("q_clf", oracle=QUALITY_CLF_ORACLE)
+@query("qclf", oracle=QUALITY_CLF_ORACLE)
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick linear quality classifier over documents: each
     token hashes (md5 first hex digit) to one of 16 buckets carrying an
@@ -232,7 +232,7 @@ FROM agg
 """
 
 
-@query("c_mix", oracle=CORPUS_MIX_ORACLE)
+@query("cmix", oracle=CORPUS_MIX_ORACLE)
 def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus mixture statistics: document/token totals,
     token share, and a temperature-scaled sampling weight (sqrt of the

@@ -72,7 +72,7 @@ FROM m GROUP BY doc_id
 """
 
 
-@query("dd_chk", oracle=CHUNK_DEDUP_ORACLE)
+@query("ddchk", oracle=CHUNK_DEDUP_ORACLE)
 def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level exact dedup: per document, how many
     {CHUNK_TOKENS}-token chunks it contains and how many of them are

@@ -726,7 +726,7 @@ SELECT * FROM (
 """
 
 
-@query("dd_emb", oracle=EMBED_NEARDUP_ORACLE)
+@query("ddemb", oracle=EMBED_NEARDUP_ORACLE)
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: candidates
     are pairs colliding in ANY of EMB_LSH_TABLES sign-pattern bucket

@@ -50,7 +50,7 @@ GROUP BY 1, 2
 """
 
 
-@query("ev_tmb", oracle=TUMBLING_ORACLE)
+@query("evtmb", oracle=TUMBLING_ORACLE)
 def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour count/sum per event type.  `window()` is
     epoch-aligned, matching DuckDB's time_bucket origin for sub-day
@@ -90,7 +90,7 @@ GROUP BY 1
 """
 
 
-@query("ev_sld", oracle=SLIDING_ORACLE)
+@query("evsld", oracle=SLIDING_ORACLE)
 def events_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping window: 1-hour windows every 30 minutes.  Spark expands
     each row into length/slide = 2 window assignments map-side, then
@@ -215,7 +215,7 @@ FROM w3
 """
 
 
-@query("ev_fnl", oracle=FUNNEL_ORACLE)
+@query("evfnl", oracle=FUNNEL_ORACLE)
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered funnel conversion (view → click → purchase):
     a user converts step N only with an event AFTER their first
@@ -297,7 +297,7 @@ GROUP BY j.cohort_day, j.day_offset, s.cohort_size
 """
 
 
-@query("ev_ret", oracle=RETENTION_ORACLE)
+@query("evret", oracle=RETENTION_ORACLE)
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix over the event stream: users are cohorted
     by their first active day, and each (cohort_day, day_offset) cell

@@ -62,7 +62,7 @@ FROM days d ANTI JOIN processed p ON d.day = p.day
 """
 
 
-@query("inc_ct", oracle=CONTINUE_ORACLE)
+@query("incct", oracle=CONTINUE_ORACLE)
 def incr_continue_unprocessed_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The *continue-scraping* op: day partitions not in the processed
     log, with their pending row counts.  Both sides aggregate to one row
@@ -106,7 +106,7 @@ FROM expected e LEFT JOIN delivered d ON e.day = d.day
 """
 
 
-@query("inc_vr", oracle=VERIFY_ORACLE)
+@query("incvr", oracle=VERIFY_ORACLE)
 def incr_verify_day_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The *verify-month* op (declared but unimplemented in the
     reference, main.yml:23): expected-vs-delivered counts per day
@@ -150,7 +150,7 @@ FROM events ev SEMI JOIN incomplete i
 """
 
 
-@query("inc_rt", oracle=RETRY_ORACLE)
+@query("incrt", oracle=RETRY_ORACLE)
 def incr_retry_failed_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The *retry-failed* op: full rows for exactly the day partitions
     the audit flags incomplete — partition-grain replay, the reference's

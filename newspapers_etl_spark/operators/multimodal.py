@@ -53,7 +53,7 @@ WHERE o.o_orderkey % 100 = 0
 """
 
 
-@query("mm_man", oracle=MANIFEST_FLATTEN_ORACLE)
+@query("mmman", oracle=MANIFEST_FLATTEN_ORACLE)
 def mm_manifest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build IIIF-shaped manifest JSON documents (one per order, pages
     from its lineitems), then flatten them back with from_json + chained
@@ -395,7 +395,7 @@ GROUP BY doc_id
 """
 
 
-@query("mm_frm", oracle=FRAMES_ORACLE)
+@query("mmfrm", oracle=FRAMES_ORACLE)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample a binary audio column via two mapInPandas stages —
     render genuine RIFF/WAVE PCM, then decode it with the stdlib wave
@@ -431,7 +431,7 @@ GROUP BY 1
 """
 
 
-@query("mm_dec", oracle=DECODE_ORACLE)
+@query("mmdec", oracle=DECODE_ORACLE)
 def mm_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode a binary image column with the REAL PNG codec and
     aggregate the decoded dimensions.  Two mapInPandas stages: render

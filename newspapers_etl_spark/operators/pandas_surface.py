@@ -71,7 +71,7 @@ GROUP BY lang
 """
 
 
-@query("pd_sts", oracle=ROBUST_ORACLE)
+@query("pdsts", oracle=ROBUST_ORACLE)
 def pd_grouped_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median + MAD of document length per language via applyInPandas —
     order statistics that need the whole group materialized (exactly the
@@ -130,7 +130,7 @@ FROM toks,
 """
 
 
-@query("pd_chk", oracle=CHUNK_ORACLE)
+@query("pdchk", oracle=CHUNK_ORACLE)
 def pd_udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk every document via the Python UDTF in a LATERAL join.
 
@@ -193,7 +193,7 @@ GROUP BY label
 """
 
 
-@query("pd_qnt", oracle=QUANTIZE_ORACLE)
+@query("pdqnt", oracle=QUANTIZE_ORACLE)
 def pd_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantize embeddings to int8 range in a pandas_udf, then reduce
     JVM-side (aggregate/filter higher-order fns) to per-label L1 mass and

@@ -217,7 +217,7 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
 """
 
 
-@query("q_samp", oracle=QUAL_SAMPLE_ORACLE)
+@query("qsamp", oracle=QUAL_SAMPLE_ORACLE)
 def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft quality filtering: keep a document with probability equal to
     its quality score, instead of a hard threshold — the FineWeb-style

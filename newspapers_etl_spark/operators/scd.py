@@ -104,7 +104,7 @@ GROUP BY c_mktsegment
 """
 
 
-@query("s2_pit", oracle=SCD2_AS_OF_ORACLE)
+@query("s2pit", oracle=SCD2_AS_OF_ORACLE)
 def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time segment census AFTER the churn batch: the as-of
     filter selects exactly one version per key (the one whose validity

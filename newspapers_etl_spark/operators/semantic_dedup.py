@@ -354,7 +354,7 @@ FROM best WHERE rk = 1
 """
 
 
-@query("pq_cds", oracle=PQ_ORACLE)
+@query("pqcds", oracle=PQ_ORACLE)
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding: one row per (vec_id, subspace)
     with the nearest codebook id and its squared reconstruction error.

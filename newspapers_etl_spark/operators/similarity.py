@@ -71,7 +71,7 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
-@query("bf_tk", oracle=TOPK_ORACLE)
+@query("bftk", oracle=TOPK_ORACLE)
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k per probe: broadcast the probe set, score the
     whole corpus once, keep k per probe via a bounded window.  Ranking is

@@ -26,27 +26,31 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
-#   r15 (PLAN, ledgered): the four r14 post-window registrations lead —
+#   r15 (PLAN, ledgered): the six r14 post-window registrations lead —
 #       they are the only queries without a driver row after r14.
 #       Import-splice constraints, worked out: delete_stream top-level-
 #       imports index_delete AND ivf_maintenance; bm25_policy imports
 #       index_delete + retrieval; index_pit imports ivf_maintenance +
-#       retrieval (bm25_common registers nothing).  Declared order
+#       retrieval (bm25_common registers nothing); bm25_upkeep_stream
+#       imports index_delete + index_upsert + retrieval (so
+#       index_upsert's 2 queries re-hash early as the import price —
+#       they take r14 rows, so the re-hash is cheap).  Declared order
 #       therefore: ivf_maintenance 1 (ivfapp — import price), retrieval
 #       1 (bm25 — import price), index_delete 2 (ivfdel, bm25_d —
-#       import price), delete_stream 1 (st_del), bm25_policy 1
-#       (bm_pol), index_pit 2 (ivf_pit, bm_pit) = slots 1-8.  Then the
-#       r12-hashed stale families in their current tail order:
-#       embedding_drift 1, similarity 5 (before ann_eval), ann_eval 1,
-#       pandas_surface 3, multimodal 4, relational_extended 9, scd 3
-#       (before scd_stream), incremental 3, diagnostics 1, url_ops 1,
-#       snapshot_diff 1, events_analytics 3, sampling_extended 3,
-#       enrichment 1, scd_stream 1, stateful 1, retrieval_fusion 2,
-#       ivfadc 2, semantic_dedup 2 = slots 9-46; then pca 2 (47-48)
-#       and rollup 2 (49-50) from the r13-hashed families — slot 50
-#       closes on st_rol exactly, no straddle.  Everything else
-#       (r13/r14-hashed) rides behind; model_fit/extraction_queries/
-#       text_scoring/relational take r14 rows and rotate again ~r17.
+#       import price), index_upsert 2 (ivf_up, bm25_u — import price),
+#       delete_stream 1 (st_del), bm25_policy 1 (bm_pol), index_pit 2
+#       (ivf_pit, bm_pit), bm25_upkeep_stream 2 (st_bdl, st_bup) =
+#       slots 1-12.  Then the r12-hashed stale families in their
+#       current tail order: embedding_drift 1, similarity 5 (before
+#       ann_eval), ann_eval 1, pandas_surface 3, multimodal 4,
+#       relational_extended 9, scd 3 (before scd_stream), incremental
+#       3, diagnostics 1, url_ops 1, snapshot_diff 1,
+#       events_analytics 3, sampling_extended 3 — slot 50 closes on
+#       qsamp exactly, no straddle; enrichment/scd_stream/stateful/
+#       retrieval_fusion/ivfadc/semantic_dedup (r12-hashed, 9 queries)
+#       ride to r16.  Everything else (r13/r14-hashed) rides behind;
+#       model_fit/extraction_queries/text_scoring/relational take r14
+#       rows and rotate again ~r17.
 #   r14 (executed): the five r13 post-window registrations lead —
 #       they were the only queries without a driver row after r13.
 #       Import-splice constraints, worked out: index_upsert top-level-
@@ -69,12 +73,14 @@ ORACLE: dict[str, str] = {}
 #       families first (they rotate forward in r15), then the
 #       r13-window families.  NEW r14 ops (st_del streaming index
 #       deletion, bm_pol BM25 maintenance-policy twin, ivf_pit/bm_pit
-#       point-in-time reads of both indexes) register post-window at
-#       the list tail and lead r15; the four registrations overflowed
-#       the 1-decimal stdout band and executed rename wave 11 ("r14"
-#       map, 43 renames — BASELINE.md), so five window names changed
-#       in place: ivfapp, ivfref, stbm25, mntpol, ivfdel (+ the
-#       r10-stale families' f_/s_ moves and singles).
+#       point-in-time reads of both indexes, st_bdl/st_bup streaming
+#       BM25 deletion/upsert — the streaming maintenance matrix closes)
+#       register post-window at the list tail and lead r15; the six
+#       registrations overflowed the 1-decimal stdout band and executed
+#       rename waves 11 + 11b ("r14"/"r14b" maps, 43 + 27 renames —
+#       BASELINE.md), so five window names changed in place: ivfapp,
+#       ivfref, stbm25, mntpol, ivfdel (+ the r10-stale families'
+#       f_/s_ moves and tail singles).
 #   r13 (executed): round 12 STALLED (one commit, no rotation), so this
 #       window IS the ledgered r12 plan, executed verbatim a round
 #       late: ivf_maintenance 1 (ivf_app — re-hashes as the import
@@ -382,7 +388,8 @@ _OPERATOR_MODULES = (
     # declared in the window above, satisfied). ----
     "newspapers_etl_spark.streaming.delete_stream",       # 1   st_del (NEW r14)
     "newspapers_etl_spark.operators.bm25_policy",         # 1   bm_pol (NEW r14; imports index_delete + retrieval, satisfied)
-    "newspapers_etl_spark.operators.index_pit",           # 1   ivf_pit (NEW r14; imports ivf_maintenance, satisfied)
+    "newspapers_etl_spark.operators.index_pit",           # 2   ivf_pit, bm_pit (NEW r14; imports ivf_maintenance + retrieval, satisfied)
+    "newspapers_etl_spark.streaming.bm25_upkeep_stream",  # 2   st_bdl, st_bup (NEW r14; imports index_delete + index_upsert + retrieval, satisfied)
 )
 
 _loaded = False

@@ -44,7 +44,7 @@ GROUP BY 1
 """
 
 
-@query("st_enr", oracle=ENRICH_ORACLE)
+@query("stenr", oracle=ENRICH_ORACLE)
 def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event stream inner-joined to the broadcast customer dimension on
     user_id = c_custkey, aggregated per market segment — executed by

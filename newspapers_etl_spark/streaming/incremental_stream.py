@@ -235,7 +235,7 @@ GROUP BY 1, 2
 """
 
 
-@query("st_tmb", oracle=STREAM_TUMBLING_ORACLE)
+@query("sttmb", oracle=STREAM_TUMBLING_ORACLE)
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The watermarked tumbling aggregation executed BY THE STREAMING
     ENGINE (AvailableNow over the events parquet, complete-mode memory
@@ -257,7 +257,7 @@ GROUP BY event_type
 """
 
 
-@query("st_ddp", oracle=STREAM_DEDUP_ORACLE)
+@query("stddp", oracle=STREAM_DEDUP_ORACLE)
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark over the event stream, then a
     per-type count of survivors.  The fixture has unique event_ids, so

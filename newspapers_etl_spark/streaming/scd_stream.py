@@ -173,7 +173,7 @@ def stream_scd2_upsert(
     return final, state["batches"]
 
 
-@query("st_scd", oracle=SCD2_MERGE_ORACLE)
+@query("stscd", oracle=SCD2_MERGE_ORACLE)
 def stream_scd2_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming-engine SCD2 upsert, hash-checked against the BATCH
     merge oracle: however the CDC rows were micro-batched, the converged

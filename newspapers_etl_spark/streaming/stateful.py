@@ -92,7 +92,7 @@ GROUP BY user_id
 """
 
 
-@query("st_sta", oracle=STATEFUL_ORACLE)
+@query("ststa", oracle=STATEFUL_ORACLE)
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running totals maintained by ``applyInPandasWithState``
     UNDER THE STREAMING ENGINE (AvailableNow over the events parquet,

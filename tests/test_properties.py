@@ -365,7 +365,7 @@ def test_lm_surprisal_differential_vs_duckdb_on_any_corpus(spark, docs):
 # test DuckDB's regex engine, not this repo.)
 _GENERATED_CORPUS_QUERIES = (
     "dd_ex",
-    "dd_chk",
+    "ddchk",
     "tokens",
     "len_h",
     "lg_id",
