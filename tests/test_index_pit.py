@@ -133,6 +133,85 @@ def test_bm_pit_matches_oracle(spark, sf_dir, oracle):
 
 
 @pytest.mark.heavy
+def test_pit_scoping_survives_a_reappend_of_deleted_ids(
+    spark, sf_dir, tmp_path
+):
+    """The subtlest point of the root-scoped algebra: ids deleted at d1
+    and RE-APPENDED at b2 (a takedown reversal) must be invisible at
+    the d1 view but visible again at the b2 view — the d1 tombstone
+    covers only the roots that existed when it published, never b2's
+    root, and the PIT reconstruction must reproduce that scoping at
+    every generation."""
+    from newspapers_etl_spark.operators.index_pit import (
+        PIT_B1_PRED,
+        PIT_DEL_PRED,
+        read_ivf_codes_at,
+    )
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        BASE_PREDICATE,
+        FIT_PREDICATE,
+        append_ivf_index,
+        build_ivf_index,
+        delete_from_ivf_index,
+        fit_models,
+        read_ivf_codes,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    models = fit_models(e.filter(F.expr(FIT_PREDICATE)))
+    path = str(tmp_path / "idx")
+    build_ivf_index(
+        spark, e.filter(F.expr(BASE_PREDICATE)), path, models=models
+    )
+    deleted = e.filter(F.expr(BASE_PREDICATE)).filter(F.expr(PIT_DEL_PRED))
+    append_ivf_index(spark, e.filter(F.expr(PIT_B1_PRED)), path, batch_id="b1")
+    delete_from_ivf_index(spark, deleted, path, batch_id="d1")
+    append_ivf_index(spark, deleted, path, batch_id="b2")  # reversal
+
+    del_ids = {r["vec_id"] for r in deleted.select("vec_id").collect()}
+    assert del_ids, "fixture must delete something"
+    at_b1 = {r["vec_id"] for r in read_ivf_codes_at(spark, path, "b1").collect()}
+    at_d1 = {r["vec_id"] for r in read_ivf_codes_at(spark, path, "d1").collect()}
+    at_b2 = {r["vec_id"] for r in read_ivf_codes_at(spark, path, "b2").collect()}
+    assert del_ids <= at_b1          # indexed before the takedown
+    assert not (del_ids & at_d1)     # suppressed at the delete view
+    assert del_ids <= at_b2          # visible again after the reversal
+    assert at_b2 == at_b1            # the reversal restores the b1 set
+    live = {r["vec_id"] for r in read_ivf_codes(spark, path).collect()}
+    assert at_b2 == live             # read-at-latest == live
+
+
+@pytest.mark.heavy
+def test_bm25_as_of_read_prunes_like_the_live_read(spark, sf_dir, tmp_path):
+    """'An as-of read costs exactly what the live read cost' is a plan
+    claim, not just prose: the reconstructed union must still prune the
+    scan to the query terms' shards (PartitionFilters on term_shard in
+    every branch) with the term predicate pushed."""
+    from newspapers_etl_spark.operators.index_pit import (
+        BM_PIT_B1_PRED,
+        retrieval_bm25_topk_at,
+    )
+    from newspapers_etl_spark.operators.retrieval import (
+        append_bm25_postings,
+        write_bm25_postings,
+    )
+
+    path = str(tmp_path / "idx")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    write_bm25_postings(
+        spark, None, path, docs=docs.filter(~F.expr(BM_PIT_B1_PRED))
+    )
+    append_bm25_postings(
+        spark, None, path,
+        batch_id="b1", docs=docs.filter(F.expr(BM_PIT_B1_PRED)),
+    )
+    df = retrieval_bm25_topk_at(spark, path, "b1")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term_shard" in plan
+    assert "PushedFilters" in plan
+
+
+@pytest.mark.heavy
 def test_bm25_as_of_read_replays_the_live_ranking(spark, sf_dir, tmp_path):
     """The as-of ranking equals the live ranking captured at that
     moment (same roots, same journaled stats), and read-at-latest
