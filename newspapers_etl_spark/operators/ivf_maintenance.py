@@ -340,6 +340,20 @@ def _root_epoch(ptr: dict | None) -> str:
     return f"{int(ptr.get('compactions', 0))}.{int(ptr.get('rebuilds', 0))}"
 
 
+def _live_ops_log(ptr: dict | None, epoch: str) -> list[dict]:
+    """The op journal TRIMMED to the current root-rewrite epoch — the
+    pointer-size bound that keeps ops_log O(ops since the last
+    compaction/rebuild) instead of O(ops ever): entries from a closed
+    epoch reference roots the rewrite already folded, so the PIT reader
+    refuses them regardless of whether they are still journaled (a
+    trimmed batch refuses as 'no op journal entry' instead of 'predates
+    the last compaction' — same contract, cheaper pointer).  The trim
+    rides the next append/delete publish; compaction itself never
+    touches the journal."""
+    log = list(ptr.get("ops_log", [])) if ptr else []
+    return [o for o in log if o.get("ep") == epoch]
+
+
 def append_ivf_index(
     spark: SparkSession,
     e_batch: DataFrame,
@@ -371,8 +385,8 @@ def append_ivf_index(
     live = list(ptr.get("live_batches", applied)) if ptr else []
     if batch_id in applied:
         return
-    ops_log = list(ptr.get("ops_log", [])) if ptr else []
     epoch = _root_epoch(ptr)
+    ops_log = _live_ops_log(ptr, epoch)
 
     cents, codebook = _read_model(spark, path)
     coded = _encode(e_batch, cents, codebook, with_embedding=True).persist()
@@ -476,8 +490,8 @@ def delete_from_ivf_index(
     covers = dict(ptr.get("tombstone_covers", {})) if ptr else {}
     if batch_id in applied_del:
         return
-    ops_log = list(ptr.get("ops_log", [])) if ptr else []
     epoch = _root_epoch(ptr)
+    ops_log = _live_ops_log(ptr, epoch)
 
     cents, codebook = _read_model(spark, path)
     coded = _encode(e_deleted, cents, codebook, with_embedding=True).persist()

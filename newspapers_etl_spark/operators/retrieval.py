@@ -404,10 +404,13 @@ def append_bm25_postings(
         # Retry after full success: postings renamed AND stats
         # published — everything is already visible, nothing to redo.
         return
-    from newspapers_etl_spark.operators.ivf_maintenance import _root_epoch
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        _live_ops_log,
+        _root_epoch,
+    )
 
-    ops_log = list(ptr.get("ops_log", [])) if ptr else []
     epoch = _root_epoch(ptr)
+    ops_log = _live_ops_log(ptr, epoch)
 
     staged = (
         _staged_of(docs) if docs is not None else _staged_tokens(spark, sf_dir)
@@ -511,10 +514,13 @@ def delete_bm25_docs(
     covers = dict(ptr.get("tombstone_covers", {})) if ptr else {}
     if batch_id in applied_del:
         return
-    from newspapers_etl_spark.operators.ivf_maintenance import _root_epoch
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        _live_ops_log,
+        _root_epoch,
+    )
 
-    ops_log = list(ptr.get("ops_log", [])) if ptr else []
     epoch = _root_epoch(ptr)
+    ops_log = _live_ops_log(ptr, epoch)
 
     staged = _staged_of(docs)
     if ptr is not None and not staged.head(1):

@@ -118,6 +118,32 @@ def test_history_boundary_refuses_folded_views(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="predates the last compaction"):
         read_ivf_codes_at(spark, path, "d1")
 
+    # The journal is bounded: the next publish after a root rewrite
+    # trims the closed epoch's entries (they reference folded roots the
+    # reader refuses anyway), so pointer size is O(ops since the last
+    # compaction), not O(ops ever).  The trimmed batch still refuses —
+    # as an unknown journal entry now.
+    from newspapers_etl_spark.operators.index_pit import PIT_DEL_PRED
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        _root_epoch,
+        append_ivf_index,
+    )
+    from newspapers_etl_spark.sinks.verified import current_pointer
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fresh = e.filter(F.expr(PIT_DEL_PRED)).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+    )
+    append_ivf_index(spark, fresh, path, batch_id="b3")
+    ptr = current_pointer(f"{path}/stats")
+    epoch = _root_epoch(ptr)
+    assert [o["b"] for o in ptr["ops_log"]] == ["b3"]
+    assert all(o["ep"] == epoch for o in ptr["ops_log"])
+    with pytest.raises(ValueError, match="no op journal entry"):
+        read_ivf_codes_at(spark, path, "d1")
+    # and the post-rewrite op is itself addressable
+    assert read_ivf_codes_at(spark, path, "b3").count() > 0
+
 
 def test_bm_pit_matches_oracle(spark, sf_dir, oracle):
     from conftest import assert_matches_oracle
