@@ -26,29 +26,39 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
-#   r15 (PLAN, ledgered): the six r14 post-window registrations lead —
-#       they are the only queries without a driver row after r14.
-#       Import-splice constraints, worked out: delete_stream top-level-
-#       imports index_delete AND ivf_maintenance; bm25_policy imports
-#       index_delete + retrieval; index_pit imports ivf_maintenance +
-#       retrieval (bm25_common registers nothing); bm25_upkeep_stream
-#       imports index_delete + index_upsert + retrieval (so
-#       index_upsert's 2 queries re-hash early as the import price —
-#       they take r14 rows, so the re-hash is cheap).  Declared order
-#       therefore: ivf_maintenance 1 (ivfapp — import price), retrieval
-#       1 (bm25 — import price), index_delete 2 (ivfdel, bm25_d —
-#       import price), index_upsert 2 (ivf_up, bm25_u — import price),
-#       delete_stream 1 (st_del), bm25_policy 1 (bm_pol), index_pit 2
-#       (ivf_pit, bm_pit), bm25_upkeep_stream 2 (st_bdl, st_bup) =
-#       slots 1-12.  Then the r12-hashed stale families in their
+#   r15 (executed, AMENDED per VERDICT r14 next-steps #2): the six r14
+#       post-window registrations lead — they are the only queries
+#       without a driver row after r14.  Import-splice constraints,
+#       worked out: delete_stream top-level-imports index_delete AND
+#       ivf_maintenance; bm25_policy imports index_delete + retrieval;
+#       index_pit imports ivf_maintenance + retrieval (bm25_common
+#       registers nothing); bm25_upkeep_stream imports index_delete +
+#       index_upsert + retrieval (so index_upsert's 2 queries re-hash
+#       early as the import price — they take r14 rows, so the re-hash
+#       is cheap).  Declared order therefore: ivf_maintenance 1 (ivfapp
+#       — import price), retrieval 1 (bm25 — import price), index_delete
+#       2 (ivfdel, bm25_d — import price), index_upsert 2 (ivf_up,
+#       bm25_u — import price), delete_stream 1 (st_del), bm25_policy 1
+#       (bm_pol), index_pit 2 (ivf_pit, bm_pit), bm25_upkeep_stream 2
+#       (st_bdl, st_bup) = slots 1-12.  AMENDMENT (the verdict caught
+#       the original plan inverting the oldest-first rule): dedup 10
+#       takes slots 13-22 — its nine non-dd_ex rows (jacc/ddemb/ddspn/
+#       decon/cc_cl oracle-backed, lsh_st/lshver/sh_prs/shbkts
+#       rows-only) last took driver rows in r10, the OLDEST history in
+#       the union, and the original plan would have ridden them to r16+
+#       (5+ rounds stale); dd_ex re-hashes with its module as the
+#       contiguity price.  Then the r12-hashed stale families in their
 #       current tail order: embedding_drift 1, similarity 5 (before
 #       ann_eval), ann_eval 1, pandas_surface 3, multimodal 4,
-#       relational_extended 9, scd 3 (before scd_stream), incremental
-#       3, diagnostics 1, url_ops 1, snapshot_diff 1,
-#       events_analytics 3, sampling_extended 3 — slot 50 closes on
-#       qsamp exactly, no straddle; enrichment/scd_stream/stateful/
-#       retrieval_fusion/ivfadc/semantic_dedup (r12-hashed, 9 queries)
-#       ride to r16.  Everything else (r13/r14-hashed) rides behind;
+#       relational_extended 9, scd 3 (before scd_stream) = slots 23-48,
+#       and the diagnostics/url_ops singles close the window — slot 50
+#       lands on urlcn exactly, no straddle.  Displaced by the
+#       amendment: incremental 3, snapshot_diff 1, events_analytics 3,
+#       sampling_extended 3 (r12-hashed, 10 queries) join the
+#       already-riding enrichment/scd_stream/stateful/retrieval_fusion/
+#       ivfadc/semantic_dedup (9 queries) — all 19 r12-hashed riders
+#       lead r16 (exactly r12-old then, inside the policy bar).
+#       Everything else (r13/r14-hashed) rides behind;
 #       model_fit/extraction_queries/text_scoring/relational take r14
 #       rows and rotate again ~r17.
 #   r14 (executed): the five r13 post-window registrations lead —
@@ -315,46 +325,41 @@ ORACLE: dict[str, str] = {}
 # that changes fixture values re-hashes in the round it changes, no
 # exceptions.
 _OPERATOR_MODULES = (
-    # ---- r14 window (slots 1-50): the five r13 post-window
-    # registrations (ivf_up/bm25_u/st_bm25/mnt_pol/st_up) get their
-    # FIRST driver rows — the only remaining union never-green names.
-    # Import price (top-level cross-module imports, so the imported
+    # ---- r15 window (slots 1-50): the six r14 post-window
+    # registrations (st_del/bm_pol/ivf_pit/bm_pit/st_bdl/st_bup) get
+    # their FIRST driver rows — the only union never-green names after
+    # r14.  Import price (top-level cross-module imports; imported
     # modules must be DECLARED first or their blocks splice):
-    # index_upsert imports ivf_maintenance + retrieval; bm25_stream
-    # imports retrieval + ivf_maintenance; maintenance_policy imports
-    # ivf_maintenance + ivf_refresh; upsert_stream imports index_upsert
-    # + ivf_maintenance.  So ivf_app/bm25/ivf_ref/ivf_rb re-hash a
-    # round early (the similarity-in-r11 precedent).  Then the
-    # r10-hashed stale families (model_fit 3, extraction_queries 8,
-    # text_scoring 6, relational 21 — four rounds old if skipped), and
-    # index_delete 2 + index_stream 1 (r13-hashed; their imports are
-    # already satisfied) close the window: st_ivf at slot 50 exactly,
-    # no straddle. ----
-    "newspapers_etl_spark.operators.ivf_maintenance",     # 1   ivfapp (ex ivf_app, wave 11) hashed r13; import price (4 dependents below)
-    "newspapers_etl_spark.operators.retrieval",           # 1   bm25 hashed r13; import price (index_upsert, bm25_stream, index_delete)
-    "newspapers_etl_spark.operators.ivf_refresh",         # 2   ivfref (ex ivf_ref, wave 11) + ivf_rb hashed r13; import price (maintenance_policy)
-    "newspapers_etl_spark.operators.index_upsert",        # 2   ivf_up, bm25_u: FIRST driver rows (NEW r13) — slots 5-6
-    "newspapers_etl_spark.streaming.bm25_stream",         # 1   stbm25 (ex st_bm25, wave 11): FIRST driver row (NEW r13) — slot 7
-    "newspapers_etl_spark.operators.maintenance_policy",  # 1   mntpol (ex mnt_pol, wave 11): FIRST driver row (NEW r13) — slot 8
-    "newspapers_etl_spark.streaming.upsert_stream",       # 1   st_up: FIRST driver row (NEW r13) — slot 9
-    "newspapers_etl_spark.operators.model_fit",           # 3   hashed r10 — slots 10-12
-    "newspapers_etl_spark.operators.extraction_queries",  # 8   hashed r10 — slots 13-20
-    "newspapers_etl_spark.operators.text_scoring",        # 6   hashed r10 — slots 21-26
-    "newspapers_etl_spark.operators.relational",          # 21  20 hashed r10 + expl_w r13 — slots 27-47
-    "newspapers_etl_spark.operators.index_delete",        # 2   ivfdel (ex ivf_del, wave 11) + bm25_d hashed r13 — slots 48-49 (imports satisfied)
-    "newspapers_etl_spark.streaming.index_stream",        # 1   st_ivf hashed r13 closes the window at slot 50
-    # ---- tail: r12-hashed families (oldest remaining history — they
-    # rotate forward in r15), then the r13-window families. ----
-    "newspapers_etl_spark.operators.embedding_drift",     # 1   hashed r12
-    "newspapers_etl_spark.operators.similarity",          # 5   hashed r12 (must precede ann_eval: top-level import)
-    "newspapers_etl_spark.operators.ann_eval",            # 1   hashed r12
-    "newspapers_etl_spark.operators.pandas_surface",      # 3   hashed r12
-    "newspapers_etl_spark.operators.multimodal",          # 4   hashed r12
-    "newspapers_etl_spark.operators.relational_extended", # 9   hashed r12
-    "newspapers_etl_spark.operators.scd",                 # 3   hashed r12 (must precede scd_stream: top-level import)
+    # delete_stream imports index_delete + ivf_maintenance; bm25_policy
+    # imports index_delete + retrieval; index_pit imports
+    # ivf_maintenance + retrieval; bm25_upkeep_stream imports
+    # index_delete + index_upsert + retrieval; index_delete and
+    # index_upsert themselves import ivf_maintenance + retrieval.  So
+    # ivfapp/bm25/ivfdel/bm25_d/ivf_up/bm25_u re-hash a round early
+    # (all took r14 rows — cheap).  Then dedup 10 (the r15 AMENDMENT:
+    # nine r10-stale rows, the oldest union history), then the
+    # r12-hashed stale families, closing on urlcn at slot 50 exactly. ----
+    "newspapers_etl_spark.operators.ivf_maintenance",     # 1   ivfapp hashed r14; import price (6 dependents below)
+    "newspapers_etl_spark.operators.retrieval",           # 1   bm25 hashed r14; import price
+    "newspapers_etl_spark.operators.index_delete",        # 2   ivfdel, bm25_d hashed r14; import price (delete_stream, bm25_policy, bm25_upkeep_stream)
+    "newspapers_etl_spark.operators.index_upsert",        # 2   ivf_up, bm25_u hashed r14; import price (bm25_upkeep_stream)
+    "newspapers_etl_spark.streaming.delete_stream",       # 1   st_del: FIRST driver row (NEW r14) — slot 7
+    "newspapers_etl_spark.operators.bm25_policy",         # 1   bm_pol: FIRST driver row (NEW r14) — slot 8
+    "newspapers_etl_spark.operators.index_pit",           # 2   ivf_pit, bm_pit: FIRST driver rows (NEW r14) — slots 9-10
+    "newspapers_etl_spark.streaming.bm25_upkeep_stream",  # 2   st_bdl, st_bup: FIRST driver rows (NEW r14) — slots 11-12
+    "newspapers_etl_spark.operators.dedup",               # 10  AMENDMENT: 9 rows r10-stale (oldest union history) + dd_ex r13 — slots 13-22
+    "newspapers_etl_spark.operators.embedding_drift",     # 1   hashed r12 — slot 23
+    "newspapers_etl_spark.operators.similarity",          # 5   hashed r12 (must precede ann_eval: top-level import) — slots 24-28
+    "newspapers_etl_spark.operators.ann_eval",            # 1   hashed r12 — slot 29
+    "newspapers_etl_spark.operators.pandas_surface",      # 3   hashed r12 — slots 30-32
+    "newspapers_etl_spark.operators.multimodal",          # 4   hashed r12 — slots 33-36
+    "newspapers_etl_spark.operators.relational_extended", # 9   hashed r12 — slots 37-45
+    "newspapers_etl_spark.operators.scd",                 # 3   hashed r12 (must precede scd_stream) — slots 46-48
+    "newspapers_etl_spark.operators.diagnostics",         # 1   hashed r12 — slot 49
+    "newspapers_etl_spark.operators.url_ops",             # 1   hashed r12 — urlcn closes the window at slot 50
+    # ---- tail: r12-hashed riders displaced by the dedup amendment +
+    # the six families already riding — all 19 lead r16. ----
     "newspapers_etl_spark.operators.incremental",         # 3   hashed r12
-    "newspapers_etl_spark.operators.diagnostics",         # 1   hashed r12
-    "newspapers_etl_spark.operators.url_ops",             # 1   hashed r12
     "newspapers_etl_spark.operators.snapshot_diff",       # 1   hashed r12
     "newspapers_etl_spark.operators.events_analytics",    # 3   hashed r12
     "newspapers_etl_spark.operators.sampling_extended",   # 3   hashed r12
@@ -364,6 +369,7 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.retrieval_fusion",    # 2   hashed r12
     "newspapers_etl_spark.operators.ivfadc",              # 2   hashed r12
     "newspapers_etl_spark.operators.semantic_dedup",      # 2   hashed r12
+    # ---- r13-hashed families ----
     "newspapers_etl_spark.operators.pca",                 # 2   hashed r13
     "newspapers_etl_spark.operators.rollup",              # 2   hashed r13
     "newspapers_etl_spark.operators.sketches",            # 1   hashed r13
@@ -381,15 +387,16 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.drift_monitor",       # 1   hashed r13
     "newspapers_etl_spark.operators.retrieval_eval",      # 1   hashed r13
     "newspapers_etl_spark.operators.text_lm",             # 1   hashed r13
-    "newspapers_etl_spark.operators.dedup",               # 10  dd_ex hashed r13; 9 siblings r10-r13
-    # ---- NEW r14 (registered post-window, the bm25_b/drift precedent:
-    # never displace an earned slot mid-round) — these lead r15.
-    # delete_stream imports index_delete + ivf_maintenance (both
-    # declared in the window above, satisfied). ----
-    "newspapers_etl_spark.streaming.delete_stream",       # 1   st_del (NEW r14)
-    "newspapers_etl_spark.operators.bm25_policy",         # 1   bm_pol (NEW r14; imports index_delete + retrieval, satisfied)
-    "newspapers_etl_spark.operators.index_pit",           # 2   ivf_pit, bm_pit (NEW r14; imports ivf_maintenance + retrieval, satisfied)
-    "newspapers_etl_spark.streaming.bm25_upkeep_stream",  # 2   st_bdl, st_bup (NEW r14; imports index_delete + index_upsert + retrieval, satisfied)
+    # ---- r14-hashed families (rotate ~r17) ----
+    "newspapers_etl_spark.operators.ivf_refresh",         # 2   hashed r14 (must precede maintenance_policy: top-level import)
+    "newspapers_etl_spark.operators.model_fit",           # 3   hashed r14
+    "newspapers_etl_spark.operators.extraction_queries",  # 8   hashed r14
+    "newspapers_etl_spark.operators.text_scoring",        # 6   hashed r14
+    "newspapers_etl_spark.operators.relational",          # 21  hashed r14
+    "newspapers_etl_spark.streaming.index_stream",        # 1   hashed r14
+    "newspapers_etl_spark.streaming.bm25_stream",         # 1   hashed r14
+    "newspapers_etl_spark.operators.maintenance_policy",  # 1   hashed r14
+    "newspapers_etl_spark.streaming.upsert_stream",       # 1   hashed r14
 )
 
 _loaded = False

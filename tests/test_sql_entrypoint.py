@@ -174,42 +174,41 @@ def test_registry_registration_order_is_contiguous_per_module():
         f"realized {block_order} vs declared {declared}; a top-level "
         "cross-module operator import is splicing a whole block"
     )
-    # And the r14 window design holds: the five r13 post-window
-    # registrations get their FIRST driver rows at slots 5-9 behind the
-    # four queries whose modules they top-level-import (ivf_app slot 1,
-    # bm25 slot 2, ivf_ref/ivf_rb slots 3-4 — the import price), then
-    # the r10-stale families (model_fit 3, extraction_queries 8,
-    # text_scoring 6, relational 21) at slots 10-47, and index_delete +
-    # index_stream closing the window at slots 48-50 (st_ivf at 50
-    # exactly, no straddle) — see the rotation ledger in registry.py.
+    # And the r15 window design holds (rotation ledger in registry.py):
+    # the six r14 post-window registrations get their FIRST driver rows
+    # at slots 7-12 behind the six queries whose modules they top-level-
+    # import (ivfapp/bm25/ivfdel/bm25_d/ivf_up/bm25_u at slots 1-6 —
+    # the import price), then the AMENDED dedup block (nine r10-stale
+    # rows + dd_ex) at slots 13-22, the r12-hashed stale families at
+    # 23-48, and diagnostics/url_ops closing the window (urlcn at 50
+    # exactly, no straddle).
     window = set(names[:50])
     for required in (
-        # the only queries with no driver hash row in the r1-r13 union
-        "ivf_up", "bm25_u", "stbm25", "mntpol", "st_up",
+        # the only queries with no driver hash row in the r1-r14 union
+        "st_del", "bm_pol", "ivf_pit", "bm_pit", "st_bdl", "st_bup",
         # import price: their modules must precede the newcomers
-        "ivfapp", "bm25", "ivfref", "ivf_rb",
-        # the 38 r10-hashed stale queries (four rounds old otherwise)
-        "f_pq", "f_pca", "f_anc",
-        "ex_fl", "ex_dt", "ex_fnd", "ex_san", "rlike",
-        "ex_mim", "ex_bas", "ex_md5",
-        "len_h", "ngrams", "lg_cf", "compr", "zipf", "ppl",
-        "flags", "q1_pr", "a_roll", "a_cube", "a_gset", "a_cdst",
-        "a_ndv", "pivot", "j_star", "j_semi", "j_anti", "j_left",
-        "jrang", "wtopn", "w_frm", "tk_ln", "setop", "dstct",
-        "a_coll", "j_asof", "explw",
-        # r13-hashed closers riding their satisfied imports
-        "ivfdel", "bm25_d", "st_ivf",
+        "ivfapp", "bm25", "ivfdel", "bm25_d", "ivf_up", "bm25_u",
+        # the amended dedup block: nine r10-stale rows (oldest union
+        # history) + dd_ex riding its module
+        "dd_ex", "jacc", "ddspn", "lsh_st", "lshver", "ddemb",
+        "sh_prs", "shbkts", "decon", "cc_cl",
+        # the r12-hashed stale families
+        "dr_emb", "bftk", "cents", "lsh_tk", "ivf_tk", "ann_st",
+        "ivfrec", "pdsts", "pdchk", "pdqnt",
+        "mmman", "mm_met", "mmfrm", "mmdec",
+        "q3shp", "q5vol", "unpvt", "exp_o", "a_pctl", "tdig",
+        "argmm", "w_dist", "cohrt",
+        "scd2", "s2pit", "scdenr", "skew", "urlcn",
     ):
         assert required in window, f"{required} fell out of the window"
-    assert names[:9] == [
-        "ivfapp", "bm25", "ivfref", "ivf_rb", "ivf_up", "bm25_u",
-        "stbm25", "mntpol", "st_up",
-    ], f"r14 lifecycle lead drifted: {names[:10]}"
-    # st_ivf closes the window at slot 50 exactly; the r12-hashed tail
-    # (embedding_drift first) rides behind (rotation ledger: the
-    # r12-hashed families rotate forward in r15).
-    assert names[49] == "st_ivf", f"window boundary drifted: {names[45:52]}"
-    assert names[50] == "dr_emb", (
+    assert names[:12] == [
+        "ivfapp", "bm25", "ivfdel", "bm25_d", "ivf_up", "bm25_u",
+        "st_del", "bm_pol", "ivf_pit", "bm_pit", "st_bdl", "st_bup",
+    ], f"r15 lifecycle lead drifted: {names[:12]}"
+    # urlcn closes the window at slot 50 exactly; the displaced
+    # r12-hashed riders (incremental first) ride behind and lead r16.
+    assert names[49] == "urlcn", f"window boundary drifted: {names[45:52]}"
+    assert names[50] == "incct", (
         f"boundary riders drifted: {names[50:53]}"
     )
 
