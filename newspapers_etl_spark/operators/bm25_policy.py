@@ -126,12 +126,16 @@ def bm25_policy_chain(
 ) -> DataFrame:
     """Run the gated chain over the posting index at ``path`` and
     return one row per stage — (stage, metric, act), the
-    maintenance_policy_chain shape.  A never-written path or an EMPTY
-    index (zero live documents) is nothing-to-monitor, not
-    zero-fragmented: every stage comes back metric NULL / act false,
-    the maintenance_policy precedent.  A pointer-less but populated
-    index (the plain write_bm25_postings layout, no maintenance yet)
-    monitors normally with zero tombstones."""
+    maintenance_policy_chain shape.  A never-written path or a
+    never-populated index (zero live documents AND zero tombstones) is
+    nothing-to-monitor: every stage comes back metric NULL / act
+    false, the maintenance_policy precedent.  A FULLY-tombstoned index
+    (zero live documents but tombstones present) is the opposite — the
+    maximally-fragmented state alerts unconditionally (frag metric
+    NULL: dead/live is undefined) and compacts the dead postings off
+    disk.  A pointer-less but populated index (the plain
+    write_bm25_postings layout, no maintenance yet) monitors normally
+    with zero tombstones."""
     from newspapers_etl_spark.sinks.verified import (
         current_pointer,
         has_parquet_data,
@@ -151,16 +155,28 @@ def bm25_policy_chain(
         return spark.createDataFrame(nothing, schema)
     ptr = current_pointer(stats_root)
     live_n = float(read_current(spark, stats_root).collect()[0]["n"])
-    if live_n <= 0:
-        return spark.createDataFrame(nothing, schema)
     tombs = list(ptr.get("live_tombstones", [])) if ptr else []
+    if live_n <= 0 and not tombs:
+        # Never-written or genuinely empty: nothing to monitor.
+        return spark.createDataFrame(nothing, schema)
     # Tombstone roots are bounded id relations — counting them is the
     # O(1)-in-index-size alert cost.
     dead_docs = sum(
         spark.read.parquet(f"{path}/tombs-batch-{t}").count() for t in tombs
     )
-    frag = _round6(spark, float(dead_docs), live_n)
-    alert = frag > frag_threshold
+    if live_n <= 0:
+        # FULLY tombstoned (tombstones present, zero live docs) — the
+        # maximally-fragmented state, not nothing-to-monitor (ADVICE
+        # r14 #3): every stored posting is dead weight a reader still
+        # scans and anti-joins.  The frag ratio dead/live is undefined
+        # (metric NULL) but the alert is unconditional, so the chain
+        # falls through to the dead-posting scan (which measures 1.0
+        # when any postings are stored) and the compaction that
+        # finally removes them from disk.
+        frag, alert = None, dead_docs > 0
+    else:
+        frag = _round6(spark, float(dead_docs), live_n)
+        alert = frag > frag_threshold
     rows: list[tuple] = [("frag", frag, alert)]
     verdict = False
     if alert:

@@ -95,22 +95,46 @@ def _as_of_view(
     root_key: str,
     default_root: str,
     batch_prefix: str,
+    op: str | None = None,
 ) -> tuple[list[dict], list[str], dict]:
     """The shared ops_log reconstruction both maintained indexes use:
     returns (journal prefix up to the target in the current epoch,
     data roots to union, a synthetic pointer carrying the tombstones to
-    anti-join under their recorded scopes).  Raises the two honest
-    refusals — unknown batch, and a view the last compaction/rebuild
-    folded."""
+    anti-join under their recorded scopes).  Raises the three honest
+    refusals — unknown batch, ambiguous batch, and a view the last
+    compaction/rebuild folded.
+
+    ``op`` disambiguates a batch id published by BOTH ledgers: the
+    append and delete idempotency ledgers are separate, so one raw id
+    can legally name an append AND a delete batch (their journal
+    entries differ only in ``op``).  Resolving "first match" there
+    would silently reconstruct the wrong op's view (ADVICE r14 #2), so
+    an ambiguous id REFUSES unless the caller names the op kind
+    ("add"/"del").  Upserts never collide — their halves publish under
+    ``<id>.del``/``<id>.add`` — and a repeat publish of the same
+    (op, id) no-ops at the ledger, so two matches for one (op, id)
+    cannot occur."""
     log = list(ptr.get("ops_log", [])) if ptr else []
-    idx = next(
-        (i for i, o in enumerate(log) if o.get("b") == batch_id), None
-    )
-    if idx is None:
+    matches = [
+        i
+        for i, o in enumerate(log)
+        if o.get("b") == batch_id and (op is None or o.get("op") == op)
+    ]
+    if not matches:
+        kind = f" with op {op!r}" if op else ""
         raise ValueError(
-            f"no op journal entry for batch {batch_id!r} at {path!r} — "
-            "point-in-time reads address applied append/delete batches"
+            f"no op journal entry for batch {batch_id!r}{kind} at "
+            f"{path!r} — point-in-time reads address applied "
+            "append/delete batches"
         )
+    if len(matches) > 1:
+        kinds = sorted({log[i].get("op") for i in matches})
+        raise ValueError(
+            f"batch id {batch_id!r} is ambiguous at {path!r}: published "
+            f"by ops {kinds} (the append and delete ledgers are "
+            "separate) — pass op='add' or op='del' to name the view"
+        )
+    idx = matches[0]
     epoch = _root_epoch(ptr)
     if log[idx].get("ep") != epoch:
         raise ValueError(
@@ -134,11 +158,13 @@ def _as_of_view(
 
 
 def read_ivf_codes_at(
-    spark: SparkSession, path: str, batch_id: str
+    spark: SparkSession, path: str, batch_id: str, op: str | None = None
 ) -> DataFrame:
     """The code relation exactly as the index served it right after
     ``batch_id`` (an append or delete batch) published — see the module
-    docstring for the reconstruction and its history boundary."""
+    docstring for the reconstruction and its history boundary.  ``op``
+    ("add"/"del") names the view when one id was published by both
+    ledgers."""
     from newspapers_etl_spark.sinks.verified import (
         current_pointer,
         tombstoned_union,
@@ -146,7 +172,7 @@ def read_ivf_codes_at(
 
     ptr = current_pointer(f"{path}/stats")
     _, roots, pit_ptr = _as_of_view(
-        ptr, path, batch_id, "codes_root", "codes", "codes-batch-"
+        ptr, path, batch_id, "codes_root", "codes", "codes-batch-", op=op
     )
     return tombstoned_union(spark, path, pit_ptr, roots, "vec_id")
 
@@ -158,6 +184,7 @@ def retrieval_bm25_topk_at(
     terms: tuple[str, ...] = BM25_QUERY_TERMS,
     k: int = BM25_TOP_K,
     shards: int = BM25_POSTING_SHARDS,
+    op: str | None = None,
 ) -> DataFrame:
     """Score a query against the posting index AS OF ``batch_id`` — the
     lexical twin of ``read_ivf_codes_at`` (reproduce yesterday's
@@ -180,7 +207,8 @@ def retrieval_bm25_topk_at(
 
     ptr = current_pointer(f"{path}/stats")
     prefix, roots, pit_ptr = _as_of_view(
-        ptr, path, batch_id, "postings_root", "postings", "postings-batch-"
+        ptr, path, batch_id, "postings_root", "postings",
+        "postings-batch-", op=op,
     )
     stat = next(
         (o for o in reversed(prefix) if o.get("n") is not None), None

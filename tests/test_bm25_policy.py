@@ -150,3 +150,71 @@ def test_pointerless_index_is_nothing_to_monitor(spark, tmp_path):
         "dead": (None, False),
         "compact": (None, False),
     }
+
+
+@pytest.mark.heavy
+def test_fully_tombstoned_index_alerts_and_compacts(spark, sf_dir, tmp_path):
+    """Zero live docs WITH tombstones present is the maximally-
+    fragmented state, not nothing-to-monitor (ADVICE r14 #3): frag is
+    NULL (dead/live undefined) but alerts unconditionally, the dead
+    scan measures 1.0 (every stored posting is suppressed), and the
+    compaction actually removes them — pointer flipped to a compacted
+    root holding zero rows, tombstone ledger reset."""
+    from newspapers_etl_spark.operators.bm25_policy import bm25_policy_chain
+    from newspapers_etl_spark.operators.retrieval import (
+        _live_posting_roots,
+        delete_bm25_docs,
+        write_bm25_postings,
+    )
+    from newspapers_etl_spark.sinks.verified import (
+        current_pointer,
+        tombstoned_union,
+    )
+
+    path = str(tmp_path / "idx")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .limit(20)
+        .cache()
+    )
+    write_bm25_postings(spark, None, path, docs=docs)
+    delete_bm25_docs(spark, docs, path, batch_id="d-all")
+    out = {
+        r["stage"]: (r["metric"], r["act"])
+        for r in bm25_policy_chain(spark, path).collect()
+    }
+    docs.unpersist()
+    assert out["frag"] == (None, True)
+    assert out["dead"] == (1.0, True)
+    assert out["compact"] == (0.0, True)
+    ptr = current_pointer(f"{path}/stats")
+    assert ptr["postings_root"].startswith("postings-compact-")
+    assert ptr["live_tombstones"] == []
+    assert (
+        tombstoned_union(
+            spark, path, ptr, _live_posting_roots(ptr), "doc_id"
+        ).count()
+        == 0
+    )
+
+
+def test_never_populated_index_is_nothing_to_monitor(spark, tmp_path):
+    """Zero live docs WITHOUT tombstones (an index built over an empty
+    corpus) stays nothing-to-monitor — the branch ADVICE r14 #3 asked
+    to distinguish from fully-deleted."""
+    from newspapers_etl_spark.operators.bm25_policy import bm25_policy_chain
+    from newspapers_etl_spark.operators.retrieval import write_bm25_postings
+
+    path = str(tmp_path / "idx")
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    write_bm25_postings(spark, None, path, docs=empty)
+    out = {
+        r["stage"]: (r["metric"], r["act"])
+        for r in bm25_policy_chain(spark, path).collect()
+    }
+    assert out == {
+        "frag": (None, False),
+        "dead": (None, False),
+        "compact": (None, False),
+    }

@@ -294,3 +294,47 @@ def test_bm25_as_of_read_replays_the_live_ranking(spark, sf_dir, tmp_path):
         for r in retrieval_bm25_topk_from_postings(spark, path).collect()
     ]
     assert as_of_b2 == live_now
+
+
+@pytest.mark.heavy
+def test_ambiguous_batch_id_refuses_until_op_named(spark, sf_dir, tmp_path):
+    """The append and delete idempotency ledgers are separate, so one
+    raw batch id can legally publish BOTH an append and a delete
+    (ADVICE r14 #2).  A PIT read of that id must refuse as ambiguous —
+    resolving "first journal match" would silently reconstruct the
+    wrong op's view — and serve each view once ``op`` names it:
+    op='add' sees the appended rows (delete not yet applied), op='del'
+    sees them suppressed."""
+    from newspapers_etl_spark.operators.index_pit import (
+        PIT_B1_PRED,
+        read_ivf_codes_at,
+    )
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        BASE_PREDICATE,
+        FIT_PREDICATE,
+        append_ivf_index,
+        build_ivf_index,
+        delete_from_ivf_index,
+        fit_models,
+    )
+
+    path = str(tmp_path / "idx")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    models = fit_models(e.filter(F.expr(FIT_PREDICATE)))
+    base = e.filter(F.expr(BASE_PREDICATE))
+    b1 = e.filter(F.expr(PIT_B1_PRED))
+    build_ivf_index(spark, base, path, models=models)
+    # Same raw id through both ledgers: append b1, then delete it.
+    append_ivf_index(spark, b1, path, batch_id="x")
+    delete_from_ivf_index(spark, b1, path, batch_id="x")
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        read_ivf_codes_at(spark, path, "x")
+    n_base = base.filter(F.col("embedding").isNotNull()).count()
+    n_b1 = b1.filter(F.col("embedding").isNotNull()).count()
+    assert read_ivf_codes_at(spark, path, "x", op="add").count() == (
+        n_base + n_b1
+    )
+    assert read_ivf_codes_at(spark, path, "x", op="del").count() == n_base
+    with pytest.raises(ValueError, match="no op journal entry"):
+        read_ivf_codes_at(spark, path, "nope")
