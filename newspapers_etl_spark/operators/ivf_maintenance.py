@@ -341,17 +341,47 @@ def _root_epoch(ptr: dict | None) -> str:
 
 
 def _live_ops_log(ptr: dict | None, epoch: str) -> list[dict]:
-    """The op journal TRIMMED to the current root-rewrite epoch — the
-    pointer-size bound that keeps ops_log O(ops since the last
-    compaction/rebuild) instead of O(ops ever): entries from a closed
-    epoch reference roots the rewrite already folded, so the PIT reader
-    refuses them regardless of whether they are still journaled (a
-    trimmed batch refuses as 'no op journal entry' instead of 'predates
-    the last compaction' — same contract, cheaper pointer).  The trim
-    rides the next append/delete publish; compaction itself never
-    touches the journal."""
+    """The op journal TRIMMED to the current root-rewrite epoch plus
+    every RETAINED one — the pointer-size bound that keeps ops_log
+    O(ops since the last unretained compaction/rebuild) instead of
+    O(ops ever): entries from a closed-and-unretained epoch reference
+    roots the rewrite already reaped, so the PIT reader refuses them
+    regardless of whether they are still journaled (a trimmed batch
+    refuses as 'no op journal entry' instead of 'predates the last
+    compaction' — same contract, cheaper pointer).  Entries from a
+    closed epoch in ``retained_epochs`` (a keep_old_roots rewrite —
+    operators/index_pit.py) stay journaled: their roots are still on
+    disk and the PIT reader serves them until ``reap_retained_epochs``
+    drops the epoch, which truncates these entries in the same pointer
+    write.  The trim rides the next append/delete publish; compaction
+    itself never touches the journal."""
     log = list(ptr.get("ops_log", [])) if ptr else []
-    return [o for o in log if o.get("ep") == epoch]
+    keep = {epoch} | set((ptr or {}).get("retained_epochs", {}))
+    return [o for o in log if o.get("ep") in keep]
+
+
+def _retained_epoch_meta(
+    ptr: dict, epoch: str, base: str, batch_prefix: str, live: list[str]
+) -> dict:
+    """The ``retained_epochs`` map after a keep_old_roots rewrite closes
+    ``epoch``: per epoch, the two things the live pointer otherwise
+    loses — the epoch's base root name and each live tombstone's
+    recorded cover scopes — so the PIT reader (operators/index_pit.py)
+    can reconstruct any view inside the closed epoch from its
+    (untrimmed) journal entries plus the roots the skipped reap left on
+    disk.  A tombstone with no recorded covers conservatively covered
+    every root of its epoch, mirroring the live reader's default."""
+    retained = dict(ptr.get("retained_epochs", {}))
+    covers = dict(ptr.get("tombstone_covers", {}))
+    all_roots = [base] + [f"{batch_prefix}{b}" for b in live]
+    retained[epoch] = {
+        "base": base,
+        "covers": {
+            t: covers.get(t, all_roots)
+            for t in list(ptr.get("live_tombstones", []))
+        },
+    }
+    return retained
 
 
 def append_ivf_index(
@@ -650,6 +680,12 @@ def reap_orphan_rebuilds(path: str) -> None:
     live = {
         (ptr or {}).get("codes_root", "codes").split("/")[0],
         (ptr or {}).get("model_root", "model").split("/")[0],
+    } | {
+        # A retained epoch's base may live under an old rebuild shell
+        # (keep_old_roots rebuild/compaction) — still PIT-readable, so
+        # not debris until reap_retained_epochs drops the epoch.
+        e.get("base", "").split("/")[0]
+        for e in (ptr or {}).get("retained_epochs", {}).values()
     }
     base = local_fs_path(path)
     for name in os.listdir(base):
@@ -662,6 +698,7 @@ def rebuild_ivf_index(
     e_source: DataFrame,
     path: str,
     fit_predicate: str = FIT_PREDICATE,
+    keep_old_roots: bool = False,
 ) -> str:
     """Execute a refresh decision: refit the models on the LIVE corpus
     and re-encode everything into a whole NEW index generation behind
@@ -762,20 +799,27 @@ def rebuild_ivf_index(
         | {f"codes-batch-{b}" for b in live}
         | {f"tombs-batch-{b}" for b in tombs}
     )
-    publish_generation(
-        stats_root,
-        gen_no,
-        gen_name,
-        meta={
-            "codes_root": f"{new_root}/codes",
-            "model_root": f"{new_root}/model",
-            "live_batches": [],
-            "live_tombstones": [],
-            "tombstone_covers": {},
-            "rebuilds": n,
-            "reap_roots": reap,
-        },
-    )
+    meta = {
+        "codes_root": f"{new_root}/codes",
+        "model_root": f"{new_root}/model",
+        "live_batches": [],
+        "live_tombstones": [],
+        "tombstone_covers": {},
+        "rebuilds": n,
+        "reap_roots": reap,
+    }
+    if keep_old_roots and ptr:
+        # Retention (operators/index_pit.py): the closing epoch's roots
+        # stay on disk and its journal entries stay served — the PIT
+        # reader keeps reconstructing pre-rebuild views until
+        # reap_retained_epochs drops the epoch.  The model root rides
+        # the retained base's shell; code-relation PIT reads never
+        # score, so they need no model.
+        meta["reap_roots"] = []
+        meta["retained_epochs"] = _retained_epoch_meta(
+            ptr, _root_epoch(ptr), old_codes, "codes-batch-", live
+        )
+    publish_generation(stats_root, gen_no, gen_name, meta=meta)
     reap_pending_roots(stats_root, path)
     return new_root
 
@@ -875,6 +919,14 @@ def compact_ivf_codes(
     final_dir = os.path.join(os_path, new_root)
     shutil.rmtree(final_dir, ignore_errors=True)
     os.rename(os.path.join(os_path, f"_{new_root}"), final_dir)
+    extra: dict = {"live_tombstones": [], "tombstone_covers": {}}
+    if keep_old_roots:
+        # The skipped reap leaves this epoch's roots on disk; record
+        # what the PIT reader needs to keep serving its views
+        # (operators/index_pit.py) in the SAME atomic flip.
+        extra["retained_epochs"] = _retained_epoch_meta(
+            ptr, _root_epoch(ptr), base, "codes-batch-", live
+        )
     flip_compacted_roots(
         stats_root,
         path,
@@ -883,7 +935,7 @@ def compact_ivf_codes(
         compactions=n,
         old_roots=old_roots + tomb_roots,
         keep_old_roots=keep_old_roots,
-        extra_meta={"live_tombstones": [], "tombstone_covers": {}},
+        extra_meta=extra,
     )
     return new_root
 

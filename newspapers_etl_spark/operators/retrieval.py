@@ -728,6 +728,19 @@ def compact_bm25_postings(
     final_dir = os.path.join(os_path, new_root)
     shutil.rmtree(final_dir, ignore_errors=True)
     os.rename(os.path.join(os_path, f"_{new_root}"), final_dir)
+    extra: dict = {"live_tombstones": [], "tombstone_covers": {}}
+    if keep_old_roots:
+        # Retention for PIT reads (operators/index_pit.py): the skipped
+        # reap leaves this epoch's roots on disk; the snapshot of its
+        # base + tombstone scopes rides the SAME atomic flip.
+        from newspapers_etl_spark.operators.ivf_maintenance import (
+            _retained_epoch_meta,
+            _root_epoch,
+        )
+
+        extra["retained_epochs"] = _retained_epoch_meta(
+            ptr, _root_epoch(ptr), base, "postings-batch-", live
+        )
     flip_compacted_roots(
         stats_root,
         path,
@@ -736,7 +749,7 @@ def compact_bm25_postings(
         compactions=n,
         old_roots=old_roots + tomb_roots,
         keep_old_roots=keep_old_roots,
-        extra_meta={"live_tombstones": [], "tombstone_covers": {}},
+        extra_meta=extra,
     )
     return new_root
 

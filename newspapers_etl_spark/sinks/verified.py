@@ -360,15 +360,20 @@ def reap_orphan_tombstones(table_root: str) -> None:
     Readers are pointer-driven (only ``live_tombstones`` roots are
     anti-joined), so these are storage-only leaks — but at 100 TB a
     leak per crashed delete still accumulates.  Keeps every dir whose
-    batch_id IS in ``live_tombstones``; removes the rest.  Idempotent;
-    SINGLE WRITER ASSUMED (call from maintenance entry points, never
-    concurrently with an in-flight delete)."""
+    batch_id IS in ``live_tombstones`` or belongs to a RETAINED epoch
+    (a keep_old_roots rewrite left them PIT-readable — each retained
+    epoch's ``covers`` keys name exactly its exposed tombstones);
+    removes the rest.  Idempotent; SINGLE WRITER ASSUMED (call from
+    maintenance entry points, never concurrently with an in-flight
+    delete)."""
     import os
     import re
     import shutil
 
     ptr = _read_pointer(f"{table_root}/stats")
     live = set((ptr or {}).get("live_tombstones", []))
+    for ep in (ptr or {}).get("retained_epochs", {}).values():
+        live |= set(ep.get("covers", {}))
     base = local_fs_path(table_root)
     for name in os.listdir(base):
         m = re.fullmatch(r"(_?)tombs-batch-(.+)", name)

@@ -338,3 +338,197 @@ def test_ambiguous_batch_id_refuses_until_op_named(spark, sf_dir, tmp_path):
     assert read_ivf_codes_at(spark, path, "x", op="del").count() == n_base
     with pytest.raises(ValueError, match="no op journal entry"):
         read_ivf_codes_at(spark, path, "nope")
+
+
+@pytest.mark.heavy
+def test_retained_compaction_keeps_every_prior_view_readable(
+    spark, sf_dir, tmp_path
+):
+    """keep_old_roots=True retains the epoch a compaction closes
+    (VERDICT r14 #5): every pre-compaction view — mid-epoch b1, the
+    delete d1 — reconstructs bit-identically to what a live read
+    returned at that moment, the live read serves the compacted root,
+    and the journal is NOT trimmed by the next publish (the retained
+    epoch's entries stay served)."""
+    from newspapers_etl_spark.operators.index_pit import (
+        PIT_B1_PRED,
+        PIT_B2_PRED,
+        PIT_DEL_PRED,
+        read_ivf_codes_at,
+    )
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        BASE_PREDICATE,
+        append_ivf_index,
+        compact_ivf_codes,
+        read_ivf_codes,
+    )
+    from newspapers_etl_spark.sinks.verified import current_pointer
+
+    path = str(tmp_path / "idx")
+    e = _walk(spark, sf_dir, path)
+    # Live snapshots BEFORE the rewrite, collected as sorted id lists.
+    at_b1_live = sorted(
+        r["vec_id"] for r in read_ivf_codes_at(spark, path, "b1").collect()
+    )
+    at_d1_live = sorted(
+        r["vec_id"] for r in read_ivf_codes_at(spark, path, "d1").collect()
+    )
+
+    compact_ivf_codes(spark, path, keep_old_roots=True)
+    append_ivf_index(
+        spark,
+        e.filter(F.expr(PIT_DEL_PRED)).select(
+            (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+        ),
+        path,
+        batch_id="b3",
+    )
+
+    ptr = current_pointer(f"{path}/stats")
+    assert list(ptr["retained_epochs"]) == ["0.0"]
+    # Journal keeps the retained epoch's entries through the b3 publish.
+    assert [o["b"] for o in ptr["ops_log"]] == ["b1", "d1", "b2", "b3"]
+    # Pre-rewrite views reconstruct identically.
+    assert sorted(
+        r["vec_id"] for r in read_ivf_codes_at(spark, path, "b1").collect()
+    ) == at_b1_live
+    assert sorted(
+        r["vec_id"] for r in read_ivf_codes_at(spark, path, "d1").collect()
+    ) == at_d1_live
+    # The live read serves the compacted root + b3.
+    n_live = read_ivf_codes(spark, path).count()
+    base = e.filter(F.expr(BASE_PREDICATE))
+    nn = lambda df: df.filter(F.col("embedding").isNotNull()).count()
+    expected = (
+        nn(base)
+        + nn(e.filter(F.expr(PIT_B1_PRED)))
+        - nn(base.filter(F.expr(PIT_DEL_PRED)))
+        + nn(e.filter(F.expr(PIT_B2_PRED)))
+        + nn(e.filter(F.expr(PIT_DEL_PRED)))
+    )
+    assert n_live == expected
+
+
+@pytest.mark.heavy
+def test_reap_retained_epochs_moves_the_horizon(spark, sf_dir, tmp_path):
+    """The GC half of retention: reap(keep=0) drops the retained epoch
+    — its batch/tombstone roots and pre-rewrite base leave disk, its
+    journal entries truncate in the same pointer write, and a PIT read
+    inside it refuses as 'no op journal entry' (the horizon moved) —
+    while the live read is untouched."""
+    import os
+
+    from newspapers_etl_spark.operators.index_pit import (
+        read_ivf_codes_at,
+        reap_retained_epochs,
+    )
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        compact_ivf_codes,
+        read_ivf_codes,
+    )
+    from newspapers_etl_spark.sinks.verified import current_pointer
+
+    path = str(tmp_path / "idx")
+    _walk(spark, sf_dir, path)
+    compact_ivf_codes(spark, path, keep_old_roots=True)
+    assert read_ivf_codes_at(spark, path, "d1").count() > 0
+    live_before = read_ivf_codes(spark, path).count()
+
+    assert reap_retained_epochs(path, keep=1) == []  # inside the window
+    assert reap_retained_epochs(path, keep=0) == ["0.0"]
+
+    ptr = current_pointer(f"{path}/stats")
+    assert ptr["retained_epochs"] == {}
+    assert ptr["ops_log"] == []
+    assert ptr["reap_roots"] == []
+    for name in ("codes", "codes-batch-b1", "codes-batch-b2",
+                 "tombs-batch-d1"):
+        assert not os.path.exists(os.path.join(path, name)), name
+    with pytest.raises(ValueError, match="no op journal entry"):
+        read_ivf_codes_at(spark, path, "d1")
+    assert read_ivf_codes(spark, path).count() == live_before
+    # Idempotent on an empty retention set.
+    assert reap_retained_epochs(path, keep=0) == []
+
+
+@pytest.mark.heavy
+def test_retained_rebuild_serves_pre_rebuild_views(spark, sf_dir, tmp_path):
+    """rebuild_ivf_index(keep_old_roots=True) retains the epoch it
+    closes exactly like a retained compaction — pre-rebuild views stay
+    readable (the OLD codes under the OLD model: bytes are bytes) while
+    the live read serves the refit index — and the maintenance heals
+    (orphan-rebuild/tombstone reapers) must not eat the retained roots
+    on the next maintenance call."""
+    from newspapers_etl_spark.operators.index_pit import (
+        read_ivf_codes_at,
+    )
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        compact_ivf_codes,
+        read_ivf_codes,
+        rebuild_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    e = _walk(spark, sf_dir, path)
+    at_d1 = sorted(
+        r["vec_id"] for r in read_ivf_codes_at(spark, path, "d1").collect()
+    )
+    rebuild_ivf_index(spark, e, path, keep_old_roots=True)
+    assert sorted(
+        r["vec_id"] for r in read_ivf_codes_at(spark, path, "d1").collect()
+    ) == at_d1
+    live = read_ivf_codes(spark, path).count()
+    assert live == len(at_d1) + (
+        e.filter(F.expr("vec_id % 8 = 7"))
+        .filter(F.col("embedding").isNotNull())
+        .count()
+    )
+    # A further maintenance step runs the orphan heals; the retained
+    # epoch must survive them (reap_orphan_rebuilds/tombstones consult
+    # retained_epochs).
+    compact_ivf_codes(spark, path)
+    assert sorted(
+        r["vec_id"] for r in read_ivf_codes_at(spark, path, "d1").collect()
+    ) == at_d1
+
+
+@pytest.mark.heavy
+def test_reap_retained_epochs_bm25_flavor(spark, sf_dir, tmp_path):
+    """The reaper detects the posting-index flavor from the pointer's
+    root key: after reap(keep=0) the retained BM25 epoch's roots leave
+    disk, the as-of read refuses, and the live scored read still
+    works."""
+    import os
+
+    from newspapers_etl_spark.operators.index_pit import (
+        BM_PIT_BASE,
+        BM_PIT_DEL_PRED,
+        reap_retained_epochs,
+        retrieval_bm25_topk_at,
+    )
+    from newspapers_etl_spark.operators.retrieval import (
+        compact_bm25_postings,
+        delete_bm25_docs,
+        retrieval_bm25_topk_from_postings,
+        write_bm25_postings,
+    )
+
+    path = str(tmp_path / "idx")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    write_bm25_postings(
+        spark, None, path, docs=docs.filter(F.expr(BM_PIT_BASE))
+    )
+    delete_bm25_docs(
+        spark,
+        docs.filter(F.expr(BM_PIT_BASE)).filter(F.expr(BM_PIT_DEL_PRED)),
+        path,
+        batch_id="d1",
+    )
+    compact_bm25_postings(spark, path, keep_old_roots=True)
+    assert retrieval_bm25_topk_at(spark, path, "d1").count() > 0
+
+    assert reap_retained_epochs(path, keep=0) == ["0.0"]
+    assert not os.path.exists(os.path.join(path, "tombs-batch-d1"))
+    with pytest.raises(ValueError, match="no op journal entry"):
+        retrieval_bm25_topk_at(spark, path, "d1")
+    assert retrieval_bm25_topk_from_postings(spark, path).count() > 0
