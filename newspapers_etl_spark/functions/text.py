@@ -107,7 +107,7 @@ def lang_score_sql(lang: str) -> str:
 
 def lang_id_oracle_sql() -> str:
     """The full lang-ID relation as DuckDB SQL: per-language scores +
-    alphabetical-tiebreak argmax, shared by `lg_id` and the
+    alphabetical-tiebreak argmax, shared by `lgid` and the
     `lang_conf` confusion rollup."""
     langs = sorted(LANG_MARKERS)  # alphabetical → deterministic tiebreak
     scores = ", ".join(f"{lang_score_sql(lg)} AS s_{lg}" for lg in langs)

@@ -295,7 +295,7 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIFFERENT splits of the deterministic 3-way split — exactly the
     train/test leakage that inflates every downstream eval.  Composes
     two already-verified primitives (`split3`'s md5-range split,
-    `text_fp`'s fingerprint), so the audit itself is oracle-checkable.
+    `textfp`'s fingerprint), so the audit itself is oracle-checkable.
 
     Scale: the self-join keys on the 32-hex-char fingerprint — the
     shuffle carries (fp, doc_id, split), never text; duplicate-cluster

@@ -165,7 +165,7 @@ def _pk_check(df: DataFrame, pk: str, tbl: str) -> DataFrame:
     ).select(F.lit(tbl).alias("tbl"), F.lit("pk_unique").alias("chk"), "n_rows", "n_bad")
 
 
-@query("dq_aud", oracle=DQ_ORACLE)
+@query("dqaud", oracle=DQ_ORACLE)
 def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full expectations suite over the snapshot: domain bounds and
     consistency (fused single-scan conditional aggregates), PK

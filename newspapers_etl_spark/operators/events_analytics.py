@@ -71,7 +71,7 @@ WHERE abs(z) >= {Z_THRESHOLD}
 """
 
 
-@query("ev_anm", oracle=ANOMALY_ORACLE)
+@query("evanm", oracle=ANOMALY_ORACLE)
 def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly volume z-score per event type; emit the |z| >= 2 windows.
     Variance uses the sum/sum-of-squares identity over exact integer
@@ -119,7 +119,7 @@ GROUP BY user_id
 """
 
 
-@query("ev_gap", oracle=GAPS_ORACLE)
+@query("evgap", oracle=GAPS_ORACLE)
 def events_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-arrival profile: event count, mean gap (seconds,
     from an exact microsecond sum), min/max gap.  The tie-break on
@@ -166,7 +166,7 @@ GROUP BY e.event_type, s.q1, s.q3
 """
 
 
-@query("ev_out", oracle=OUTLIERS_ORACLE)
+@query("evout", oracle=OUTLIERS_ORACLE)
 def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier accounting per event type: exact
     linearly-interpolated quartiles (bit-identical to DuckDB's

@@ -120,7 +120,7 @@ def events_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming twin, stream_sessions — see that module's docstring).
 
 
-@query("ev_ses", oracle=SESSION_ORACLE)
+@query("evses", oracle=SESSION_ORACLE)
 def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a {gap} inactivity gap — the
     native `session_window` operator; the oracle rebuilds it as
@@ -158,7 +158,7 @@ GROUP BY event_type
 """
 
 
-@query("ev_js", oracle=PROPS_ORACLE)
+@query("evjs", oracle=PROPS_ORACLE)
 def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`from_json` with a DECLARED schema over the props column (never
     schema inference — at 100 TB that is a full extra pass), then plain

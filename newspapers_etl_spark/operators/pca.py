@@ -12,7 +12,7 @@ shuffles — the same literal-model discipline as ``pq_cds`` and the
 IVF quantizer.
 
 Two registered queries:
-- ``e_cov`` (ORACLE-BACKED): the d×d covariance matrix itself as
+- ``ecov`` (ORACLE-BACKED): the d×d covariance matrix itself as
   (i, j, cov) rows — DuckDB mirrors it with an unnest self-join, so the
   distributed outer-product aggregation is hash-verified end to end.
 - ``pca_proj`` (rows-only): top-PCA_K principal-component scores per
@@ -49,7 +49,7 @@ GROUP BY a.i, b.i
 """
 
 
-@query("e_cov", oracle=COV_ORACLE)
+@query("ecov", oracle=COV_ORACLE)
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The d×d covariance matrix as (i, j, cov) rows, E[xy] − E[x]E[y]
     form so one pass suffices.

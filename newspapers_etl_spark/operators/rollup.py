@@ -71,7 +71,7 @@ def merge_to_grain(partials: DataFrame, grain: str) -> DataFrame:
     )
 
 
-@query("ev_rol", oracle=ROLLUP_ORACLE)
+@query("evrol", oracle=ROLLUP_ORACLE)
 def events_hour_rollup_from_minutes(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -105,7 +105,7 @@ def _present(hour: DataFrame) -> DataFrame:
     )
 
 
-@query("st_rol", oracle=ROLLUP_ORACLE)
+@query("strol", oracle=ROLLUP_ORACLE)
 def stream_maintained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production maintenance path for the continuous aggregate:
     the minute-grain partials are maintained BY THE STREAMING ENGINE

@@ -90,7 +90,7 @@ FROM feats
 """
 
 
-@query("txt_ql", oracle=QUALITY_ORACLE)
+@query("txtql", oracle=QUALITY_ORACLE)
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Features (token count, punct ratio, stopword ratio) are computed
     in their own projection and REFERENCED by the derived columns —
@@ -128,7 +128,7 @@ _LANGS = sorted(LANG_MARKERS)  # alphabetical → deterministic tiebreak
 LANG_ID_ORACLE = lang_id_oracle_sql()
 
 
-@query("lg_id", oracle=LANG_ID_ORACLE)
+@query("lgid", oracle=LANG_ID_ORACLE)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID: per-language hit counts + argmax with
     alphabetical tiebreak (identical CASE ordering in the oracle).
@@ -240,7 +240,7 @@ FROM documents
 """
 
 
-@query("text_fp", oracle=FINGERPRINT_ORACLE)
+@query("textfp", oracle=FINGERPRINT_ORACLE)
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint (dedup key) + the k=1 minhash
     (min over per-token hashes) — the primitive the MinHash-LSH dedup
@@ -284,7 +284,7 @@ FROM grams
 """
 
 
-@query("txt_rp", oracle=REPETITION_ORACLE)
+@query("txtrp", oracle=REPETITION_ORACLE)
 def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-n-gram fraction per document (1 - distinct/total
     trigrams) — the Gopher/RefinedWeb repetition filter that catches

@@ -152,7 +152,7 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the marker-lexicon language classifier
     against the labeled lang column — the evaluation loop every
     filtering heuristic needs before it gates a corpus.  Composes the
-    registered `lg_id` relation (single tokenization, argmax
+    registered `lgid` relation (single tokenization, argmax
     with alphabetical tie-break) and rolls it up to O(langs²) rows;
     the rollup adds one tiny shuffle on (lang_true, lang_pred)."""
     from newspapers_etl_spark.operators.text_analysis import text_lang_id

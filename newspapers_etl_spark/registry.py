@@ -60,7 +60,14 @@ ORACLE: dict[str, str] = {}
 #       lead r16 (exactly r12-old then, inside the policy bar).
 #       Everything else (r13/r14-hashed) rides behind;
 #       model_fit/extraction_queries/text_scoring/relational take r14
-#       rows and rotate again ~r17.
+#       rows and rotate again ~r17.  NEW r15 op (manif — the
+#       training-run provenance manifest, operators/run_manifest.py)
+#       registers post-window at the list tail and leads r16; its
+#       registration cost was paid by rename wave 12 ("r15" map, 16
+#       -1-char renames incl. both remaining 7-char names ivf_pit→
+#       ivfpit / text_fp→textfp — BASELINE.md), executed BEFORE the
+#       driver run so the two renamed window names land their r15 rows
+#       under the new names.
 #   r14 (executed): the five r13 post-window registrations lead —
 #       they were the only queries without a driver row after r13.
 #       Import-splice constraints, worked out: index_upsert top-level-
@@ -397,6 +404,11 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.streaming.bm25_stream",         # 1   hashed r14
     "newspapers_etl_spark.operators.maintenance_policy",  # 1   hashed r14
     "newspapers_etl_spark.streaming.upsert_stream",       # 1   hashed r14
+    # ---- NEW r15 (registered post-window, the bm25_b/drift precedent:
+    # never displace an earned slot mid-round) — leads r16.
+    # run_manifest imports index_pit + corpus + scd (all declared
+    # above, satisfied). ----
+    "newspapers_etl_spark.operators.run_manifest",        # 1   manif (NEW r15)
 )
 
 _loaded = False

@@ -301,7 +301,7 @@ JOIN events r
 """
 
 
-@query("st_jn", oracle=STREAM_JOIN_ORACLE)
+@query("stjn", oracle=STREAM_JOIN_ORACLE)
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join executed BY THE STREAMING
     ENGINE (clicks ⋈ purchases within {within} on user_id, AvailableNow,
@@ -361,7 +361,7 @@ def _session_oracle() -> str:
     return SESSION_ORACLE
 
 
-@query("st_ses", oracle=_session_oracle())
+@query("stses", oracle=_session_oracle())
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows executed BY THE STREAMING ENGINE (AvailableNow,
     complete-mode memory sink) over the events parquet; the oracle is

@@ -368,11 +368,11 @@ _GENERATED_CORPUS_QUERIES = (
     "ddchk",
     "tokens",
     "len_h",
-    "lg_id",
+    "lgid",
     "split3",
     "strat",
     "packsq",
-    "text_fp",
+    "textfp",
 )
 
 

@@ -78,8 +78,8 @@ def test_compare_rounds_parses_driver_capture_formats(tmp_path):
     wrapped.write_text(
         _json.dumps({"tail": "x", "parsed": {"queries": {"text_lang_id": 2.0}}})
     )
-    # chained: text_lang_id -> lang_id (r4) -> lg_id (r13)
-    assert mod._load_capture(wrapped) == {"lg_id": 2.0}
+    # chained: text_lang_id -> lang_id (r4) -> lg_id (r13) -> lgid (r15)
+    assert mod._load_capture(wrapped) == {"lgid": 2.0}
 
     tail_only = tmp_path / "tail.json"
     line = _json.dumps({"metric": "wall", "queries": {"agg_approx_distinct": 3.0}})

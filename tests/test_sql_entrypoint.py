@@ -185,7 +185,7 @@ def test_registry_registration_order_is_contiguous_per_module():
     window = set(names[:50])
     for required in (
         # the only queries with no driver hash row in the r1-r14 union
-        "st_del", "bm_pol", "ivf_pit", "bm_pit", "st_bdl", "st_bup",
+        "st_del", "bm_pol", "ivfpit", "bm_pit", "st_bdl", "st_bup",
         # import price: their modules must precede the newcomers
         "ivfapp", "bm25", "ivfdel", "bm25_d", "ivf_up", "bm25_u",
         # the amended dedup block: nine r10-stale rows (oldest union
@@ -203,7 +203,7 @@ def test_registry_registration_order_is_contiguous_per_module():
         assert required in window, f"{required} fell out of the window"
     assert names[:12] == [
         "ivfapp", "bm25", "ivfdel", "bm25_d", "ivf_up", "bm25_u",
-        "st_del", "bm_pol", "ivf_pit", "bm_pit", "st_bdl", "st_bup",
+        "st_del", "bm_pol", "ivfpit", "bm_pit", "st_bdl", "st_bup",
     ], f"r15 lifecycle lead drifted: {names[:12]}"
     # urlcn closes the window at slot 50 exactly; the displaced
     # r12-hashed riders (incremental first) ride behind and lead r16.
