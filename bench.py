@@ -120,8 +120,8 @@ def run_all(
     # PER-CAPTURE ORDER SHUFFLE (VERDICT r14 #2, the r13 #6 trigger):
     # the host's noise windows last minutes, so a FIXED alphabetical
     # pass correlates each query's position with the same wall-clock
-    # offset every capture — the same alphabetical block (a_cdst..
-    # lsh_tk) over-reported two rounds running because it kept landing
+    # offset every capture — the same alphabetical block (acdst..
+    # lshtk) over-reported two rounds running because it kept landing
     # inside a window.  A fresh shuffle per capture decorrelates name
     # from position, so the min-merge across captures cancels window
     # noise for every query instead of whichever ran outside it.  The

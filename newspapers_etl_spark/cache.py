@@ -3,7 +3,7 @@
 Five registered queries persist an intermediate relation because it
 feeds multiple subplans of the one DataFrame they return (``jaccard``'s
 shingle sets, ``dd_spn``'s window stream + repeated-key set,
-``sh_prs``/``sh32``'s (doc_id, sh) members — see
+``shprs``/``sh32``'s (doc_id, sh) members — see
 operators/dedup.py:manku_neardup_pairs — and ``ndcg``'s
 posting-bounded relevance relation).  The query contract (return an
 unexecuted DataFrame) makes in-query ``unpersist()`` impossible: the
@@ -47,7 +47,7 @@ def all_session_caches_cleared(spark: SparkSession) -> Iterator[SparkSession]:
     docstring for why the scope is global)::
 
         with all_session_caches_cleared(spark):
-            sh_pairs_df = all_queries()["sh_prs"](spark, sf_dir)
+            sh_pairs_df = all_queries()["shprs"](spark, sf_dir)
             sh_pairs_df.count()
         # ALL session caches released here, incl. (doc_id, sh)
 

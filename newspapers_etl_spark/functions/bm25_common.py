@@ -10,7 +10,7 @@ registry._OPERATOR_MODULES and
 test_registry_registration_order_is_contiguous).  The batch constants
 moved here in r10 precisely for that reason: retrieval_eval leads the
 r10 window while retrieval_fusion sits in the tail, so the old
-eval→fusion top-level import would have spliced bm25_b/rrf into the
+eval→fusion top-level import would have spliced bm25b/rrf into the
 window front.
 """
 
@@ -24,7 +24,7 @@ BM25_TOP_K = 50
 BM25_QUERY_TERMS = ("join", "vector", "stream", "window")
 
 # ---------------------------------------------------------------------------
-# Batch scoring: the fixed literal query set shared by bm25_b (the
+# Batch scoring: the fixed literal query set shared by bm25b (the
 # registered batch scorer) and ndcg (the evaluation over its ranking).
 # ---------------------------------------------------------------------------
 

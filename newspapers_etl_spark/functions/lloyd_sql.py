@@ -301,7 +301,7 @@ def probe_cells_cte(
 ) -> str:
     """CTE expanding each probe (vec_id < ``n_probes``) to its
     ``nprobe`` nearest cells by dot product, ties to the smaller cell —
-    ``_ranked_cells`` / ``ivf_tk``'s ranked-cell slice."""
+    ``_ranked_cells`` / ``ivftk``'s ranked-cell slice."""
     dot = SQL_DOT.format(a="p.embedding", b="c.cvec")
     nrm = SQL_NORM.format(a="p.embedding")
     return (

@@ -10,7 +10,7 @@ src/01-scrape-images.py).  Recall@k = |ANN top-k ∩ exact top-k| / k is
 THE standard ANN quality metric (what every FAISS/IVF paper reports),
 and here it is exactly oracle-checkable because BOTH rankings are
 deterministic and SQL-replayable: the exact side is ``bf_topk``'s
-rounded-cosine ranking, the approximate side is ``ivf_tk``'s
+rounded-cosine ranking, the approximate side is ``ivftk``'s
 exact-fit Lloyd quantizer + probed-cell scan (functions/lloyd_sql.py) —
 the oracle simply intersects the two registered oracles.
 
@@ -23,7 +23,7 @@ Scale design:
   literal k, so tiny corpora (< k rows) still score honestly.
 - At 100 TB the same frame evaluates any candidate ANN configuration
   (nprobe, cells, codebooks) against a SAMPLED probe set — recall on a
-  probe sample is the standard tuning feedback for the `ann_st` /
+  probe sample is the standard tuning feedback for the `annst` /
   `sh_bkts` occupancy knobs (SCALING.md).
 
 Declared at the registry TAIL (post-window, the drift/ndcg precedent):

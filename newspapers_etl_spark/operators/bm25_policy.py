@@ -215,11 +215,11 @@ def bm25_policy_chain(
     return spark.createDataFrame(rows, schema)
 
 
-@query("bm_pol", oracle=BM_POL_ORACLE)
+@query("bmpol", oracle=BM_POL_ORACLE)
 def bm25_policy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The posting-index lifecycle with the policy in the loop: write
     the index over the full documents table, DELETE the ``doc_id % 7 =
-    0`` slice through the tombstone ledger (the ivf_del/bm25_d fixture
+    0`` slice through the tombstone ledger (the ivf_del/bm25d fixture
     slice — about a seventh of the corpus, enough to trip both bars),
     then let the chain run — on the fixture it alerts, measures the
     dead-posting share, and COMPACTS; the oracle replays every stage

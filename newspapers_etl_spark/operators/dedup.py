@@ -547,7 +547,7 @@ def candidate_pairs(
     )
 
 
-@query("lsh_st")  # rows-only: hash values are engine-specific (ex lsh_stats, wave-5 rename)
+@query("lshst")  # rows-only: hash values are engine-specific (ex lsh_stats, wave-5 rename)
 def dedup_minhash_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH bucket statistics: per band, how many buckets,
     the largest bucket, and the implied candidate-pair count
@@ -928,7 +928,7 @@ def manku_neardup_pairs(
     hamming_fn: Callable[[Column, Column], Column],
 ) -> DataFrame:
     """Manku multi-table SimHash near-dup join, parametric in hash width:
-    the shared engine behind ``sh_prs`` (16-bit fixture hash,
+    the shared engine behind ``shprs`` (16-bit fixture hash,
     literal-mask popcount) and ``sh32`` (operators/dedup_scale.py:
     production 32-bit hash, ``F.bit_count``).  ``hamming_fn(a, b)``
     returns the Hamming distance between two ``bits``-wide simhash
@@ -1001,7 +1001,7 @@ def manku_neardup_pairs(
     return cross.unionByName(within)
 
 
-@query("sh_prs")  # rows-only: hash values are engine-specific
+@query("shprs")  # rows-only: hash values are engine-specific
 def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming <= 3, 16-bit fixture width —
     thin wrapper over manku_neardup_pairs (which see); the literal-mask

@@ -2,7 +2,7 @@
 near-dup join, registered so the shape actually used at corpus scale
 has a bench number.
 
-The registered ``sh_prs``/``sh_bkts`` queries run the 16-bit
+The registered ``shprs``/``sh_bkts`` queries run the 16-bit
 FIXTURE hash (operators/dedup.py:796) to keep the bench comparable
 across rounds; the recall guarantee of the wide construction was until
 now verified only in tests/test_dedup_recall.py.  This module
@@ -19,11 +19,11 @@ Two deliberate differences from the fixture query, both scale-true:
   auditability).
 * Width parameters flow through ``simhash(bits=)`` /
   ``simhash_table_keys(widths=)`` — the fold cost is linear in bits,
-  so this query's bench delta vs ``sh_prs`` IS the price of the
+  so this query's bench delta vs ``shprs`` IS the price of the
   production hash width.
 
 Rows-only correctness (hash values are engine-specific, same posture
-as ``sh_prs``); the d<=3 recall guarantee for exactly this
+as ``shprs``); the d<=3 recall guarantee for exactly this
 (32, (6,6,5,5,5,5)) instantiation is pytest-proven exhaustively in
 tests/test_dedup_recall.py::test_simhash_multitable_guarantees_recall_at_d3.
 """
@@ -44,7 +44,7 @@ SIMHASH32_HAMMING_D = 3
 def dedup_simhash32_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash near-dup pairs at Hamming <= 3 — thin wrapper over
     operators/dedup.py:manku_neardup_pairs, the corpus-scale twin of
-    ``sh_prs`` (see module docstring for the deliberate deltas).
+    ``shprs`` (see module docstring for the deliberate deltas).
     Verification is ``F.bit_count`` on the XOR (one JVM popcount
     instruction); at 32+ bits the fixture's inlined literal-mask chain
     stops being free (codegen size grows linearly with width)."""

@@ -130,7 +130,7 @@ def embedding_drift_over(
     )
 
 
-@query("dr_emb", oracle=DRIFT_EMB_ORACLE)
+@query("dremb", oracle=DRIFT_EMB_ORACLE)
 def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell PSI contributions between the reference slice (even
     vec_id) and the candidate slice (odd vec_id) under the exact-fit

@@ -172,7 +172,7 @@ FROM html
 """
 
 
-@query("ex_fnd", oracle=FINDALL_ORACLE)
+@query("exfnd", oracle=FINDALL_ORACLE)
 def extract_filenames_findall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: findall + set-dedup (reference re.findall + list(set(...)),
     src/01-scrape-images.py:296-299) as
@@ -217,7 +217,7 @@ FROM raw
 """
 
 
-@query("ex_san", oracle=SANITIZE_ORACLE)
+@query("exsan", oracle=SANITIZE_ORACLE)
 def extract_sanitize_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: strip punctuation + trim + '/'→'-' + NULL→'Unknown' sentinel
     (reference process_search_result, src/01-scrape-images.py:413-420)."""
@@ -315,7 +315,7 @@ GROUP BY 1
 """
 
 
-@query("ex_mim", oracle=MIME_ORACLE)
+@query("exmim", oracle=MIME_ORACLE)
 def extract_mime_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9: extension→MIME dispatch with default (reference
     src/01-scrape-images.py:110-116); the .JP2 branch exercises the
@@ -353,7 +353,7 @@ FROM urls
 """
 
 
-@query("ex_bas", oracle=URL_ORACLE)
+@query("exbas", oracle=URL_ORACLE)
 def extract_url_basename(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9/F10: percent-decode then take the last path segment (reference
     unquote + Path(...).name, src/01-scrape-images.py:458)."""
@@ -382,7 +382,7 @@ FROM documents
 """
 
 
-@query("ex_md5", oracle=MD5_ORACLE)
+@query("exmd5", oracle=MD5_ORACLE)
 def extract_md5_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F15: content digest (reference compute_md5,
     src/01-scrape-images.py:78-83) — the integrity-audit primitive the

@@ -75,7 +75,7 @@ def ivf_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes_fingerprint(read_ivf_codes(spark, path))
 
 
-@query("bm25_d", oracle=BM25_DEL_ORACLE)
+@query("bm25d", oracle=BM25_DEL_ORACLE)
 def bm25_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the posting index, DELETE the ``doc_id % 7 = 0`` documents
     through the tombstone ledger, score from the surviving postings:

@@ -1,0 +1,213 @@
+"""Shard-parallel IVF index build + merge (`imrg`): build independent
+index shards over disjoint corpus partitions under ONE frozen model,
+then merge them into a single index that is bit-identical to a
+single-pass build — THE pattern that makes a 100 TB index build
+tractable (no reference counterpart; the reference's whole corpus is a
+Drive folder, reference src/01-scrape-images.py:482-522).
+
+Why this is the scale path: a monolithic ``build_ivf_index`` over
+100 TB is one giant job whose failure restarts everything.  Sharded,
+each partition of the corpus gets its own embarrassingly-parallel
+build (fit once on a sample, broadcast the frozen model — exactly the
+fit-on-slice / encode-everything contract the maintenance family
+already enforces), and the only cross-shard step is the merge:
+
+- codes: a UNION of cell-partitioned roots — row-level, no recompute,
+  no shuffle beyond the final cell-partitioned write (and on an object
+  store even that can be a manifest concatenation, since every shard
+  is already laid out by cell);
+- stats: the per-cell combinable ``(n, Σx)`` PAIR folds across shards
+  by plain addition (``_merge_cell_stats`` — the same fold appends and
+  deletes publish through), which is WHY the index stores the pair and
+  never the mean: means don't merge, sums do.
+
+Merged-equals-built holds exactly (not approximately): encode is a
+deterministic function of (frozen model, vector), so sharding changes
+WHERE a row is encoded, never WHAT it encodes to; and the fixture
+embeddings' double sums sit inside the 53-bit exact window, so the
+stat fold is associative (the ``_merge_cell_stats`` discipline).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.operators.ivf_maintenance import (
+    _OC_CELLS,
+    FIT_PREDICATE,
+    IVF_FROZEN_CTES,
+    _merge_cell_stats,
+    _read_model,
+    build_ivf_index,
+    fit_models,
+    read_ivf_codes,
+    scratch_index_dir,
+)
+from newspapers_etl_spark.registry import query
+
+
+def merge_ivf_indexes(
+    spark: SparkSession, shard_paths: list[str], dest: str
+) -> None:
+    """Merge shard indexes (each a ``build_ivf_index`` layout, possibly
+    since maintained — shards are read through their generation
+    pointers) into one fresh index at ``dest``.
+
+    Refuses shards whose frozen models differ: merging code relations
+    encoded under different quantizers/codebooks would produce an index
+    that is valid under NEITHER model.  The check compares the
+    driver-side model literals (k×d floats, already collected) — no
+    extra Spark job.
+
+    The merged index is a complete first-generation layout (model/,
+    cell-partitioned codes/, stats/) with no pointer: appends, deletes,
+    compaction, policy monitoring and PIT reads compose on it exactly
+    as on a built index."""
+    from newspapers_etl_spark.sinks.verified import read_current
+
+    if not shard_paths:
+        raise ValueError("merge_ivf_indexes needs at least one shard")
+    models = [_read_model(spark, p) for p in shard_paths]
+    for p, m in zip(shard_paths[1:], models[1:]):
+        if m != models[0]:
+            raise ValueError(
+                f"shard {p!r} was encoded under a different frozen model "
+                f"than {shard_paths[0]!r}; re-encode or rebuild before "
+                "merging"
+            )
+    cents, codebook = models[0]
+    spark.createDataFrame(
+        [(c, v) for c, v in cents], "cell int, cvec array<double>"
+    ).write.mode("overwrite").parquet(f"{dest}/model/centroids")
+    spark.createDataFrame(
+        [(c, v) for c, v in codebook], "code int, kvec array<double>"
+    ).write.mode("overwrite").parquet(f"{dest}/model/codebook")
+    union = reduce(
+        DataFrame.union, [read_ivf_codes(spark, p) for p in shard_paths]
+    )
+    union.repartition(_OC_CELLS, "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{dest}/codes")
+    stats = reduce(
+        DataFrame.union,
+        [read_current(spark, f"{p}/stats") for p in shard_paths],
+    )
+    _merge_cell_stats(stats).write.mode("overwrite").parquet(f"{dest}/stats")
+
+
+def index_cell_digest(codes: DataFrame, stats: DataFrame) -> DataFrame:
+    """The driver-hashable per-cell view of an index: member count and
+    first stat component from the stats pair, plus two order-free
+    digests of the code relation (membership, and the full code bytes).
+    Two-level: the per-cell string is built from a SORTED collect so no
+    task ordering leaks into the hash (the run_manifest digest
+    discipline)."""
+    fp = codes.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.concat(
+            F.col("vec_id").cast("string"),
+            F.lit(":"),
+            F.concat_ws(
+                "-", F.transform("codes", lambda c: c.cast("string"))
+            ),
+        ).alias("entry"),
+    )
+    digests = fp.groupBy("cell").agg(
+        F.md5(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.sort_array(F.collect_list("vec_id")),
+                    lambda v: v.cast("string"),
+                ),
+            )
+        ).alias("members_md5"),
+        F.md5(
+            F.concat_ws(
+                "-",
+                F.sort_array(
+                    F.collect_list(F.struct("vec_id", "entry"))
+                ).getField("entry"),
+            )
+        ).alias("codes_md5"),
+    )
+    pairs = stats.select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("n"),
+        F.round(F.element_at("svec", 1), 6).alias("sum0"),
+    )
+    return pairs.join(digests, "cell").select(
+        "cell", "n", "sum0", "members_md5", "codes_md5"
+    )
+
+
+IMRG_ORACLE = f"""
+WITH {IVF_FROZEN_CTES},
+fps AS (
+  SELECT a.vec_id, a.cell,
+         CAST(a.vec_id AS VARCHAR) || ':' ||
+         array_to_string(list(CAST(e.code AS VARCHAR) ORDER BY e.sub), '-')
+           AS entry
+  FROM asg a JOIN enc e USING (vec_id)
+  GROUP BY a.vec_id, a.cell
+),
+pairs AS (
+  SELECT a.cell, count(*) AS n,
+         round(sum(CAST(n_.embedding[1] AS DOUBLE)), 6) AS sum0
+  FROM asg a JOIN nnall n_ USING (vec_id)
+  GROUP BY a.cell
+),
+digests AS (
+  SELECT cell,
+         md5(array_to_string(
+           list(CAST(vec_id AS VARCHAR) ORDER BY vec_id), '-')) AS members_md5,
+         md5(array_to_string(list(entry ORDER BY vec_id), '-')) AS codes_md5
+  FROM fps GROUP BY cell
+)
+SELECT CAST(p.cell AS INTEGER) AS cell, p.n, p.sum0,
+       d.members_md5, d.codes_md5
+FROM pairs p JOIN digests d ON p.cell = d.cell
+"""
+
+
+@query("imrg", oracle=IMRG_ORACLE)
+def ivf_shard_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end shard build + merge on the fixture: fit the frozen
+    models once on the 1-in-8 fit slice (the maintenance family's
+    contract), build TWO shard indexes over the even/odd halves of the
+    corpus, merge them, and read the merged index back.  Output: one
+    row per cell — combinable-stats count and Σx[0], membership digest,
+    and full-code-bytes digest.
+
+    The oracle replays fit + assignment + encode over the UNDIVIDED
+    corpus (the shared frozen-replay fragment every maintenance oracle
+    hashes against) and digests the same per-cell view: a hash match
+    proves merged == single-build down to the code bytes AND that the
+    stat pairs folded exactly.  Shards must be non-empty (the fixture
+    halves are); ``build_ivf_index`` refuses an empty fit corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    models = fit_models(e.filter(F.expr(FIT_PREDICATE)))
+    if not models[0] or not models[1]:
+        return spark.createDataFrame(
+            [],
+            "cell int, n long, sum0 double, members_md5 string, "
+            "codes_md5 string",
+        )
+    even = e.filter(F.col("vec_id") % 2 == 0)
+    odd = e.filter(F.col("vec_id") % 2 != 0)
+    pa = scratch_index_dir("ivf-mrg-a", sf_dir)
+    pb = scratch_index_dir("ivf-mrg-b", sf_dir)
+    dest = scratch_index_dir("ivf-mrg", sf_dir)
+    build_ivf_index(spark, even, pa, models=models)
+    build_ivf_index(spark, odd, pb, models=models)
+    merge_ivf_indexes(spark, [pa, pb], dest)
+    from newspapers_etl_spark.sinks.verified import read_current
+
+    return index_cell_digest(
+        read_ivf_codes(spark, dest), read_current(spark, f"{dest}/stats")
+    )

@@ -386,7 +386,7 @@ BM_PIT_ORACLE = bm25_oracle_sql(
 )
 
 
-@query("bm_pit", oracle=BM_PIT_ORACLE)
+@query("bmpit", oracle=BM_PIT_ORACLE)
 def bm25_point_in_time_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

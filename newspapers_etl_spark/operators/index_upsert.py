@@ -85,7 +85,7 @@ BM25_UP_ORACLE = bm25_oracle_sql(
 )
 
 
-@query("ivf_up", oracle=IVF_UP_ORACLE)
+@query("ivfup", oracle=IVF_UP_ORACLE)
 def ivf_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index the full corpus under the frozen fit-slice models, UPSERT
     the ``vec_id % 8 = 3`` slice with its reversed vectors (delete +
@@ -108,7 +108,7 @@ def ivf_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes_fingerprint(read_ivf_codes(spark, path))
 
 
-@query("bm25_u", oracle=BM25_UP_ORACLE)
+@query("bm25u", oracle=BM25_UP_ORACLE)
 def bm25_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the posting index, UPSERT the ``doc_id % 9 = 4`` documents
     with their text doubled (delete the stored tokenization + append

@@ -943,7 +943,7 @@ def compact_ivf_codes(
 def scratch_index_dir(prefix: str, sf_dir: str) -> str:
     """One deterministic scratch dir per (query, fixture dir), wiped up
     front — shared by every registered maintenance roundtrip (ivf_app /
-    ivf_del / bm25_d / ivf_ref / ivf_rb).  mkdtemp-per-run would
+    ivf_del / bm25d / ivf_ref / ivfrb).  mkdtemp-per-run would
     accumulate an index copy in /tmp per bench/sweep/driver invocation
     (results are LAZY reads of the dir, so it cannot be deleted at
     return), and the wipe also clears a previous run's generation

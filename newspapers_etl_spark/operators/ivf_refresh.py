@@ -242,7 +242,7 @@ GROUP BY a.vec_id, a.cell
 """
 
 
-@query("ivf_rb", oracle=IVF_RB_ORACLE)
+@query("ivfrb", oracle=IVF_RB_ORACLE)
 def ivf_rebuild_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full lifecycle on the fixture: index everything under the
     frozen fit-slice models, DELETE a slice through the tombstone

@@ -4,10 +4,10 @@ conditional rebuild, executed as one chain (VERDICT r11/r12 next-round
 
 No reference counterpart (the reference has no vector search,
 src/01-scrape-images.py:482-522); at 100 TB the pieces only pay off
-when something strings them together: ``dr_emb`` ALERTS (PSI over the
+when something strings them together: ``dremb`` ALERTS (PSI over the
 frozen-quantizer cell histograms — one codes-grain aggregate),
 ``ivf_ref`` DECIDES (would-be reassignment churn from the stored
-(n, svec) stats, one codes scan), ``ivf_rb`` ACTS (whole-generation
+(n, svec) stats, one codes scan), ``ivfrb`` ACTS (whole-generation
 swap behind one pointer flip, the single deliberately-O(corpus) op).
 The policy gates each stage on the previous one — the decision scan
 runs only on alert, the rebuild only on a churn verdict — so the

@@ -126,7 +126,7 @@ FROM documents
 """
 
 
-@query("mm_met", oracle=BINARY_META_ORACLE)
+@query("mmmet", oracle=BINARY_META_ORACLE)
 def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over an opaque binary column: byte length, md5
     audit digest (S4's verify, src/01-scrape-images.py:78-83,126-131),

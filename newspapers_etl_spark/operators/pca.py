@@ -166,7 +166,7 @@ def _project(mean: list[float], comp: list[float]) -> Column:
     )
 
 
-@query("pca_pr")  # rows-only: eigenvector floats are model-derived
+@query("pcapr")  # rows-only: eigenvector floats are model-derived
 def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector principal-component scores: (vec_id, component,
     score) for the top PCA_K components, posexploded to scalars.

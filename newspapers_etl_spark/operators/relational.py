@@ -187,7 +187,7 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
-@query("a_roll", oracle=ROLLUP_ORACLE)
+@query("aroll", oracle=ROLLUP_ORACLE)
 def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (absent from the reference — SURVEY §2.4 lists
     grouping sets as a built-in the rebuild exposes)."""
@@ -217,7 +217,7 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
-@query("a_cube", oracle=CUBE_ORACLE)
+@query("acube", oracle=CUBE_ORACLE)
 def agg_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all 2^2 grouping combinations in
     one pass — map-side expansion, no query union (SURVEY §2.4; absent
@@ -247,7 +247,7 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
 
 
-@query("a_gset", oracle=GROUPING_SETS_ORACLE)
+@query("agset", oracle=GROUPING_SETS_ORACLE)
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via DataFrame.groupingSets (Spark 4.x) — no temp-view
     side effect on the shared session (a createOrReplaceTempView here would
@@ -276,7 +276,7 @@ GROUP BY l_returnflag
 """
 
 
-@query("a_cdst", oracle=COUNT_DISTINCT_ORACLE)
+@query("acdst", oracle=COUNT_DISTINCT_ORACLE)
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-column distinct aggregation (Catalyst expands to
     partial-distinct + final agg). The approximate variant is
@@ -348,7 +348,7 @@ GROUP BY 1, 2
 """
 
 
-@query("j_star", oracle=STAR_JOIN_ORACLE)
+@query("jstar", oracle=STAR_JOIN_ORACLE)
 def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join: fact orders against three dims, all broadcast — the fact
     table never shuffles for the join, only for the final small-key agg."""
@@ -378,7 +378,7 @@ WHERE EXISTS (
 """
 
 
-@query("j_semi", oracle=SEMI_ORACLE)
+@query("jsemi", oracle=SEMI_ORACLE)
 def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI join — existence filter without duplication: customers
     with at least one open order, never multiplied by their order count
@@ -398,7 +398,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
-@query("j_anti", oracle=ANTI_ORACLE)
+@query("janti", oracle=ANTI_ORACLE)
 def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's core incremental primitive as a relation op: rows with
     no counterpart in the catalog (J1, src/01-scrape-images.py:181-188)."""
@@ -419,7 +419,7 @@ GROUP BY 1
 """
 
 
-@query("j_left", oracle=OUTER_ORACLE)
+@query("jleft", oracle=OUTER_ORACLE)
 def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-before-join: orders is reduced to one row per o_custkey
     BEFORE the join, so the shuffle carries the 1-row-per-key aggregate,
@@ -636,7 +636,7 @@ GROUP BY l_orderkey
 """
 
 
-@query("a_coll", oracle=COLLECT_ORACLE)
+@query("acoll", oracle=COLLECT_ORACLE)
 def agg_collect_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group collection (A4; reference accumulates per-issue filename
     lists, src/01-scrape-images.py:330-343).  collect_list is arrival-order
@@ -669,7 +669,7 @@ ASOF LEFT JOIN clicks c
 """
 
 
-@query("j_asof", oracle=ASOF_ORACLE)
+@query("jasof", oracle=ASOF_ORACLE)
 def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (most recent prior click per error event), implemented as
     union + single window pass instead of the naive join+re-aggregate:

@@ -228,7 +228,7 @@ GROUP BY l_returnflag
 """
 
 
-@query("a_pctl", oracle=PERCENTILES_ORACLE)
+@query("apctl", oracle=PERCENTILES_ORACLE)
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated percentiles per group (`percentile` =
     DuckDB's quantile_cont).  Exact percentile buffers the group's
@@ -313,7 +313,7 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """
 
 
-@query("w_dist", oracle=WIN_DIST_ORACLE)
+@query("wdist", oracle=WIN_DIST_ORACLE)
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-family window functions (ntile decile, percent_rank,
     cume_dist) over account balance per market segment — the last

@@ -5,7 +5,7 @@ North-star operator with no reference counterpart (the reference's
 search has no quality metric — it trusts the archive's own ranking,
 reference src/01-scrape-images.py:482-522).
 
-Closes the retrieval loop the repo already ships (bm25 → bm25_b → rrf):
+Closes the retrieval loop the repo already ships (bm25 → bm25b → rrf):
 a pipeline that RANKS needs an operator that SCORES the ranking, and
 nDCG@k is the standard graded-relevance metric (Järvelin & Kekäläinen,
 TOIS 2002).  The relevance oracle here is derived from the data itself
@@ -36,7 +36,7 @@ from newspapers_etl_spark.functions.text import words
 # The shared batch constants live in the non-registering
 # functions.bm25_common module (moved there in r10): this module leads
 # the r10 window while retrieval_fusion sits in the tail, so a
-# top-level fusion import here would splice bm25_b/rrf into this
+# top-level fusion import here would splice bm25b/rrf into this
 # module's registry slot (pinned by
 # test_registry_registration_order_is_contiguous).
 from newspapers_etl_spark.functions.bm25_common import (

@@ -6,7 +6,7 @@ extraction, src/01-scrape-images.py:270-317).  These register the two
 production retrieval shapes that existed only as library functions
 after r7:
 
-* ``bm25_b`` — the one-scan multi-query batch scorer
+* ``bm25b`` — the one-scan multi-query batch scorer
   (``retrieval.retrieval_bm25_batch_topk``) bound to a fixed literal
   query set, so the decontamination-sweep shape (every eval-benchmark
   query scored against the corpus in a single pass) has its own oracle
@@ -69,12 +69,12 @@ from newspapers_etl_spark.functions.bm25_common import (  # noqa: F401 — batch
 from newspapers_etl_spark.registry import query
 
 # ---------------------------------------------------------------------------
-# bm25_b: one-scan batch scoring over a fixed literal query set
+# bm25b: one-scan batch scoring over a fixed literal query set
 # (constants + oracle in functions/bm25_common.py, shared with ndcg)
 # ---------------------------------------------------------------------------
 
 
-@query("bm25_b", oracle=BM25_BATCH_ORACLE)
+@query("bm25b", oracle=BM25_BATCH_ORACLE)
 def retrieval_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score the corpus against BM25_BATCH_QUERIES in ONE scan pair —
     the decontamination-sweep shape.  Plan (retrieval.py): hit stream

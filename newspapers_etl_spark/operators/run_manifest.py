@@ -7,7 +7,7 @@ composing four already-verified provenance legs:
   (operators/index_pit.py) — re-running the manifest after any amount
   of later maintenance reproduces the same digest or refuses honestly.
 - **corpus**: the per-source content fingerprint set of the training
-  corpus (the ``snk_au`` audit relation, sinks/verified.py
+  corpus (the ``snkau`` audit relation, sinks/verified.py
   partition_manifest — the reference's per-upload md5Checksum
   discipline, src/01-scrape-images.py:141-149, at dataset grain).
 - **split**: the deterministic train/val/test membership digests (the
@@ -17,7 +17,7 @@ composing four already-verified provenance legs:
   ``s2pit`` as-of view, operators/scd.py), digested per segment.
 
 Output: (artifact, part, n, digest) — one row per auditable part; the
-digest is md5 over the SORTED per-row md5s (the snk_au pattern, proven
+digest is md5 over the SORTED per-row md5s (the snkau pattern, proven
 hash-identical between Spark and DuckDB), so the relation is
 order-insensitive and bit-comparable across engines and re-runs.  The
 replay contract — same manifest ⇒ bit-identical inputs — is pinned in
@@ -64,7 +64,7 @@ def manifest_digest(
     """One manifest leg: group by ``part_col`` and emit (artifact,
     part, n, digest).  n counts EVERY row of the part; the digest runs
     over the non-null row hashes (md5 of NULL is NULL and drops out of
-    the concat on both engines — same convention as snk_au)."""
+    the concat on both engines — same convention as snkau)."""
     return (
         df.groupBy(part_col.alias("part"))
         .agg(

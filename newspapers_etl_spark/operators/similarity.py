@@ -160,7 +160,7 @@ def lsh_bucket(vec: Column | str, bits: int = LSH_BITS) -> Column:
     return out
 
 
-@query("lsh_tk")  # rows-only: bucket ids are hash-derived
+@query("lshtk")  # rows-only: bucket ids are hash-derived
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN: score only corpus vectors in the probe's LSH bucket.
     One linear scan computes buckets, the candidate join is an equi-join
@@ -366,7 +366,7 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
-@query("ivf_tk", oracle=IVF_TOPK_ORACLE)
+@query("ivftk", oracle=IVF_TOPK_ORACLE)
 def sim_ann_ivf_topk(
     spark: SparkSession, sf_dir: str, fit_fraction: float = 1.0
 ) -> DataFrame:
@@ -446,7 +446,7 @@ def sim_ann_ivf_topk(
     )
 
 
-@query("ann_st")  # rows-only: bucket ids are hash-derived (ex ann_stats, wave-5 rename)
+@query("annst")  # rows-only: bucket ids are hash-derived (ex ann_stats, wave-5 rename)
 def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket-occupancy histogram — the skew diagnostic for the ANN
     path: bucket count, mean/max occupancy.  At 100 TB this is the query

@@ -37,13 +37,13 @@ ORACLE: dict[str, str] = {}
 #       early as the import price — they take r14 rows, so the re-hash
 #       is cheap).  Declared order therefore: ivf_maintenance 1 (ivfapp
 #       — import price), retrieval 1 (bm25 — import price), index_delete
-#       2 (ivfdel, bm25_d — import price), index_upsert 2 (ivf_up,
-#       bm25_u — import price), delete_stream 1 (st_del), bm25_policy 1
-#       (bm_pol), index_pit 2 (ivf_pit, bm_pit), bm25_upkeep_stream 2
-#       (st_bdl, st_bup) = slots 1-12.  AMENDMENT (the verdict caught
+#       2 (ivfdel, bm25d — import price), index_upsert 2 (ivfup,
+#       bm25u — import price), delete_stream 1 (stdel), bm25_policy 1
+#       (bmpol), index_pit 2 (ivf_pit, bmpit), bm25_upkeep_stream 2
+#       (stbdl, stbup) = slots 1-12.  AMENDMENT (the verdict caught
 #       the original plan inverting the oldest-first rule): dedup 10
 #       takes slots 13-22 — its nine non-dd_ex rows (jacc/ddemb/ddspn/
-#       decon/cc_cl oracle-backed, lsh_st/lshver/sh_prs/shbkts
+#       decon/cc_cl oracle-backed, lshst/lshver/shprs/shbkts
 #       rows-only) last took driver rows in r10, the OLDEST history in
 #       the union, and the original plan would have ridden them to r16+
 #       (5+ rounds stale); dd_ex re-hashes with its module as the
@@ -67,7 +67,13 @@ ORACLE: dict[str, str] = {}
 #       -1-char renames incl. both remaining 7-char names ivf_pit→
 #       ivfpit / text_fp→textfp — BASELINE.md), executed BEFORE the
 #       driver run so the two renamed window names land their r15 rows
-#       under the new names.
+#       under the new names.  LATER r15 ops (fann metadata-filtered
+#       ANN, imrg shard-parallel index build+merge, chnk document
+#       chunking) also register post-window and lead r16 with manif;
+#       their registration cost was paid by rename wave 13 ("r15b"
+#       map, 37 underscore-drops on 6-char names — BASELINE.md), also
+#       executed before the driver run (so 20 window names land their
+#       r15 rows under wave-13 names — the wave-11/-12 precedent).
 #   r14 (executed): the five r13 post-window registrations lead —
 #       they were the only queries without a driver row after r13.
 #       Import-splice constraints, worked out: index_upsert top-level-
@@ -79,18 +85,18 @@ ORACLE: dict[str, str] = {}
 #       ivf_refresh's 2 queries ALSO re-hash early), upsert_stream
 #       imports index_upsert + ivf_maintenance (satisfied).  Declared
 #       order therefore: ivf_maintenance 1, retrieval 1, ivf_refresh 2,
-#       index_upsert 2 (ivf_up, bm25_u), bm25_stream 1 (st_bm25),
+#       index_upsert 2 (ivfup, bm25u), bm25_stream 1 (st_bm25),
 #       maintenance_policy 1 (mnt_pol), upsert_stream 1 (st_up) =
 #       slots 1-9.  Then the r10-hashed stale families: model_fit 3,
 #       extraction_queries 8, text_scoring 6, relational 21 (slots
 #       10-47; its single r13 row expl_w rides the module), and
 #       index_delete 2 + index_stream 1 (r13-hashed, riding at 48-50
 #       for free behind their already-declared imports — slot 50
-#       closes on st_ivf exactly, no straddle).  Tail: r12-hashed
+#       closes on stivf exactly, no straddle).  Tail: r12-hashed
 #       families first (they rotate forward in r15), then the
-#       r13-window families.  NEW r14 ops (st_del streaming index
-#       deletion, bm_pol BM25 maintenance-policy twin, ivf_pit/bm_pit
-#       point-in-time reads of both indexes, st_bdl/st_bup streaming
+#       r13-window families.  NEW r14 ops (stdel streaming index
+#       deletion, bmpol BM25 maintenance-policy twin, ivf_pit/bmpit
+#       point-in-time reads of both indexes, stbdl/stbup streaming
 #       BM25 deletion/upsert — the streaming maintenance matrix closes)
 #       register post-window at the list tail and lead r15; the six
 #       registrations overflowed the 1-decimal stdout band and executed
@@ -103,8 +109,8 @@ ORACLE: dict[str, str] = {}
 #       late: ivf_maintenance 1 (ivf_app — re-hashes as the import
 #       price for the three modules that top-level-import it),
 #       retrieval 1 (bm25 — same, for index_delete), index_delete 2
-#       (ivf_del, bm25_d), ivf_refresh 2 (ivf_ref, ivf_rb),
-#       index_stream 1 (st_ivf) = slots 1-7, giving the five r11
+#       (ivf_del, bm25d), ivf_refresh 2 (ivf_ref, ivfrb),
+#       index_stream 1 (stivf) = slots 1-7, giving the five r11
 #       lifecycle newcomers their FIRST driver rows.  Then the 39
 #       r9-hashed stale queries (pca 2, rollup 2, sketches 1,
 #       text_formats 4, data_quality 1, corpus 5, sampling 2,
@@ -115,7 +121,7 @@ ORACLE: dict[str, str] = {}
 #       dedup STRADDLES the boundary (dd_ex closes the window at slot
 #       50; its 9 siblings ride).  model_fit/extraction_queries/
 #       text_scoring and relational's 20 r10-hashed queries keep their
-#       rows and rotate in r14.  NEW r13 ops (ivf_up/bm25_u index
+#       rows and rotate in r14.  NEW r13 ops (ivfup/bm25u index
 #       upsert, st_bm25 streaming posting ingestion, mnt_pol gated
 #       maintenance-policy chain, st_up streaming re-embedding upsert)
 #       registered post-window at the list tail and lead r14; their
@@ -128,8 +134,8 @@ ORACLE: dict[str, str] = {}
 #       whole blocks splice (the contiguity test enforces realized ==
 #       declared): ivf_maintenance 1 (ivf_app — re-hashes a round early
 #       as the import price, the similarity-in-r11 precedent),
-#       retrieval 1 (bm25 — same), index_delete 2 (ivf_del, bm25_d),
-#       ivf_refresh 2 (ivf_ref, ivf_rb), index_stream 1 (st_ivf — its
+#       retrieval 1 (bm25 — same), index_delete 2 (ivf_del, bm25d),
+#       ivf_refresh 2 (ivf_ref, ivfrb), index_stream 1 (stivf — its
 #       ivf_maintenance import is already satisfied) = 7 slots.  Then
 #       the 39 r9-hashed stale queries (pca 2, rollup 2, sketches 1,
 #       text_formats 4, data_quality 1, corpus 5, sampling 2,
@@ -157,8 +163,8 @@ ORACLE: dict[str, str] = {}
 #       boundary: expl_wrd moved to the module front (the r7 union
 #       straggler that missed the r10 cap) closes the window at slot
 #       50; its 20 r10-hashed siblings ride at 51+.  NEW r11 ops
-#       (index deletion ivf_del/bm25_d, centroid refresh ivf_ref,
-#       whole-index rebuild ivf_rb) register post-window at the list
+#       (index deletion ivf_del/bm25d, centroid refresh ivf_ref,
+#       whole-index rebuild ivfrb) register post-window at the list
 #       tail and lead r12; their registrations triggered rename waves
 #       8 and 9 (r11/r11b maps).  Window test re-pinned in the same
 #       commit (tests/test_sql_entrypoint.py).
@@ -166,7 +172,7 @@ ORACLE: dict[str, str] = {}
 #       registered post-window — the only queries without a driver row
 #       after r9) lead.  retrieval_eval's batch constants moved to the
 #       non-registering functions.bm25_common so its old top-level
-#       retrieval_fusion import cannot splice bm25_b/rrf into the
+#       retrieval_fusion import cannot splice bm25b/rrf into the
 #       window front.  Then model_fit 3 (changed r9: seed-by-rank in
 #       the shared helpers, deferred under the policy exception; in
 #       r10 fit_anc/fit_pq ALSO flip to the exact-fit defaults with
@@ -175,13 +181,13 @@ ORACLE: dict[str, str] = {}
 #       deferral AND the conversion together) and text_lm 1, then the
 #       oldest r7-hashed families — dedup 10, extraction_queries 8,
 #       text_scoring 6 (ppl at its tail), relational 21 fills the
-#       window to exactly 50 (j_asof is slot 50; its last query,
+#       window to exactly 50 (jasof is slot 50; its last query,
 #       expl_wrd, rides at slot 51 with retrieval 1 (bm25, r8) to
 #       r11).  THREE late-r10 additions register post-window (the
-#       bm25/bm25_b/drift precedent) and lead r11: ivf_app (IVF index
+#       bm25/bm25b/drift precedent) and lead r11: ivf_app (IVF index
 #       maintenance), drift_emb (embedding-space drift) and ivf_rec
 #       (ANN recall evaluation).
-#   r9 (executed): retrieval_fusion 2 (bm25_b/rrf — NEW r8, registered
+#   r9 (executed): retrieval_fusion 2 (bm25b/rrf — NEW r8, registered
 #       post-window, the only queries without a driver row after r8)
 #       lead.  Then the queries CHANGED r8/r9: ivfadc 2 (r8 seed fix +
 #       9-dp rounding; r9 BOTH gain ORACLES via exact-fit defaults —
@@ -212,8 +218,8 @@ ORACLE: dict[str, str] = {}
 #       registered post-window (see the note at their declarations) —
 #       they lead r10.  Their registration would have pushed the
 #       1-decimal bench stdout line over 1990, so rename wave 5
-#       executed as prepared in BASELINE.md (ann_stats→ann_st,
-#       lsh_stats→lsh_st; "r9" map in RENAMES.json; line 1985/1990
+#       executed as prepared in BASELINE.md (ann_stats→annst,
+#       lsh_stats→lshst; "r9" map in RENAMES.json; line 1985/1990
 #       after).
 #   r8 (executed): the window is exactly 50 and every slot is earned —
 #       bm25 (NEW r7, post-window then; also CHANGED r8: exact-integer
@@ -251,7 +257,7 @@ ORACLE: dict[str, str] = {}
 #       pytest-verified), and displacing two r5-stale oracle-backed
 #       rows for them would trade verified freshness the union math
 #       actually needs — they lead r9 with ppl.  Late r8 additions:
-#       bm25_b (one-scan batch BM25, the decontamination shape) and
+#       bm25b (one-scan batch BM25, the decontamination shape) and
 #       rrf (reciprocal-rank-fusion hybrid retrieval), both
 #       oracle-backed, registered post-window in retrieval_fusion (see
 #       the note at its declaration) — they lead the r9 window with
@@ -333,7 +339,7 @@ ORACLE: dict[str, str] = {}
 # exceptions.
 _OPERATOR_MODULES = (
     # ---- r15 window (slots 1-50): the six r14 post-window
-    # registrations (st_del/bm_pol/ivf_pit/bm_pit/st_bdl/st_bup) get
+    # registrations (stdel/bmpol/ivf_pit/bmpit/stbdl/stbup) get
     # their FIRST driver rows — the only union never-green names after
     # r14.  Import price (top-level cross-module imports; imported
     # modules must be DECLARED first or their blocks splice):
@@ -342,18 +348,18 @@ _OPERATOR_MODULES = (
     # ivf_maintenance + retrieval; bm25_upkeep_stream imports
     # index_delete + index_upsert + retrieval; index_delete and
     # index_upsert themselves import ivf_maintenance + retrieval.  So
-    # ivfapp/bm25/ivfdel/bm25_d/ivf_up/bm25_u re-hash a round early
+    # ivfapp/bm25/ivfdel/bm25d/ivfup/bm25u re-hash a round early
     # (all took r14 rows — cheap).  Then dedup 10 (the r15 AMENDMENT:
     # nine r10-stale rows, the oldest union history), then the
     # r12-hashed stale families, closing on urlcn at slot 50 exactly. ----
     "newspapers_etl_spark.operators.ivf_maintenance",     # 1   ivfapp hashed r14; import price (6 dependents below)
     "newspapers_etl_spark.operators.retrieval",           # 1   bm25 hashed r14; import price
-    "newspapers_etl_spark.operators.index_delete",        # 2   ivfdel, bm25_d hashed r14; import price (delete_stream, bm25_policy, bm25_upkeep_stream)
-    "newspapers_etl_spark.operators.index_upsert",        # 2   ivf_up, bm25_u hashed r14; import price (bm25_upkeep_stream)
-    "newspapers_etl_spark.streaming.delete_stream",       # 1   st_del: FIRST driver row (NEW r14) — slot 7
-    "newspapers_etl_spark.operators.bm25_policy",         # 1   bm_pol: FIRST driver row (NEW r14) — slot 8
-    "newspapers_etl_spark.operators.index_pit",           # 2   ivf_pit, bm_pit: FIRST driver rows (NEW r14) — slots 9-10
-    "newspapers_etl_spark.streaming.bm25_upkeep_stream",  # 2   st_bdl, st_bup: FIRST driver rows (NEW r14) — slots 11-12
+    "newspapers_etl_spark.operators.index_delete",        # 2   ivfdel, bm25d hashed r14; import price (delete_stream, bm25_policy, bm25_upkeep_stream)
+    "newspapers_etl_spark.operators.index_upsert",        # 2   ivfup, bm25u hashed r14; import price (bm25_upkeep_stream)
+    "newspapers_etl_spark.streaming.delete_stream",       # 1   stdel: FIRST driver row (NEW r14) — slot 7
+    "newspapers_etl_spark.operators.bm25_policy",         # 1   bmpol: FIRST driver row (NEW r14) — slot 8
+    "newspapers_etl_spark.operators.index_pit",           # 2   ivf_pit, bmpit: FIRST driver rows (NEW r14) — slots 9-10
+    "newspapers_etl_spark.streaming.bm25_upkeep_stream",  # 2   stbdl, stbup: FIRST driver rows (NEW r14) — slots 11-12
     "newspapers_etl_spark.operators.dedup",               # 10  AMENDMENT: 9 rows r10-stale (oldest union history) + dd_ex r13 — slots 13-22
     "newspapers_etl_spark.operators.embedding_drift",     # 1   hashed r12 — slot 23
     "newspapers_etl_spark.operators.similarity",          # 5   hashed r12 (must precede ann_eval: top-level import) — slots 24-28
@@ -404,11 +410,15 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.streaming.bm25_stream",         # 1   hashed r14
     "newspapers_etl_spark.operators.maintenance_policy",  # 1   hashed r14
     "newspapers_etl_spark.streaming.upsert_stream",       # 1   hashed r14
-    # ---- NEW r15 (registered post-window, the bm25_b/drift precedent:
-    # never displace an earned slot mid-round) — leads r16.
+    # ---- NEW r15 (registered post-window, the bm25b/drift precedent:
+    # never displace an earned slot mid-round) — lead r16.
     # run_manifest imports index_pit + corpus + scd (all declared
-    # above, satisfied). ----
+    # above, satisfied); filtered_ann imports similarity; index_merge
+    # imports ivf_maintenance (both declared above, satisfied). ----
     "newspapers_etl_spark.operators.run_manifest",        # 1   manif (NEW r15)
+    "newspapers_etl_spark.operators.filtered_ann",        # 1   fann  (NEW r15)
+    "newspapers_etl_spark.operators.index_merge",         # 1   imrg  (NEW r15)
+    "newspapers_etl_spark.operators.chunking",            # 1   chnk  (NEW r15)
 )
 
 _loaded = False

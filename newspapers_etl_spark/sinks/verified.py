@@ -499,7 +499,7 @@ GROUP BY lang, source
 """
 
 
-@query("snk_au", oracle=MANIFEST_ORACLE)
+@query("snkau", oracle=MANIFEST_ORACLE)
 def sink_partition_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audit manifest over documents partitioned by (lang, source) —
     the exact relation both sides of verify_partitioned_write compute."""

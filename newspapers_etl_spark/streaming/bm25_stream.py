@@ -123,7 +123,7 @@ def stream_bm25_append_roundtrip(
     )
     # Two files -> two micro-batches at maxFilesPerTrigger=1: enough to
     # prove the multi-epoch ledger flow without doubling the append
-    # cost per extra epoch (the st_ivf sizing).
+    # cost per extra epoch (the stivf sizing).
     docs.filter(~F.expr(DOC_BASE_PREDICATE)).repartition(2).write.parquet(
         in_dir
     )

@@ -17,14 +17,14 @@ src/01-scrape-images.py); both compose two already-verified layers —
 Structured Streaming's offsets/restart semantics and the posting
 index's tombstone + applied-ledger protocol — so a replayed epoch
 no-ops its published half and applies the rest: exactly-once index
-mutation from an at-least-once stream, the st_ivf/st_up story.
+mutation from an at-least-once stream, the stivf/st_up story.
 
 Correctness is micro-batch-split invariance again: tombstone roots
 accumulate (readers anti-join their union), posting rows are a pure
 per-document function, and the (n, sum_dl) stats pair subtracts and
 adds combinably; waves touch disjoint doc_ids per epoch (the file
 source reads each file once), so the drained index equals the one bulk
-mutation and the registered queries share ``bm25_d``'s / ``bm25_u``'s
+mutation and the registered queries share ``bm25d``'s / ``bm25u``'s
 oracles verbatim.  A later epoch's tombstone covering an earlier
 epoch's append root is the designed root-scoping behavior (harmless
 under per-epoch id disjointness — ``upsert_stream.py``'s analysis).
@@ -149,16 +149,16 @@ def stream_upsert_bm25(
            max_files_per_trigger, schema)
 
 
-@query("st_bdl", oracle=BM25_DEL_ORACLE)
+@query("stbdl", oracle=BM25_DEL_ORACLE)
 def stream_bm25_delete_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """bm25_d's exact contract with the retirement wave arriving as a
+    """bm25d's exact contract with the retirement wave arriving as a
     STREAM: write the posting index over the full documents table, land
     the ``doc_id % 7 = 0`` ids as a 2-file source drained in
     micro-batches (each one ledgered tombstone delete), score the
     survivors through the pointer.  The output — and therefore the
-    oracle — is identical to ``bm25_d`` by micro-batch-split
+    oracle — is identical to ``bm25d`` by micro-batch-split
     invariance."""
     path = scratch_index_dir("st-bdl", sf_dir)
     in_dir = scratch_index_dir("st-bdl-in", sf_dir)
@@ -172,16 +172,16 @@ def stream_bm25_delete_roundtrip(
     return retrieval_bm25_topk_from_postings(spark, path)
 
 
-@query("st_bup", oracle=BM25_UP_ORACLE)
+@query("stbup", oracle=BM25_UP_ORACLE)
 def stream_bm25_upsert_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """bm25_u's exact contract with the edit wave arriving as a STREAM:
+    """bm25u's exact contract with the edit wave arriving as a STREAM:
     write the posting index over the full documents table, land the
     ``doc_id % 9 = 4`` slice with its text doubled as a 2-file source
     drained in micro-batches (each one composed delete+append upsert),
     score through the pointer.  The output — and therefore the oracle —
-    is identical to ``bm25_u``: per-epoch waves touch disjoint doc_ids,
+    is identical to ``bm25u``: per-epoch waves touch disjoint doc_ids,
     so the final index is micro-batch-split invariant."""
     path = scratch_index_dir("st-bup", sf_dir)
     in_dir = scratch_index_dir("st-bup-in", sf_dir)

@@ -1,8 +1,8 @@
 """Streaming DELETION from the maintained IVF index: a file-source
 stream of RETIRED ids whose every micro-batch is one O(batch) tombstone
 delete — the fourth and last leg of the streaming maintenance surface
-(ingest ``st_ivf``, posting ingest ``st_bm25``, re-embedding upsert
-``st_up``, retirement ``st_del``), and the shape deletions actually
+(ingest ``stivf``, posting ingest ``st_bm25``, re-embedding upsert
+``st_up``, retirement ``stdel``), and the shape deletions actually
 arrive in at 100 TB: takedown notices and dedup verdicts land as id
 LISTS in waves, not as one bulk purge.
 
@@ -11,7 +11,7 @@ src/01-scrape-images.py persists everything it scrapes); this composes
 two already-verified layers:
 
 - Structured Streaming supplies ordering, offset tracking and restart
-  semantics (the st_ivf/st_bm25/st_up pattern);
+  semantics (the stivf/st_bm25/st_up pattern);
 - ``delete_from_ivf_index`` supplies atomicity and idempotency
   (root-scoped ``tombs-batch-<id>`` roots + the ``applied_deletes``
   ledger + one generation-pointer publish), so a micro-batch REPLAYED
@@ -27,7 +27,7 @@ anti-join their union — a later root never conflicts with an earlier
 one because retirement waves touch disjoint ids per epoch: the file
 source reads each file once) and the per-cell (n, svec) subtraction is
 combinable, so the drained index equals the one bulk delete and the
-registered ``st_del`` query shares ``ivf_del``'s oracle verbatim.
+registered ``stdel`` query shares ``ivf_del``'s oracle verbatim.
 
 At 100 TB: each epoch's work is one broadcast semi-join (O(batch)),
 one frozen-model encode of the batch, a bounded tombstone write and a
@@ -111,7 +111,7 @@ def stream_delete_ivf(
     q.awaitTermination()
 
 
-@query("st_del", oracle=IVF_DEL_ORACLE)
+@query("stdel", oracle=IVF_DEL_ORACLE)
 def stream_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ivf_del's exact contract with the retirement wave arriving as a
     STREAM: index the full corpus under the frozen fit-slice models,
@@ -133,7 +133,7 @@ def stream_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_ivf_index(spark, e, path, e_encode=e, models=models)
     retired = e.filter(F.expr(IVF_DEL_PRED)).select("vec_id")
     # Two files -> two micro-batches at maxFilesPerTrigger=1 (the
-    # st_ivf sizing); explicit schema so an empty retirement wave
+    # stivf sizing); explicit schema so an empty retirement wave
     # (degenerate fixtures) drains zero batches instead of failing
     # inference on a fileless dir.
     retired.repartition(2).write.parquet(in_dir)

@@ -19,7 +19,7 @@ src/01-scrape-images.py); this composes two already-verified halves:
 Correctness is batch-equivalence by construction: encode is a pure
 function of (frozen model, vector) and the stats pairs are combinable,
 so the final index is invariant to how the stream happened to split
-into micro-batches — the registered ``st_ivf`` query therefore shares
+into micro-batches — the registered ``stivf`` query therefore shares
 ``ivf_app``'s oracle verbatim (same fit slice, same base/append split,
 same root-agnostic output).
 
@@ -81,7 +81,7 @@ def stream_append_ivf(
     q.awaitTermination()
 
 
-@query("st_ivf", oracle=IVF_APP_ORACLE)
+@query("stivf", oracle=IVF_APP_ORACLE)
 def stream_ivf_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ivf_app's exact contract with the append half arriving as a
     STREAM: build on the base slice under the frozen fit-slice models,

@@ -1,7 +1,7 @@
 """Streaming UPSERT into the maintained IVF index: a file-source
 stream of REPLACEMENT embeddings whose every micro-batch is one
 composed delete+append upsert — the third leg of the streaming
-maintenance trio (ingest ``st_ivf``, posting ingest ``st_bm25``,
+maintenance trio (ingest ``stivf``, posting ingest ``st_bm25``,
 update ``st_up``), and the shape the most common 100 TB index mutation
 actually arrives in: an embedding-model upgrade re-embeds existing ids
 in WAVES from the embedder, not one bulk swap (exactly the scenario
@@ -11,7 +11,7 @@ No reference counterpart (the reference neither streams nor embeds,
 src/01-scrape-images.py); this composes two already-verified layers:
 
 - Structured Streaming supplies ordering, offset tracking and restart
-  semantics (the st_ivf/st_bm25 pattern);
+  semantics (the stivf/st_bm25 pattern);
 - ``upsert_ivf_index`` supplies atomicity and idempotency PER HALF
   (root-scoped tombstone delete + ledgered append under
   ``e<epoch>.del`` / ``e<epoch>.add``), so a replayed epoch no-ops its
@@ -28,7 +28,7 @@ an earlier epoch's append root, which is harmless because update waves
 touch disjoint ids per epoch (each replaced id appears in exactly one
 micro-batch — the file source reads each file once), so the final
 index equals the one bulk upsert and the registered ``st_up`` query
-shares ``ivf_up``'s oracle verbatim.
+shares ``ivfup``'s oracle verbatim.
 """
 
 from __future__ import annotations
@@ -112,12 +112,12 @@ def stream_upsert_ivf(
 
 @query("st_up", oracle=IVF_UP_ORACLE)
 def stream_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ivf_up's exact contract with the update wave arriving as a
+    """ivfup's exact contract with the update wave arriving as a
     STREAM: index the full corpus under the frozen fit-slice models,
     land the reversed-vector slice as a 2-file source drained in
     micro-batches (each one composed delete+append upsert), read the
     result back through the pointer.  The output — and therefore the
-    oracle — is identical to ``ivf_up``: per-epoch waves touch disjoint
+    oracle — is identical to ``ivfup``: per-epoch waves touch disjoint
     ids, so the final index is micro-batch-split invariant."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     models = fit_models(e.filter(F.expr(FIT_PREDICATE)))
@@ -133,7 +133,7 @@ def stream_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.reverse("embedding").alias("embedding")
     )
     # Two files -> two micro-batches at maxFilesPerTrigger=1 (the
-    # st_ivf sizing); explicit schema so an empty update wave
+    # stivf sizing); explicit schema so an empty update wave
     # (degenerate fixtures) drains zero batches instead of failing
     # inference on a fileless dir.
     new.repartition(2).write.parquet(in_dir)

@@ -22,7 +22,7 @@ def test_cache_block_releases_query_caches(spark, sf_dir):
     clear_all_session_caches(spark)  # isolate from earlier tests
     assert _cache_empty(spark)
     with all_session_caches_cleared(spark):
-        n = all_queries()["sh_prs"](spark, sf_dir).count()
+        n = all_queries()["shprs"](spark, sf_dir).count()
         assert n >= 0
         # The (doc_id, sh) members relation is cached while in scope.
         assert not _cache_empty(spark)

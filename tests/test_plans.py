@@ -464,3 +464,38 @@ def test_topk_lang_salted_phase_partitions_by_lang_and_salt(spark, plan_sf_dir):
     ]
     assert salted, f"no (lang, salt) exchange before phase-1 window:\n{plan[:1500]}"
     assert plan.count("Window") >= 2, "expected two ranking phases"
+
+
+def test_chunking_is_one_pruned_map_side_pass(spark, sf_dir):
+    """chnk's scale contract: one pruned scan (doc_id + text only),
+    zero shuffles — explode(sequence) stays map-side, so chunking
+    100 TB costs exactly one linear pass."""
+    from newspapers_etl_spark.operators.chunking import chunk_documents
+
+    plan = _plan(chunk_documents(spark, sf_dir))
+    assert "Exchange" not in plan, plan[:1500]
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, (
+        plan.split("ReadSchema")[-1][:200]
+    )
+
+
+def test_filtered_ann_broadcasts_probes_never_shuffles_corpus(
+    spark, plan_sf_dir
+):
+    """fann's scale contract: the (probe × probed-cell) side is
+    BROADCAST and the label filter is part of the equi-join key, so the
+    corpus relation is scored in place — its only exchange is the final
+    per-probe ranking window over the candidate rows (P×k-ish, not
+    corpus-sized)."""
+    from newspapers_etl_spark.operators.filtered_ann import (
+        sim_filtered_ann_topk,
+    )
+
+    plan = _plan(sim_filtered_ann_topk(spark, plan_sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+    # join keys: cell AND label (the filter prunes candidates map-side,
+    # not post-score)
+    join_line = plan.split("BroadcastHashJoin")[1].splitlines()[0]
+    assert "cell" in join_line and "label" in join_line, join_line
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]

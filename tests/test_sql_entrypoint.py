@@ -177,7 +177,7 @@ def test_registry_registration_order_is_contiguous_per_module():
     # And the r15 window design holds (rotation ledger in registry.py):
     # the six r14 post-window registrations get their FIRST driver rows
     # at slots 7-12 behind the six queries whose modules they top-level-
-    # import (ivfapp/bm25/ivfdel/bm25_d/ivf_up/bm25_u at slots 1-6 —
+    # import (ivfapp/bm25/ivfdel/bm25d/ivfup/bm25u at slots 1-6 —
     # the import price), then the AMENDED dedup block (nine r10-stale
     # rows + dd_ex) at slots 13-22, the r12-hashed stale families at
     # 23-48, and diagnostics/url_ops closing the window (urlcn at 50
@@ -185,25 +185,25 @@ def test_registry_registration_order_is_contiguous_per_module():
     window = set(names[:50])
     for required in (
         # the only queries with no driver hash row in the r1-r14 union
-        "st_del", "bm_pol", "ivfpit", "bm_pit", "st_bdl", "st_bup",
+        "stdel", "bmpol", "ivfpit", "bmpit", "stbdl", "stbup",
         # import price: their modules must precede the newcomers
-        "ivfapp", "bm25", "ivfdel", "bm25_d", "ivf_up", "bm25_u",
+        "ivfapp", "bm25", "ivfdel", "bm25d", "ivfup", "bm25u",
         # the amended dedup block: nine r10-stale rows (oldest union
         # history) + dd_ex riding its module
-        "dd_ex", "jacc", "ddspn", "lsh_st", "lshver", "ddemb",
-        "sh_prs", "shbkts", "decon", "cc_cl",
+        "dd_ex", "jacc", "ddspn", "lshst", "lshver", "ddemb",
+        "shprs", "shbkts", "decon", "cc_cl",
         # the r12-hashed stale families
-        "dr_emb", "bftk", "cents", "lsh_tk", "ivf_tk", "ann_st",
+        "dremb", "bftk", "cents", "lshtk", "ivftk", "annst",
         "ivfrec", "pdsts", "pdchk", "pdqnt",
-        "mmman", "mm_met", "mmfrm", "mmdec",
-        "q3shp", "q5vol", "unpvt", "exp_o", "a_pctl", "tdig",
-        "argmm", "w_dist", "cohrt",
+        "mmman", "mmmet", "mmfrm", "mmdec",
+        "q3shp", "q5vol", "unpvt", "exp_o", "apctl", "tdig",
+        "argmm", "wdist", "cohrt",
         "scd2", "s2pit", "scdenr", "skew", "urlcn",
     ):
         assert required in window, f"{required} fell out of the window"
     assert names[:12] == [
-        "ivfapp", "bm25", "ivfdel", "bm25_d", "ivf_up", "bm25_u",
-        "st_del", "bm_pol", "ivfpit", "bm_pit", "st_bdl", "st_bup",
+        "ivfapp", "bm25", "ivfdel", "bm25d", "ivfup", "bm25u",
+        "stdel", "bmpol", "ivfpit", "bmpit", "stbdl", "stbup",
     ], f"r15 lifecycle lead drifted: {names[:12]}"
     # urlcn closes the window at slot 50 exactly; the displaced
     # r12-hashed riders (incremental first) ride behind and lead r16.
