@@ -1,9 +1,10 @@
-"""Shard-parallel IVF index build + merge (`imrg`): build independent
-index shards over disjoint corpus partitions under ONE frozen model,
-then merge them into a single index that is bit-identical to a
-single-pass build — THE pattern that makes a 100 TB index build
-tractable (no reference counterpart; the reference's whole corpus is a
-Drive folder, reference src/01-scrape-images.py:482-522).
+"""Shard-parallel index build + merge for BOTH indexes (`imrg` for the
+vector side; ``merge_bm25_indexes`` the lexical twin): build
+independent index shards over disjoint corpus partitions, then merge
+them into a single index that is bit-identical to a single-pass build
+— THE pattern that makes a 100 TB index build tractable (no reference
+counterpart; the reference's whole corpus is a Drive folder, reference
+src/01-scrape-images.py:482-522).
 
 Why this is the scale path: a monolithic ``build_ivf_index`` over
 100 TB is one giant job whose failure restarts everything.  Sharded,
@@ -97,6 +98,85 @@ def merge_ivf_indexes(
         [read_current(spark, f"{p}/stats") for p in shard_paths],
     )
     _merge_cell_stats(stats).write.mode("overwrite").parquet(f"{dest}/stats")
+
+
+def merge_bm25_indexes(
+    spark: SparkSession,
+    shard_paths: list[str],
+    dest: str,
+    shards: int | None = None,
+) -> None:
+    """The lexical twin: merge BM25 posting indexes built over DISJOINT
+    document partitions into one index equal to a single-pass
+    ``write_bm25_postings`` over everything — so the {vector, lexical}
+    maintenance matrix closes over MERGE too.
+
+    Same combinable-pair argument as the IVF merge: the stored corpus
+    stats are (n, sum_dl) — integer-valued doubles whose sums are exact
+    — so the merged stats fold by addition; postings are per-(doc,
+    term) rows, so a union over disjoint doc partitions IS the full
+    posting relation; and df is never stored (derived at query time as
+    count_distinct within a term's shard), so nothing df-shaped needs
+    reconciling.  ``term_shard`` is RECOMPUTED from the term on the way
+    through (one map-side hash), which makes the merge correct even
+    when shard indexes were written with different shard counts — every
+    term's postings land in exactly one output shard, the invariant
+    query-time df depends on.
+
+    Disjointness is the caller's contract (as vec_id uniqueness is for
+    the IVF merge): a doc_id present in two shard indexes would
+    double-count its postings.  Shards are read through their
+    generation pointers (live batches unioned, tombstones anti-joined),
+    so MAINTAINED shard indexes merge correctly."""
+    from newspapers_etl_spark.operators.retrieval import (
+        BM25_POSTING_SHARDS,
+        _live_posting_roots,
+    )
+    from newspapers_etl_spark.sinks.verified import (
+        current_pointer,
+        has_parquet_data,
+        read_current,
+        tombstoned_union,
+    )
+
+    if not shard_paths:
+        raise ValueError("merge_bm25_indexes needs at least one shard")
+    shards = BM25_POSTING_SHARDS if shards is None else shards
+    parts = []
+    for p in shard_paths:
+        ptr = current_pointer(f"{p}/stats")
+        parts.append(
+            tombstoned_union(
+                spark, p, ptr, _live_posting_roots(ptr), "doc_id"
+            )
+        )
+    union = reduce(DataFrame.union, parts).select(
+        "doc_id",
+        "term",
+        "tf",
+        "dl",
+        F.pmod(F.xxhash64("term"), F.lit(shards)).cast("int").alias(
+            "term_shard"
+        ),
+    )
+    union.repartition(shards, "term_shard").write.mode(
+        "overwrite"
+    ).partitionBy("term_shard").parquet(f"{dest}/postings")
+    if not has_parquet_data(f"{dest}/postings"):
+        # All shards empty: keep the merged index readable as zero rows
+        # (the write_bm25_postings fileless-root guard).
+        spark.createDataFrame(
+            [],
+            "doc_id bigint, term string, tf double, dl double, "
+            "term_shard int",
+        ).write.mode("overwrite").parquet(f"{dest}/postings")
+    stats = reduce(
+        DataFrame.union,
+        [read_current(spark, f"{p}/stats") for p in shard_paths],
+    )
+    stats.agg(
+        F.sum("n").alias("n"), F.sum("sum_dl").alias("sum_dl")
+    ).write.mode("overwrite").parquet(f"{dest}/stats")
 
 
 def index_cell_digest(codes: DataFrame, stats: DataFrame) -> DataFrame:

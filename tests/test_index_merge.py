@@ -159,3 +159,129 @@ def test_merged_index_composes_with_maintenance(spark, sf_dir, tmp_path):
     got = {r["vec_id"] for r in read_ivf_codes(spark, merged).collect()}
     want = {r["vec_id"] for r in e.select("vec_id").collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BM25 twin: merge_bm25_indexes
+# ---------------------------------------------------------------------------
+
+
+def _posting_rows(df):
+    return sorted(
+        (r["doc_id"], r["term"], r["tf"], r["dl"], r["term_shard"])
+        for r in df.collect()
+    )
+
+
+def _read_postings(spark, path):
+    from newspapers_etl_spark.operators.retrieval import _live_posting_roots
+    from newspapers_etl_spark.sinks.verified import (
+        current_pointer,
+        tombstoned_union,
+    )
+
+    ptr = current_pointer(f"{path}/stats")
+    return tombstoned_union(
+        spark, path, ptr, _live_posting_roots(ptr), "doc_id"
+    )
+
+
+def _doc_halves(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.filter(F.col("doc_id") % 2 == 0), d.filter(
+        F.col("doc_id") % 2 != 0
+    )
+
+
+@pytest.mark.heavy
+def test_bm25_merge_equals_single_build(spark, sf_dir, tmp_path):
+    """Merged postings, merged (n, sum_dl) pair AND the scored top-k
+    must equal a single-pass write over the undivided corpus — df needs
+    no reconciling because it is derived at query time."""
+    from newspapers_etl_spark.operators.index_merge import merge_bm25_indexes
+    from newspapers_etl_spark.operators.retrieval import (
+        retrieval_bm25_topk_from_postings,
+        write_bm25_postings,
+    )
+    from newspapers_etl_spark.sinks.verified import read_current
+
+    even, odd = _doc_halves(spark, sf_dir)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bm25_postings(spark, None, pa, docs=even)
+    write_bm25_postings(spark, None, pb, docs=odd)
+    merged = str(tmp_path / "merged")
+    merge_bm25_indexes(spark, [pa, pb], merged)
+
+    full = str(tmp_path / "full")
+    write_bm25_postings(spark, sf_dir, full)
+
+    assert _posting_rows(_read_postings(spark, merged)) == _posting_rows(
+        _read_postings(spark, full)
+    )
+    assert read_current(spark, f"{merged}/stats").collect() == read_current(
+        spark, f"{full}/stats"
+    ).collect()
+    got = retrieval_bm25_topk_from_postings(spark, merged).collect()
+    want = retrieval_bm25_topk_from_postings(spark, full).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+@pytest.mark.heavy
+def test_bm25_merge_normalizes_mixed_shard_counts(spark, sf_dir, tmp_path):
+    """term_shard is RECOMPUTED on the way through the merge, so shard
+    indexes written with different shard counts still merge into one
+    consistent layout — every term's postings in exactly one output
+    shard (the invariant query-time df depends on)."""
+    from newspapers_etl_spark.operators.index_merge import merge_bm25_indexes
+    from newspapers_etl_spark.operators.retrieval import write_bm25_postings
+
+    even, odd = _doc_halves(spark, sf_dir)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bm25_postings(spark, None, pa, docs=even, shards=4)
+    write_bm25_postings(spark, None, pb, docs=odd, shards=16)
+    merged = str(tmp_path / "merged")
+    merge_bm25_indexes(spark, [pa, pb], merged)
+
+    full = str(tmp_path / "full")
+    write_bm25_postings(spark, sf_dir, full)
+    assert _posting_rows(_read_postings(spark, merged)) == _posting_rows(
+        _read_postings(spark, full)
+    )
+    per_term = (
+        _read_postings(spark, merged)
+        .groupBy("term")
+        .agg(F.countDistinct("term_shard").alias("ns"))
+        .agg(F.max("ns"))
+        .collect()[0][0]
+    )
+    assert per_term == 1
+
+
+@pytest.mark.heavy
+def test_bm25_merge_reads_maintained_shard_through_pointer(
+    spark, sf_dir, tmp_path
+):
+    """A shard index that has since taken an append merges through its
+    pointer (base + live batch roots) — merged equals a single build
+    over everything the shards now contain."""
+    from newspapers_etl_spark.operators.index_merge import merge_bm25_indexes
+    from newspapers_etl_spark.operators.retrieval import (
+        append_bm25_postings,
+        write_bm25_postings,
+    )
+
+    even, odd = _doc_halves(spark, sf_dir)
+    a0 = even.filter(F.col("doc_id") % 4 == 0)
+    a1 = even.filter(F.col("doc_id") % 4 != 0)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bm25_postings(spark, None, pa, docs=a0)
+    append_bm25_postings(spark, None, pa, batch_id="b1", docs=a1)
+    write_bm25_postings(spark, None, pb, docs=odd)
+
+    merged = str(tmp_path / "merged")
+    merge_bm25_indexes(spark, [pa, pb], merged)
+    full = str(tmp_path / "full")
+    write_bm25_postings(spark, sf_dir, full)
+    assert _posting_rows(_read_postings(spark, merged)) == _posting_rows(
+        _read_postings(spark, full)
+    )
