@@ -53,7 +53,7 @@ GROUP BY fingerprint
 """
 
 
-@query("dd_ex", oracle=EXACT_DEDUP_ORACLE)
+@query("ddex", oracle=EXACT_DEDUP_ORACLE)
 def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup as hash-groupBy on the order-insensitive content
     fingerprint: keeper = lowest doc_id per group.  The 16-byte key is
@@ -1237,7 +1237,7 @@ FROM lab
 """
 
 
-@query("cc_cl", oracle=CLUSTERS_ORACLE)
+@query("cccl", oracle=CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified near-duplicate pair graph
     (pairs from dedup_emb_neardup, whose LSH planes are oracle-mirrored)

@@ -64,7 +64,7 @@ FROM html
 """
 
 
-@query("ex_fl", oracle=MANIFEST_FALLBACK_ORACLE)
+@query("exfl", oracle=MANIFEST_FALLBACK_ORACLE)
 def extract_manifest_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: first-pattern-wins fallback chain (reference tries data-src=
     then src=, src/01-scrape-images.py:270-279)."""
@@ -124,7 +124,7 @@ FROM named
 """
 
 
-@query("ex_dt", oracle=DATE_RECOMPOSE_ORACLE)
+@query("exdt", oracle=DATE_RECOMPOSE_ORACLE)
 def extract_date_recompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 pattern 3: rebuild YYYY-MM-DD from archive-filename digit groups
     (reference src/01-scrape-images.py:290-293), with the zero-padded

@@ -78,7 +78,7 @@ def _model_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     )
 
 
-@query("f_pq", oracle=FIT_PQ_ORACLE)
+@query("fpq", oracle=FIT_PQ_ORACLE)
 def fit_pq_codebook(
     spark: SparkSession, sf_dir: str, fit_fraction: float = 1.0
 ) -> DataFrame:
@@ -99,7 +99,7 @@ def fit_pq_codebook(
     return _model_df(spark, rows, "code int, dim int, val double")
 
 
-@query("f_pca")  # rows-only: eigenvector floats are model-derived
+@query("fpca")  # rows-only: eigenvector floats are model-derived
 def fit_pca_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA fit: d² covariance (map-side partials, d²-key
     shuffle) + d-vector mean + driver eigh.  Output: (component, dim,
@@ -117,7 +117,7 @@ def fit_pca_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("f_anc", oracle=FIT_ANC_ORACLE)
+@query("fanc", oracle=FIT_ANC_ORACLE)
 def fit_anchor_centroids(
     spark: SparkSession, sf_dir: str, fit_fraction: float = 1.0
 ) -> DataFrame:

@@ -139,7 +139,7 @@ FROM customer
 """
 
 
-@query("pii_m", oracle=PII_MASK_ORACLE)
+@query("piim", oracle=PII_MASK_ORACLE)
 def pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction as a pure projection: star out every digit of the
     identifier run except the last four (the phone/account-number scrub

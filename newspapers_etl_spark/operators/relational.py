@@ -157,7 +157,7 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-@query("q1_pr", oracle=Q1_ORACLE)
+@query("q1pr", oracle=Q1_ORACLE)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the canonical partial-agg showcase —
     map-side combine collapses every scan partition to ≤6 rows pre-shuffle."""
@@ -289,7 +289,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a_ndv")  # rows-only: HLL estimates are engine-specific
+@query("andv")  # rows-only: HLL estimates are engine-specific
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct — the 100 TB path where exact distinct would
     shuffle every key; HLL sketches merge associatively so this needs one
@@ -519,7 +519,7 @@ FROM orders
 """
 
 
-@query("w_frm", oracle=RUNNING_ORACLE)
+@query("wfrm", oracle=RUNNING_ORACLE)
 def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic windows: running frame sum, lag delta, rank — one shuffle on
     o_custkey serves all three (same partitioning/ordering)."""
@@ -550,7 +550,7 @@ LIMIT 10
 """
 
 
-@query("tk_ln", oracle=TOPK_ORACLE)
+@query("tkln", oracle=TOPK_ORACLE)
 def topk_net_price_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: Catalyst plans TakeOrderedAndProject — per-partition
     heap of k then a k-row merge on the driver, no global sort at 100 TB."""

@@ -184,7 +184,7 @@ FROM manifests m LEFT JOIN (
 """
 
 
-@query("exp_o", oracle=EXPLODE_OUTER_ORACLE)
+@query("expo", oracle=EXPLODE_OUTER_ORACLE)
 def explode_outer_empty_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode_outer: the issue→files fan-out (J3) that KEEPS issues
     whose manifest has no pages (NULL page row) — a plain explode

@@ -1,7 +1,7 @@
 """KMV (k-minimum-values) distinct sketch — the hand-built mergeable
 NDV estimator (Bar-Yossef et al. 2002; Beyer et al., SIGMOD 2007).
 
-Spark ships HLL (`approx_count_distinct`, registered as `a_ndv`);
+Spark ships HLL (`approx_count_distinct`, registered as `andv`);
 KMV is the complementary sketch a pipeline wants when it needs
 (a) a MERGEABLE summary it can store and combine across partitions /
 days / sources with plain SQL (the merge of two KMV sets is just
@@ -82,7 +82,7 @@ def kmv_vocabulary_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     KMV sketch: (lang, n_kept, est_ndv).  The error bound vs the exact
     per-language distinct count and the EXACT merge property (sketch of
     part A ∪ part B == sketch of whole) are pytest-asserted; values are
-    hash-derived, hence rows-only like `a_ndv`."""
+    hash-derived, hence rows-only like `andv`."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "lang", F.explode(words("text")).alias("tok")

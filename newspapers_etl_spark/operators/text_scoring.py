@@ -56,7 +56,7 @@ GROUP BY lang, len_bucket
 """
 
 
-@query("len_h", oracle=LEN_HIST_ORACLE)
+@query("lenh", oracle=LEN_HIST_ORACLE)
 def text_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language power-of-two length histogram over the pre-computed
     n_chars column — the scan reads exactly two columns (asserted
@@ -147,7 +147,7 @@ GROUP BY lang_true, lang_pred
 """
 
 
-@query("lg_cf", oracle=_lang_conf_oracle())
+@query("lgcf", oracle=_lang_conf_oracle())
 def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the marker-lexicon language classifier
     against the labeled lang column — the evaluation loop every

@@ -42,11 +42,11 @@ ORACLE: dict[str, str] = {}
 #       (bmpol), index_pit 2 (ivf_pit, bmpit), bm25_upkeep_stream 2
 #       (stbdl, stbup) = slots 1-12.  AMENDMENT (the verdict caught
 #       the original plan inverting the oldest-first rule): dedup 10
-#       takes slots 13-22 — its nine non-dd_ex rows (jacc/ddemb/ddspn/
-#       decon/cc_cl oracle-backed, lshst/lshver/shprs/shbkts
+#       takes slots 13-22 — its nine non-ddex rows (jacc/ddemb/ddspn/
+#       decon/cccl oracle-backed, lshst/lshver/shprs/shbkts
 #       rows-only) last took driver rows in r10, the OLDEST history in
 #       the union, and the original plan would have ridden them to r16+
-#       (5+ rounds stale); dd_ex re-hashes with its module as the
+#       (5+ rounds stale); ddex re-hashes with its module as the
 #       contiguity price.  Then the r12-hashed stale families in their
 #       current tail order: embedding_drift 1, similarity 5 (before
 #       ann_eval), ann_eval 1, pandas_surface 3, multimodal 4,
@@ -74,6 +74,11 @@ ORACLE: dict[str, str] = {}
 #       map, 37 underscore-drops on 6-char names — BASELINE.md), also
 #       executed before the driver run (so 20 window names land their
 #       r15 rows under wave-13 names — the wave-11/-12 precedent).
+#       mxsim (late-interaction MaxSim, operators/late_interaction.py)
+#       likewise post-window, paid by wave 13b ("r15c" map, 20
+#       underscore-drops on 5-char names + f_pq — the LAST underscored
+#       names; future registrations need value-width or new-name
+#       budget, not another drop wave).
 #   r14 (executed): the five r13 post-window registrations lead —
 #       they were the only queries without a driver row after r13.
 #       Import-splice constraints, worked out: index_upsert top-level-
@@ -86,7 +91,7 @@ ORACLE: dict[str, str] = {}
 #       imports index_upsert + ivf_maintenance (satisfied).  Declared
 #       order therefore: ivf_maintenance 1, retrieval 1, ivf_refresh 2,
 #       index_upsert 2 (ivfup, bm25u), bm25_stream 1 (st_bm25),
-#       maintenance_policy 1 (mnt_pol), upsert_stream 1 (st_up) =
+#       maintenance_policy 1 (mnt_pol), upsert_stream 1 (stup) =
 #       slots 1-9.  Then the r10-hashed stale families: model_fit 3,
 #       extraction_queries 8, text_scoring 6, relational 21 (slots
 #       10-47; its single r13 row expl_w rides the module), and
@@ -118,12 +123,12 @@ ORACLE: dict[str, str] = {}
 #       sinks.verified 1, dedup_scale 1, corpus_overlap 2,
 #       incremental_stream 4) at slots 8-46, the r10-hashed
 #       drift_monitor/retrieval_eval/text_lm singletons at 47-49, and
-#       dedup STRADDLES the boundary (dd_ex closes the window at slot
+#       dedup STRADDLES the boundary (ddex closes the window at slot
 #       50; its 9 siblings ride).  model_fit/extraction_queries/
 #       text_scoring and relational's 20 r10-hashed queries keep their
 #       rows and rotate in r14.  NEW r13 ops (ivfup/bm25u index
 #       upsert, st_bm25 streaming posting ingestion, mnt_pol gated
-#       maintenance-policy chain, st_up streaming re-embedding upsert)
+#       maintenance-policy chain, stup streaming re-embedding upsert)
 #       registered post-window at the list tail and lead r14; their
 #       registrations executed rename waves 10 and 10b (25 + 8 renames,
 #       r13/r13b maps — BASELINE.md).
@@ -143,7 +148,7 @@ ORACLE: dict[str, str] = {}
 #       dedup_scale 1, corpus_overlap 2, incremental_stream 4) = 46,
 #       drift_monitor 1 + retrieval_eval 1 + text_lm 1 = 49, and dedup
 #       STRADDLES the boundary (the expl_wrd trick: its first query
-#       dd_ex closes the window at slot 50, the other 9 ride).
+#       ddex closes the window at slot 50, the other 9 ride).
 #       model_fit/extraction/text_scoring and relational keep their
 #       r11/r10 rows and rotate in r13.
 #       Any NEW r12 registration triggers rename wave 10 (candidates in
@@ -360,7 +365,7 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.bm25_policy",         # 1   bmpol: FIRST driver row (NEW r14) — slot 8
     "newspapers_etl_spark.operators.index_pit",           # 2   ivf_pit, bmpit: FIRST driver rows (NEW r14) — slots 9-10
     "newspapers_etl_spark.streaming.bm25_upkeep_stream",  # 2   stbdl, stbup: FIRST driver rows (NEW r14) — slots 11-12
-    "newspapers_etl_spark.operators.dedup",               # 10  AMENDMENT: 9 rows r10-stale (oldest union history) + dd_ex r13 — slots 13-22
+    "newspapers_etl_spark.operators.dedup",               # 10  AMENDMENT: 9 rows r10-stale (oldest union history) + ddex r13 — slots 13-22
     "newspapers_etl_spark.operators.embedding_drift",     # 1   hashed r12 — slot 23
     "newspapers_etl_spark.operators.similarity",          # 5   hashed r12 (must precede ann_eval: top-level import) — slots 24-28
     "newspapers_etl_spark.operators.ann_eval",            # 1   hashed r12 — slot 29
@@ -419,6 +424,7 @@ _OPERATOR_MODULES = (
     "newspapers_etl_spark.operators.filtered_ann",        # 1   fann  (NEW r15)
     "newspapers_etl_spark.operators.index_merge",         # 1   imrg  (NEW r15)
     "newspapers_etl_spark.operators.chunking",            # 1   chnk  (NEW r15)
+    "newspapers_etl_spark.operators.late_interaction",    # 1   mxsim (NEW r15)
 )
 
 _loaded = False

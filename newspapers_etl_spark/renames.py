@@ -4,7 +4,7 @@ The bench driver captures only the last ~2000 characters of stdout, so
 three rename waves (rounds 3 and 4, tables in BASELINE.md) compacted
 long registry names to keep the full per-query timing map inside the
 window.  Every wave rewrote the name→history join: BENCH_r02's
-``agg_approx_distinct`` is today's ``a_ndv`` only via TWO hops.
+``agg_approx_distinct`` is today's ``andv`` only via TWO hops.
 
 ``RENAMES.json`` is the machine-readable form of those tables —
 ``{"r3": {old: new, ...}, "r4": {...}}`` — and :func:`resolve` chains a

@@ -92,7 +92,7 @@ GROUP BY 1
 """
 
 
-@query("s_csv", oracle=CSV_ROUNDTRIP_ORACLE)
+@query("scsv", oracle=CSV_ROUNDTRIP_ORACLE)
 def csv_roundtrip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write nation + region to genuine CSV files (headers, quoting,
     Spark's multi-part layout), read them back PERMISSIVE under the
@@ -146,7 +146,7 @@ GROUP BY 1
 """
 
 
-@query("s_xml", oracle=XML_ROUNDTRIP_ORACLE)
+@query("sxml", oracle=XML_ROUNDTRIP_ORACLE)
 def xml_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip the documents table through XML (Spark 4's native XML
     source) under the declared catalog schema, then roll up per lang
@@ -189,7 +189,7 @@ GROUP BY 1, 2
 """
 
 
-@query("s_orc", oracle=ORC_ROUNDTRIP_ORACLE)
+@query("sorc", oracle=ORC_ROUNDTRIP_ORACLE)
 def orc_roundtrip_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip the fact table through ORC — Spark's second native
     columnar format, the interchange target for Hive-era lakes — read
@@ -227,7 +227,7 @@ GROUP BY 1, 2
 """
 
 
-@query("s_jsl", oracle=JSONL_ROUNDTRIP_ORACLE)
+@query("sjsl", oracle=JSONL_ROUNDTRIP_ORACLE)
 def jsonl_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip the documents table through genuine JSON-lines files
     (Spark json writer — real escaping of quotes/newlines/unicode in

@@ -17,7 +17,7 @@ src/01-scrape-images.py); both compose two already-verified layers —
 Structured Streaming's offsets/restart semantics and the posting
 index's tombstone + applied-ledger protocol — so a replayed epoch
 no-ops its published half and applies the rest: exactly-once index
-mutation from an at-least-once stream, the stivf/st_up story.
+mutation from an at-least-once stream, the stivf/stup story.
 
 Correctness is micro-batch-split invariance again: tombstone roots
 accumulate (readers anti-join their union), posting rows are a pure
@@ -32,7 +32,7 @@ under per-epoch id disjointness — ``upsert_stream.py``'s analysis).
 BOTH readers re-derive the OLD rows from the caller's system of record
 by a broadcast left-semi join on the batch's ids — the takedown
 pipeline holds ids, the editor holds new text, the corpus holds what
-was indexed.  ORDERING CONTRACT (the st_up posture): ``corpus`` must
+was indexed.  ORDERING CONTRACT (the stup posture): ``corpus`` must
 still hold the INDEXED text for every id in flight — apply the
 edits/purges to the system of record only after the stream drains, or
 pass a pre-wave snapshot; otherwise the delete half re-tokenizes the

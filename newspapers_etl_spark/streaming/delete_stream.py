@@ -2,7 +2,7 @@
 stream of RETIRED ids whose every micro-batch is one O(batch) tombstone
 delete — the fourth and last leg of the streaming maintenance surface
 (ingest ``stivf``, posting ingest ``st_bm25``, re-embedding upsert
-``st_up``, retirement ``stdel``), and the shape deletions actually
+``stup``, retirement ``stdel``), and the shape deletions actually
 arrive in at 100 TB: takedown notices and dedup verdicts land as id
 LISTS in waves, not as one bulk purge.
 
@@ -11,7 +11,7 @@ src/01-scrape-images.py persists everything it scrapes); this composes
 two already-verified layers:
 
 - Structured Streaming supplies ordering, offset tracking and restart
-  semantics (the stivf/st_bm25/st_up pattern);
+  semantics (the stivf/st_bm25/stup pattern);
 - ``delete_from_ivf_index`` supplies atomicity and idempotency
   (root-scoped ``tombs-batch-<id>`` roots + the ``applied_deletes``
   ledger + one generation-pointer publish), so a micro-batch REPLAYED
@@ -78,7 +78,7 @@ def stream_delete_ivf(
     index (each id retired once — the delete membership contract lifted
     to the stream).
 
-    ORDERING CONTRACT (the st_up posture): because the subtraction
+    ORDERING CONTRACT (the stup posture): because the subtraction
     re-derives the retired rows from ``corpus`` AT DRAIN TIME, the
     system of record must still hold the indexed embeddings for every
     id in flight — purge the corpus rows only after the stream has

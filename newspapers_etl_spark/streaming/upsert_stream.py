@@ -2,7 +2,7 @@
 stream of REPLACEMENT embeddings whose every micro-batch is one
 composed delete+append upsert — the third leg of the streaming
 maintenance trio (ingest ``stivf``, posting ingest ``st_bm25``,
-update ``st_up``), and the shape the most common 100 TB index mutation
+update ``stup``), and the shape the most common 100 TB index mutation
 actually arrives in: an embedding-model upgrade re-embeds existing ids
 in WAVES from the embedder, not one bulk swap (exactly the scenario
 the maintenance-policy chain monitors for).
@@ -27,7 +27,7 @@ again, with one new ingredient: a later epoch's tombstone also covers
 an earlier epoch's append root, which is harmless because update waves
 touch disjoint ids per epoch (each replaced id appears in exactly one
 micro-batch — the file source reads each file once), so the final
-index equals the one bulk upsert and the registered ``st_up`` query
+index equals the one bulk upsert and the registered ``stup`` query
 shares ``ivfup``'s oracle verbatim.
 """
 
@@ -110,7 +110,7 @@ def stream_upsert_ivf(
     q.awaitTermination()
 
 
-@query("st_up", oracle=IVF_UP_ORACLE)
+@query("stup", oracle=IVF_UP_ORACLE)
 def stream_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ivfup's exact contract with the update wave arriving as a
     STREAM: index the full corpus under the frozen fit-slice models,

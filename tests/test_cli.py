@@ -32,7 +32,7 @@ def test_parser_requires_operation_arguments():
 def test_list_prints_registry(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
-    assert "q1_pr\toracle" in out
+    assert "q1pr\toracle" in out
     assert len(out.strip().splitlines()) >= 70
 
 
@@ -68,7 +68,7 @@ def test_explain_unknown_query_fails_cleanly(spark):
 
 
 def test_lint_single_query_clean(spark, sf_dir, capsys):
-    assert main(["--sf-dir", sf_dir, "lint", "--name", "q1_pr"]) == 0
+    assert main(["--sf-dir", sf_dir, "lint", "--name", "q1pr"]) == 0
     assert "0 violations" in capsys.readouterr().err
 
 

@@ -499,3 +499,20 @@ def test_filtered_ann_broadcasts_probes_never_shuffles_corpus(
     join_line = plan.split("BroadcastHashJoin")[1].splitlines()[0]
     assert "cell" in join_line and "label" in join_line, join_line
     assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+
+
+def test_maxsim_reductions_share_one_exchange(spark, plan_sf_dir):
+    """mxsim's scale contract: the probe token set is broadcast (the
+    corpus token relation is scored in place) and BOTH MaxSim
+    reductions — per-token max, per-doc sum — ride ONE (qdoc, doc)
+    exchange with map-side partial max folding before it; the only
+    other exchange is the final per-probe ranking window."""
+    from newspapers_etl_spark.operators.late_interaction import (
+        late_interaction_maxsim,
+    )
+
+    plan = _plan(late_interaction_maxsim(spark, plan_sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:1500]
+    assert "partial_max" in plan, "per-token max not folded map-side"

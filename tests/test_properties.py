@@ -364,10 +364,10 @@ def test_lm_surprisal_differential_vs_duckdb_on_any_corpus(spark, docs):
 # fixture-sweep agreement is the contract; adversarial unicode would
 # test DuckDB's regex engine, not this repo.)
 _GENERATED_CORPUS_QUERIES = (
-    "dd_ex",
+    "ddex",
     "ddchk",
     "tokens",
-    "len_h",
+    "lenh",
     "lgid",
     "split3",
     "strat",

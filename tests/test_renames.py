@@ -84,8 +84,8 @@ def test_compare_rounds_parses_driver_capture_formats(tmp_path):
     tail_only = tmp_path / "tail.json"
     line = _json.dumps({"metric": "wall", "queries": {"agg_approx_distinct": 3.0}})
     tail_only.write_text(_json.dumps({"tail": "junk\n" + line, "parsed": None}))
-    # chained rename: agg_approx_distinct -> ... -> agg_ndv -> a_ndv (r13)
-    assert mod._load_capture(tail_only) == {"a_ndv": 3.0}
+    # chained rename: agg_approx_distinct -> ... -> agg_ndv -> andv (r13)
+    assert mod._load_capture(tail_only) == {"andv": 3.0}
 
     broken = tmp_path / "broken.json"
     broken.write_text("{not json")

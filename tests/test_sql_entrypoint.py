@@ -179,7 +179,7 @@ def test_registry_registration_order_is_contiguous_per_module():
     # at slots 7-12 behind the six queries whose modules they top-level-
     # import (ivfapp/bm25/ivfdel/bm25d/ivfup/bm25u at slots 1-6 —
     # the import price), then the AMENDED dedup block (nine r10-stale
-    # rows + dd_ex) at slots 13-22, the r12-hashed stale families at
+    # rows + ddex) at slots 13-22, the r12-hashed stale families at
     # 23-48, and diagnostics/url_ops closing the window (urlcn at 50
     # exactly, no straddle).
     window = set(names[:50])
@@ -189,14 +189,14 @@ def test_registry_registration_order_is_contiguous_per_module():
         # import price: their modules must precede the newcomers
         "ivfapp", "bm25", "ivfdel", "bm25d", "ivfup", "bm25u",
         # the amended dedup block: nine r10-stale rows (oldest union
-        # history) + dd_ex riding its module
-        "dd_ex", "jacc", "ddspn", "lshst", "lshver", "ddemb",
-        "shprs", "shbkts", "decon", "cc_cl",
+        # history) + ddex riding its module
+        "ddex", "jacc", "ddspn", "lshst", "lshver", "ddemb",
+        "shprs", "shbkts", "decon", "cccl",
         # the r12-hashed stale families
         "dremb", "bftk", "cents", "lshtk", "ivftk", "annst",
         "ivfrec", "pdsts", "pdchk", "pdqnt",
         "mmman", "mmmet", "mmfrm", "mmdec",
-        "q3shp", "q5vol", "unpvt", "exp_o", "apctl", "tdig",
+        "q3shp", "q5vol", "unpvt", "expo", "apctl", "tdig",
         "argmm", "wdist", "cohrt",
         "scd2", "s2pit", "scdenr", "skew", "urlcn",
     ):

@@ -13,7 +13,7 @@ host?  Six runs is the documented protocol (first run carries
 codegen).
 
 Usage:
-    python tools/remeasure.py acdst lg_cf lshst lshtk ivfrb
+    python tools/remeasure.py acdst lgcf lshst lshtk ivfrb
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_RUNS=6 \
         python tools/remeasure.py <names...>
 
