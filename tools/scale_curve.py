@@ -188,10 +188,40 @@ def main() -> int:
             "ivf_rebuild", factor, n_rows,
             _t(lambda: rebuild_ivf_index(spark, e, ivf)),
         )
+        # Shard-parallel build + merge (operators/index_merge.py): the
+        # two shard builds are the already-measured O(corpus) cost
+        # split in half (and embarrassingly parallel on a cluster);
+        # what the curve pins is the MERGE step — expected to grow
+        # O(index rows) like compaction (it rewrites the codes union)
+        # and to stay well under a build at every scale (no model fit,
+        # no encode, no corpus-text scan).
+        from newspapers_etl_spark.operators.index_merge import (
+            merge_bm25_indexes,
+            merge_ivf_indexes,
+        )
+
+        ia, ib, im = f"{root}/ivf-a", f"{root}/ivf-b", f"{root}/ivf-m"
+        build_ivf_index(spark, e.filter("vec_id % 2 = 0"), ia, models=models)
+        build_ivf_index(spark, e.filter("vec_id % 2 = 1"), ib, models=models)
+        emit(
+            "ivf_merge", factor, n_rows,
+            _t(lambda: merge_ivf_indexes(spark, [ia, ib], im)),
+        )
 
         emit(
             "bm25_build", factor, n_rows,
             _t(lambda: write_bm25_postings(spark, None, bm, docs=d)),
+        )
+        ba, bb, bmm = f"{root}/bm-a", f"{root}/bm-b", f"{root}/bm-m"
+        write_bm25_postings(
+            spark, None, ba, docs=d.filter("doc_id % 2 = 0")
+        )
+        write_bm25_postings(
+            spark, None, bb, docs=d.filter("doc_id % 2 = 1")
+        )
+        emit(
+            "bm25_merge", factor, n_rows,
+            _t(lambda: merge_bm25_indexes(spark, [ba, bb], bmm)),
         )
         emit(
             "bm25_append_fixed", factor, n_rows,
