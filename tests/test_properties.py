@@ -549,3 +549,123 @@ def test_embedding_ops_match_oracle_on_any_corpus(
         (ivf_append_roundtrip, IVF_APP_ORACLE),
     ):
         assert_matches_oracle(fn(spark, tmp), con, oracle_sql)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+            ),
+            min_size=0,
+            max_size=700,
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_chunking_differential_vs_python_on_any_text(spark, texts):
+    """chunk_relation vs a pure-Python reference chunker on arbitrary
+    unicode: identical (doc, ix, id, md5, len) rows — pins the 1-based
+    CHARACTER (not byte) window semantics and UTF-8 hashing across any
+    input, including multibyte, empty and single-char texts."""
+    import hashlib
+
+    from newspapers_etl_spark.operators.chunking import (
+        STRIDE,
+        WINDOW,
+        chunk_relation,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = sorted(
+        map(
+            tuple,
+            chunk_relation(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            ).collect(),
+        )
+    )
+    want = []
+    for doc_id, t in rows:
+        if t is None or len(t) == 0:
+            continue
+        for ix in range((len(t) - 1) // STRIDE + 1):
+            w = t[ix * STRIDE : ix * STRIDE + WINDOW]
+            want.append(
+                (
+                    doc_id,
+                    ix,
+                    hashlib.md5(f"{doc_id}:{ix}".encode()).hexdigest(),
+                    hashlib.md5(w.encode("utf-8")).hexdigest(),
+                    len(w),
+                )
+            )
+    assert got == sorted(want)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-2.0,
+                max_value=2.0,
+                allow_nan=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=0,
+        max_size=24,
+    )
+)
+@settings(**SETTINGS)
+def test_maxsim_differential_vs_numpy_on_any_vectors(spark, vecs):
+    """maxsim_topk vs a numpy reference on arbitrary float32 token
+    vectors (zero vectors filtered — cosine undefined): identical
+    (probe, doc, score) sets and identical ranking."""
+    import numpy as np
+
+    from newspapers_etl_spark.operators.late_interaction import (
+        TOKENS_PER_DOC,
+        maxsim_topk,
+        token_relation,
+    )
+
+    arr = [v for v in vecs if any(abs(x) > 1e-6 for x in v)]
+    rows = [(i, v) for i, v in enumerate(arr)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["probe_doc"], r["doc_id"]): (r["score"], r["rnk"])
+        for r in maxsim_topk(token_relation(e), n_probe_docs=1).collect()
+    }
+
+    by_doc: dict[int, list] = {}
+    for i, v in rows:
+        f32 = np.asarray(v, dtype=np.float32).astype(np.float64)
+        by_doc.setdefault(i // TOKENS_PER_DOC, []).append(f32)
+    want = {}
+    if 0 in by_doc:
+        for doc, toks in by_doc.items():
+            if doc == 0:
+                continue
+            score = 0.0
+            for q in by_doc[0]:
+                sims = [
+                    round(
+                        float(q @ d)
+                        / (np.sqrt(q @ q) * np.sqrt(d @ d)),
+                        6,
+                    )
+                    for d in toks
+                ]
+                score += max(sims)
+            want[(0, doc)] = round(score, 6)
+    assert {k: v[0] for k, v in got.items()} == want
+    # ranks: dense by score desc, doc asc
+    ranked = sorted(want, key=lambda k: (-want[k], k[1]))
+    assert {k: got[k][1] for k in got} == {
+        k: i + 1 for i, k in enumerate(ranked)
+    }
