@@ -67,7 +67,10 @@ def merge_ivf_indexes(
     The merged index is a complete first-generation layout (model/,
     cell-partitioned codes/, stats/) with no pointer: appends, deletes,
     compaction, policy monitoring and PIT reads compose on it exactly
-    as on a built index."""
+    as on a built index.  ``dest`` must be fresh or wiped by the caller
+    (the ``scratch_index_dir`` convention ``build_ivf_index`` shares):
+    parquet overwrite would NOT remove a previous life's generation
+    pointer under ``dest/stats``, and readers resolve through it."""
     from newspapers_etl_spark.sinks.verified import read_current
 
     if not shard_paths:

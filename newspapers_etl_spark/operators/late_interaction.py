@@ -76,7 +76,11 @@ QUALIFY rnk <= {MAXSIM_TOP_K}
 def token_relation(e: DataFrame, tokens_per_doc: int = TOKENS_PER_DOC) -> DataFrame:
     """(doc, vec_id, embedding, nrm): the corpus token-vector relation,
     documents = contiguous vec_id groups.  Norms computed once per
-    token row, before any scoring join (the `bftk` discipline)."""
+    token row, before any scoring join (the `bftk` discipline).
+
+    ids must be non-negative (the fixtures' contract): Spark's ``DIV``
+    truncates toward zero while DuckDB's ``//`` floors, so a negative
+    vec_id would group differently across engines."""
     return e.filter(F.col("embedding").isNotNull()).select(
         F.expr(f"vec_id DIV {tokens_per_doc}").alias("doc"),
         "vec_id",
