@@ -23,6 +23,69 @@ BM25_TOP_K = 50
 # the Spark plan and the DuckDB oracle score the identical term set.
 BM25_QUERY_TERMS = ("join", "vector", "stream", "window")
 
+# The single-probe oracle builder lives here (not retrieval.py) for the
+# same no-registration reason: index_merge's bmmrg needs the replay SQL
+# at IMPORT time, and a top-level index_merge -> retrieval import would
+# splice bm25's registration into index_merge's registry slot.
+_TERMS_SQL = "', '".join(BM25_QUERY_TERMS)
+
+
+def bm25_oracle_sql(
+    where: str | None = None,
+    source: str = "documents",
+    prelude: str = "",
+) -> str:
+    """The BM25 replay SQL, optionally over a narrowed or substituted
+    corpus — ``where`` filters the documents feeding the index (the
+    deletion oracle scores the survivors), ``source``/``prelude`` swap
+    the corpus for a prepended CTE (the upsert oracle scores the corpus
+    with updated rows substituted); the defaults are byte-identical to
+    the registered ``bm25`` oracle."""
+    extra = f"\n  WHERE {where}" if where else ""
+    return rf"""
+WITH {prelude}toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ts
+  FROM {source}{extra}
+),
+dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM toks),
+hits AS (
+  SELECT doc_id, unnest(ts) AS term FROM toks
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM hits WHERE term IN ('{_TERMS_SQL}')
+  GROUP BY doc_id, term
+),
+dft AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dft
+  FROM hits WHERE term IN ('{_TERMS_SQL}')
+  GROUP BY term
+),
+stats AS (
+  -- sum(dl)/count, not avg(dl): dl values are integer-valued, so the
+  -- sum is exact in double regardless of accumulation order and the
+  -- single division is the identical IEEE op on both engines (avg's
+  -- internal accumulation is engine- and order-specific)
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) / count(*) AS avgdl FROM dl
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(CAST(round(
+           ln(1 + (stats.n - dft.dft + 0.5) / (dft.dft + 0.5))
+           * tf.tf * ({BM25_K1} + 1)
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+           * 1e9) AS BIGINT)) AS s9
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(CAST(s9 AS DOUBLE) / 1e9, 6) AS score
+FROM scored
+ORDER BY s9 DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Batch scoring: the fixed literal query set shared by bm25b (the
 # registered batch scorer) and ndcg (the evaluation over its ranking).

@@ -37,6 +37,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
+# bm25_common registers nothing — the safe import-time source for the
+# replay SQL (a top-level retrieval import here would splice bm25's
+# registration into this module's registry slot).
+from newspapers_etl_spark.functions.bm25_common import bm25_oracle_sql
 from newspapers_etl_spark.operators.ivf_maintenance import (
     _OC_CELLS,
     FIT_PREDICATE,
@@ -294,3 +298,38 @@ def ivf_shard_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_cell_digest(
         read_ivf_codes(spark, dest), read_current(spark, f"{dest}/stats")
     )
+
+
+BMMRG_ORACLE = bm25_oracle_sql()
+
+
+@query("bmmrg", oracle=BMMRG_ORACLE)
+def bm25_shard_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lexical twin of ``imrg``, end-to-end on the fixture: build
+    TWO BM25 posting indexes over the even/odd halves of the documents
+    table, merge them with ``merge_bm25_indexes``, and score the fixed
+    probe query against the MERGED index through the standard pruned
+    read path (``retrieval_bm25_topk_from_postings`` — term_shard
+    partition pruning + pushed term predicate, tombstone-aware).
+
+    The oracle is the direct undivided-corpus BM25 replay — byte-equal
+    to the registered ``bm25`` oracle — so a hash match proves the
+    whole chain: shard builds over disjoint halves, posting union,
+    term_shard recompute, and the (n, sum_dl) stat fold reproduce the
+    single-pass index exactly, down to the 1e-9-scaled integer score
+    partials.  No model to fit (unlike ``imrg``): BM25's only cross-
+    shard state IS the combinable stats pair, which is why the merge
+    needs no empty-fit guard."""
+    from newspapers_etl_spark.operators.retrieval import (
+        retrieval_bm25_topk_from_postings,
+        write_bm25_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pa = scratch_index_dir("bm-mrg-a", sf_dir)
+    pb = scratch_index_dir("bm-mrg-b", sf_dir)
+    dest = scratch_index_dir("bm-mrg", sf_dir)
+    write_bm25_postings(spark, None, pa, docs=docs.filter(F.col("doc_id") % 2 == 0))
+    write_bm25_postings(spark, None, pb, docs=docs.filter(F.col("doc_id") % 2 != 0))
+    merge_bm25_indexes(spark, [pa, pb], dest)
+    return retrieval_bm25_topk_from_postings(spark, dest)

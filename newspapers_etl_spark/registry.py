@@ -26,33 +26,39 @@ ORACLE: dict[str, str] = {}
 # families with the least oracle-verification history go FIRST.
 #
 # ROTATION POLICY (one line per round, newest first):
-#   r16 (LEDGERED, execute first thing next round): the five r15
-#       post-window registrations (manif, fann, imrg, chnk, mxsim)
-#       lead — after the r15 driver run they are the only queries
-#       without a driver row.  Import prices verified this round:
-#       index_merge top-level-imports ivf_maintenance; filtered_ann
-#       imports similarity; run_manifest/chunking/late_interaction
-#       import NO operator modules (run_manifest's index_pit/corpus/
-#       scd uses are all function-level — AST-checked).  Declared
-#       order therefore: ivf_maintenance 1 (ivfapp re-hash, import
-#       price), index_merge 1 (imrg FIRST row), similarity 5 (re-hash,
-#       import price), filtered_ann 1 (fann FIRST), chunking 1 (chnk
-#       FIRST), late_interaction 1 (mxsim FIRST), run_manifest 1
-#       (manif FIRST) = slots 1-11.  Then retrieval 1 (bm25 re-hash —
-#       import price for retrieval_fusion) and scd 3 (re-hash — import
-#       price for scd_stream) at 12-15, and the 19 r12-hashed riders
-#       (oldest history in the union after r15): incremental 3,
+#   r16 (LEDGERED, execute first thing next round): the six r15
+#       post-window registrations (manif, fann, imrg, bmmrg, chnk,
+#       mxsim) lead — after the r15 driver run they are the only
+#       queries without a driver row.  Import prices verified this
+#       round: index_merge top-level-imports ivf_maintenance (+
+#       bm25_common, which registers nothing); filtered_ann imports
+#       similarity; run_manifest/chunking/late_interaction import NO
+#       operator modules (run_manifest's index_pit/corpus/scd uses are
+#       all function-level — AST-checked).  Declared order therefore:
+#       ivf_maintenance 1 (ivfapp re-hash, import price), index_merge
+#       2 (imrg + bmmrg FIRST rows), similarity 5 (re-hash, import
+#       price), filtered_ann 1 (fann FIRST), chunking 1 (chnk FIRST),
+#       late_interaction 1 (mxsim FIRST), run_manifest 1 (manif FIRST)
+#       = slots 1-12.  Then retrieval 1 (bm25 re-hash — import price
+#       for retrieval_fusion) and scd 3 (re-hash — import price for
+#       scd_stream) at 13-16, and the 19 r12-hashed riders (oldest
+#       history in the union after r15): incremental 3,
 #       snapshot_diff 1, events_analytics 3, sampling_extended 3,
 #       enrichment 1, scd_stream 1, stateful 1, retrieval_fusion 2,
 #       semantic_dedup 2 (MUST precede ivfadc: top-level import),
-#       ivfadc 2 = slots 16-34.  Tail of the window: r13-hashed
+#       ivfadc 2 = slots 17-35.  Tail of the window: r13-hashed
 #       oldest-first — pca 2, rollup 2, sketches 1, text_formats 4,
-#       data_quality 1, corpus 5 (slots 35-49), and drift_monitor 1
-#       closes slot 50 exactly, no straddle.  Riding (r13-hashed, lead
-#       the r17 tail): sampling 2, text_analysis 6, events_windows 6,
-#       pipeline 2, sinks.verified 1, dedup_scale 1, corpus_overlap 2,
+#       data_quality 1, corpus 5 (slots 36-50) — the window closes on
+#       corpus's last query at slot 50 exactly, no straddle;
+#       drift_monitor 1 (displaced by bmmrg) rides.  Riding
+#       (r13-hashed, lead the r17 tail): drift_monitor 1, sampling 2,
+#       text_analysis 6, events_windows 6, pipeline 2,
+#       sinks.verified 1, dedup_scale 1, corpus_overlap 2,
 #       incremental_stream 4, retrieval_eval 1, text_lm 1; everything
-#       r14/r15-hashed rides behind them.
+#       r14/r15-hashed rides behind them.  bmmrg (the BM25 shard-merge
+#       twin) registered LATE in r15 after the other five — inside the
+#       value-width budget wave 13b left (no rename wave needed: the
+#       bench line degrades to 1-decimal gracefully).
 #   r15 (executed, AMENDED per VERDICT r14 next-steps #2): the six r14
 #       post-window registrations lead — they are the only queries
 #       without a driver row after r14.  Import-splice constraints,

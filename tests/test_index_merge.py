@@ -285,3 +285,21 @@ def test_bm25_merge_reads_maintained_shard_through_pointer(
     assert _posting_rows(_read_postings(spark, merged)) == _posting_rows(
         _read_postings(spark, full)
     )
+
+
+@pytest.mark.heavy
+def test_bmmrg_registered_query_matches_oracle(spark, sf_dir, oracle):
+    """The registered bmmrg roundtrip (shard builds → merge → pruned
+    scoring read) must hash-equal the direct undivided-corpus BM25
+    replay — the same oracle the bm25 query carries, which is the whole
+    claim: merging disjoint-half indexes is invisible to scoring."""
+    from conftest import assert_matches_oracle
+
+    from newspapers_etl_spark.operators.index_merge import (
+        BMMRG_ORACLE,
+        bm25_shard_merge_roundtrip,
+    )
+
+    assert_matches_oracle(
+        bm25_shard_merge_roundtrip(spark, sf_dir), oracle, BMMRG_ORACLE
+    )
