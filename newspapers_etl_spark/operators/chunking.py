@@ -3,7 +3,7 @@ overlapping character windows with STABLE, replayable chunk ids — the
 step between a raw corpus and anything embedding-shaped (context-window
 packing, passage retrieval, chunk-level dedup all consume this
 relation).  No reference counterpart (the reference stores whole pages,
-reference src/02-download-results.py); the shape is the standard
+reference src/01-scrape-images.py); the shape is the standard
 fixed-window chunker from public RAG/ETL practice.
 
 Determinism contract (what makes chunks JOINABLE across runs):

@@ -26,6 +26,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.functions.litfast import (
+    lit_doubles,
+    lit_ints,
+    lit_longs,
+)
 from newspapers_etl_spark.functions.text import doc_fingerprint, words
 from newspapers_etl_spark.functions.vectors import dot, l2_norm
 from newspapers_etl_spark.registry import query
@@ -458,7 +463,7 @@ def minhash_signature(shingle_col: Column | str, k: int = N_HASHES) -> Column:
     sf0.1.  Callers must pass an already-materialized shingle COLUMN,
     not the raw text."""
     col = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
-    zero = F.array(*[F.lit(_MINHASH_P).cast("long")] * k)
+    zero = lit_longs([_MINHASH_P] * k)
     params = _affine_params(k)
     # Materialize the base hash per shingle as the fold's INPUT — inside
     # the fold body it would be re-evaluated once per permutation.
@@ -683,7 +688,7 @@ def emb_lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     return F.concat(
         *[
             F.when(
-                dot(vec, F.array(*[F.lit(c) for c in plane])) > 0, F.lit("1")
+                dot(vec, lit_doubles(plane)) > 0, F.lit("1")
             ).otherwise(F.lit("0"))
             for plane in planes
         ]
@@ -812,7 +817,7 @@ def simhash(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
     higher-order functions never enter codegen/CSE (same trap as
     minhash_signature above)."""
     hashes = F.transform(words(text_col), lambda t: F.xxhash64(t))
-    zero = F.array(*[F.lit(0)] * bits)
+    zero = lit_ints([0] * bits)
     counts = F.aggregate(
         hashes,  # the fold's input is evaluated once: one hash per token
         zero,

@@ -42,6 +42,7 @@ from newspapers_etl_spark.functions.lloyd_sql import (
     lloyd_centroid_ctes,
     probe_cells_cte,
 )
+from newspapers_etl_spark.functions.litfast import lit_doubles
 from newspapers_etl_spark.functions.vectors import dot, l2_norm
 from newspapers_etl_spark.operators.similarity import (
     IVF_CELLS,
@@ -90,8 +91,7 @@ def ranked_cells_expr(
     quantizer ships inside the plan, no join (`ivftk`'s ranked-cell
     slice, factored for callers that vary nprobe)."""
     cell_scores = [
-        (cid, dot(vec, F.array(*[F.lit(float(x)) for x in c])))
-        for cid, c in cents
+        (cid, dot(vec, lit_doubles(c))) for cid, c in cents
     ]
     return F.slice(
         F.transform(

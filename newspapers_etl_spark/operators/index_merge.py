@@ -41,6 +41,7 @@ from newspapers_etl_spark.catalog import load_table
 # replay SQL (a top-level retrieval import here would splice bm25's
 # registration into this module's registry slot).
 from newspapers_etl_spark.functions.bm25_common import bm25_oracle_sql
+from newspapers_etl_spark.functions.jobs import par_jobs
 from newspapers_etl_spark.operators.ivf_maintenance import (
     _OC_CELLS,
     FIT_PREDICATE,
@@ -87,24 +88,44 @@ def merge_ivf_indexes(
                 f"than {shard_paths[0]!r}; re-encode or rebuild before "
                 "merging"
             )
+    from newspapers_etl_spark.sinks.verified import has_parquet_data
+
     cents, codebook = models[0]
-    spark.createDataFrame(
-        [(c, v) for c, v in cents], "cell int, cvec array<double>"
-    ).write.mode("overwrite").parquet(f"{dest}/model/centroids")
-    spark.createDataFrame(
-        [(c, v) for c, v in codebook], "code int, kvec array<double>"
-    ).write.mode("overwrite").parquet(f"{dest}/model/codebook")
     union = reduce(
         DataFrame.union, [read_ivf_codes(spark, p) for p in shard_paths]
     )
-    union.repartition(_OC_CELLS, "cell").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(f"{dest}/codes")
     stats = reduce(
         DataFrame.union,
         [read_current(spark, f"{p}/stats") for p in shard_paths],
     )
-    _merge_cell_stats(stats).write.mode("overwrite").parquet(f"{dest}/stats")
+
+    def _write_codes() -> None:
+        union.repartition(_OC_CELLS, "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{dest}/codes")
+        if not has_parquet_data(f"{dest}/codes"):
+            # Every shard's live code relation empty (fully-deleted
+            # shards): a partitioned write of an empty relation leaves
+            # a fileless root (UNABLE_TO_INFER_SCHEMA for readers) —
+            # keep the merged index readable as zero rows, the same
+            # guard the BM25 twin carries (ADVICE r15 #1).
+            spark.createDataFrame(
+                [], "vec_id long, cell int, codes array<int>"
+            ).write.mode("overwrite").parquet(f"{dest}/codes")
+
+    # The four destination roots are independent writes (§2.6).
+    par_jobs(
+        lambda: spark.createDataFrame(
+            [(c, v) for c, v in cents], "cell int, cvec array<double>"
+        ).write.mode("overwrite").parquet(f"{dest}/model/centroids"),
+        lambda: spark.createDataFrame(
+            [(c, v) for c, v in codebook], "code int, kvec array<double>"
+        ).write.mode("overwrite").parquet(f"{dest}/model/codebook"),
+        _write_codes,
+        lambda: _merge_cell_stats(stats)
+        .write.mode("overwrite")
+        .parquet(f"{dest}/stats"),
+    )
 
 
 def merge_bm25_indexes(
@@ -166,24 +187,31 @@ def merge_bm25_indexes(
             "term_shard"
         ),
     )
-    union.repartition(shards, "term_shard").write.mode(
-        "overwrite"
-    ).partitionBy("term_shard").parquet(f"{dest}/postings")
-    if not has_parquet_data(f"{dest}/postings"):
-        # All shards empty: keep the merged index readable as zero rows
-        # (the write_bm25_postings fileless-root guard).
-        spark.createDataFrame(
-            [],
-            "doc_id bigint, term string, tf double, dl double, "
-            "term_shard int",
-        ).write.mode("overwrite").parquet(f"{dest}/postings")
     stats = reduce(
         DataFrame.union,
         [read_current(spark, f"{p}/stats") for p in shard_paths],
     )
-    stats.agg(
-        F.sum("n").alias("n"), F.sum("sum_dl").alias("sum_dl")
-    ).write.mode("overwrite").parquet(f"{dest}/stats")
+
+    def _write_postings() -> None:
+        union.repartition(shards, "term_shard").write.mode(
+            "overwrite"
+        ).partitionBy("term_shard").parquet(f"{dest}/postings")
+        if not has_parquet_data(f"{dest}/postings"):
+            # All shards empty: keep the merged index readable as zero
+            # rows (the write_bm25_postings fileless-root guard).
+            spark.createDataFrame(
+                [],
+                "doc_id bigint, term string, tf double, dl double, "
+                "term_shard int",
+            ).write.mode("overwrite").parquet(f"{dest}/postings")
+
+    # Postings and stats roots are independent writes (§2.6).
+    par_jobs(
+        _write_postings,
+        lambda: stats.agg(
+            F.sum("n").alias("n"), F.sum("sum_dl").alias("sum_dl")
+        ).write.mode("overwrite").parquet(f"{dest}/stats"),
+    )
 
 
 def index_cell_digest(codes: DataFrame, stats: DataFrame) -> DataFrame:
@@ -290,8 +318,13 @@ def ivf_shard_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = scratch_index_dir("ivf-mrg-a", sf_dir)
     pb = scratch_index_dir("ivf-mrg-b", sf_dir)
     dest = scratch_index_dir("ivf-mrg", sf_dir)
-    build_ivf_index(spark, even, pa, models=models)
-    build_ivf_index(spark, odd, pb, models=models)
+    # The two shard builds are the embarrassingly-parallel half of the
+    # pattern — run them concurrently (§2.6), exactly as a 100 TB
+    # deployment would run one build job per corpus partition.
+    par_jobs(
+        lambda: build_ivf_index(spark, even, pa, models=models),
+        lambda: build_ivf_index(spark, odd, pb, models=models),
+    )
     merge_ivf_indexes(spark, [pa, pb], dest)
     from newspapers_etl_spark.sinks.verified import read_current
 
@@ -329,7 +362,14 @@ def bm25_shard_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = scratch_index_dir("bm-mrg-a", sf_dir)
     pb = scratch_index_dir("bm-mrg-b", sf_dir)
     dest = scratch_index_dir("bm-mrg", sf_dir)
-    write_bm25_postings(spark, None, pa, docs=docs.filter(F.col("doc_id") % 2 == 0))
-    write_bm25_postings(spark, None, pb, docs=docs.filter(F.col("doc_id") % 2 != 0))
+    # Concurrent shard builds (§2.6) — the 100 TB shape.
+    par_jobs(
+        lambda: write_bm25_postings(
+            spark, None, pa, docs=docs.filter(F.col("doc_id") % 2 == 0)
+        ),
+        lambda: write_bm25_postings(
+            spark, None, pb, docs=docs.filter(F.col("doc_id") % 2 != 0)
+        ),
+    )
     merge_bm25_indexes(spark, [pa, pb], dest)
     return retrieval_bm25_topk_from_postings(spark, dest)

@@ -47,6 +47,7 @@ from newspapers_etl_spark.functions.lloyd_sql import (
     probe_cells_cte,
     residual_codebook_ctes,
 )
+from newspapers_etl_spark.functions.litfast import lit_double_matrix
 from newspapers_etl_spark.registry import query
 
 CB_ITERATIONS = 2  # Lloyd steps per subspace codebook
@@ -108,12 +109,7 @@ def _residual_of(cents: list[tuple[int, list[float]]], cell):
             "residual centering requires contiguous cell ids 0..k-1 "
             f"(element_at indexes the sorted centroid matrix by cell); got {ids}"
         )
-    mat = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in vec])
-            for _cid, vec in sorted(cents)
-        ]
-    )
+    mat = lit_double_matrix(vec for _cid, vec in sorted(cents))
     cell_col = F.col(cell) if isinstance(cell, str) else cell
     return F.zip_with(
         "embedding",

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.functions.litfast import lit_doubles
 from newspapers_etl_spark.registry import query
 
 EMB_DIM = 64
@@ -152,13 +153,13 @@ def _project(mean: list[float], comp: list[float]) -> Column:
     """Map-side centered dot product against one literal component."""
     centered = F.zip_with(
         F.transform("embedding", lambda x: x.cast("double")),
-        F.array(*[F.lit(m) for m in mean]),
+        lit_doubles(mean),
         lambda x, m: x - m,
     )
     return F.aggregate(
         F.zip_with(
             centered,
-            F.array(*[F.lit(c) for c in comp]),
+            lit_doubles(comp),
             lambda x, c: x * c,
         ),
         F.lit(0.0),

@@ -48,6 +48,7 @@ from newspapers_etl_spark.functions.bm25_common import (  # noqa: F401
     BM25_TOP_K,
     bm25_oracle_sql,
 )
+from newspapers_etl_spark.functions.jobs import par_jobs
 from newspapers_etl_spark.functions.text import words
 from newspapers_etl_spark.registry import query
 
@@ -178,32 +179,41 @@ def write_bm25_postings(
         _staged_of(docs) if docs is not None else _staged_tokens(spark, sf_dir)
     )
     postings = _postings_of(staged, shards)
-    # Repartition ON the layout key before the partitioned write:
-    # without it every task holds rows for all shards and writes up to
-    # `shards` files — tasks × shards small files at corpus scale.
-    # After it each shard's rows land in one task → one file per shard
-    # directory, and term lookups read exactly one file.
-    postings.repartition(shards, "term_shard").write.mode("overwrite").partitionBy(
-        "term_shard"
-    ).parquet(f"{path}/postings")
     from newspapers_etl_spark.sinks.verified import has_parquet_data
 
-    if not has_parquet_data(f"{path}/postings"):
-        # Empty corpus: a partitioned write of an empty relation leaves
-        # a fileless root (UNABLE_TO_INFER_SCHEMA for readers) — keep
-        # the index readable as zero rows.
-        spark.createDataFrame(
-            [],
-            "doc_id bigint, term string, tf double, dl double, "
-            "term_shard int",
-        ).write.mode("overwrite").parquet(f"{path}/postings")
+    def _write_postings() -> None:
+        # Repartition ON the layout key before the partitioned write:
+        # without it every task holds rows for all shards and writes up
+        # to `shards` files — tasks × shards small files at corpus
+        # scale.  After it each shard's rows land in one task → one
+        # file per shard directory, and term lookups read exactly one
+        # file.
+        postings.repartition(shards, "term_shard").write.mode(
+            "overwrite"
+        ).partitionBy("term_shard").parquet(f"{path}/postings")
+        if not has_parquet_data(f"{path}/postings"):
+            # Empty corpus: a partitioned write of an empty relation
+            # leaves a fileless root (UNABLE_TO_INFER_SCHEMA for
+            # readers) — keep the index readable as zero rows.
+            spark.createDataFrame(
+                [],
+                "doc_id bigint, term string, tf double, dl double, "
+                "term_shard int",
+            ).write.mode("overwrite").parquet(f"{path}/postings")
+
     # Stats are stored as the COMBINABLE pair (n, sum_dl), not avgdl:
     # document lengths are integer-valued doubles, so sums are exact
     # (< 2^53) and an incremental append's merged stats equal the
     # from-scratch stats BIT-FOR-BIT — avgdl derived at query time is
     # then identical on both paths (a stored average would drift by an
     # ulp when combined and could flip a rounded score partial).
-    _corpus_stats(staged).write.mode("overwrite").parquet(f"{path}/stats")
+    # The two roots are independent jobs — overlap them (guide §2.6).
+    par_jobs(
+        _write_postings,
+        lambda: _corpus_stats(staged)
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats"),
+    )
 
 
 def _staged_of(docs: DataFrame) -> DataFrame:
@@ -358,24 +368,33 @@ def append_bm25_postings(
         _staged_of(docs) if docs is not None else _staged_tokens(spark, sf_dir)
     )
     staging = f"{path}/_postings-batch-{batch_id}"
-    _postings_of(staged, shards).repartition(
-        shards, "term_shard"
-    ).write.mode("overwrite").partitionBy("term_shard").parquet(staging)
-    # Atomic exposure + empty-batch guard via the shared helper
-    # (sinks/verified.expose_staged_batch): readers derive roots from
-    # the POINTER and Spark's listing skips underscore paths, so the
-    # staged batch is invisible until the rename; a final dir from a
-    # prior crashed-after-rename attempt is replaced wholesale; an
-    # EMPTY batch writes no data files and a fileless root breaks
-    # readers (UNABLE_TO_INFER_SCHEMA) — it is ledgered as applied (the
-    # retry no-op contract) but kept out of the live read roots.
-    exposed = expose_staged_batch(
-        path, f"_postings-batch-{batch_id}", f"postings-batch-{batch_id}"
+
+    def _stage_postings() -> bool:
+        _postings_of(staged, shards).repartition(
+            shards, "term_shard"
+        ).write.mode("overwrite").partitionBy("term_shard").parquet(staging)
+        # Atomic exposure + empty-batch guard via the shared helper
+        # (sinks/verified.expose_staged_batch): readers derive roots
+        # from the POINTER and Spark's listing skips underscore paths,
+        # so the staged batch is invisible until the rename; a final
+        # dir from a prior crashed-after-rename attempt is replaced
+        # wholesale; an EMPTY batch writes no data files and a fileless
+        # root breaks readers (UNABLE_TO_INFER_SCHEMA) — it is ledgered
+        # as applied (the retry no-op contract) but kept out of the
+        # live read roots.
+        return expose_staged_batch(
+            path, f"_postings-batch-{batch_id}", f"postings-batch-{batch_id}"
+        )
+
+    # Postings staging and the two 1-row stats pulls are independent
+    # until the single pointer publish below — overlap them (§2.6).
+    exposed, old, batch = par_jobs(
+        _stage_postings,
+        lambda: read_current(spark, stats_root).collect()[0],
+        lambda: _corpus_stats(staged).collect()[0],
     )
     live_after = live + [batch_id] if exposed else live
 
-    old = read_current(spark, stats_root).collect()[0]
-    batch = _corpus_stats(staged).collect()[0]
     new_n = float(old["n"]) + float(batch["n"])
     new_sum_dl = float(old["sum_dl"] or 0.0) + float(batch["sum_dl"] or 0.0)
     merged = spark.createDataFrame(
@@ -485,9 +504,19 @@ def delete_bm25_docs(
         )
         return
     staging = f"{path}/_tombs-batch-{batch_id}"
-    staged.select("doc_id").write.mode("overwrite").parquet(staging)
-    exposed = expose_staged_batch(
-        path, f"_tombs-batch-{batch_id}", f"tombs-batch-{batch_id}"
+
+    def _stage_tombs() -> bool:
+        staged.select("doc_id").write.mode("overwrite").parquet(staging)
+        return expose_staged_batch(
+            path, f"_tombs-batch-{batch_id}", f"tombs-batch-{batch_id}"
+        )
+
+    # Tombstone staging and the two 1-row stats pulls are independent
+    # until the single pointer publish below — overlap them (§2.6).
+    exposed, old, gone = par_jobs(
+        _stage_tombs,
+        lambda: read_current(spark, stats_root).collect()[0],
+        lambda: _corpus_stats(staged).collect()[0],
     )
     if exposed:
         tombs_after = tombs + [batch_id]
@@ -499,8 +528,6 @@ def delete_bm25_docs(
     else:
         tombs_after = tombs
 
-    old = read_current(spark, stats_root).collect()[0]
-    gone = _corpus_stats(staged).collect()[0]
     new_n = float(old["n"]) - float(gone["n"])
     new_sum_dl = float(old["sum_dl"] or 0.0) - float(gone["sum_dl"] or 0.0)
     merged = spark.createDataFrame(

@@ -44,6 +44,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from newspapers_etl_spark.catalog import load_table
+from newspapers_etl_spark.functions.litfast import (
+    lit_double_matrix,
+    lit_doubles,
+    lit_ints,
+    sql_doubles,
+)
 from newspapers_etl_spark.functions.vectors import dot, l2_norm
 from newspapers_etl_spark.registry import query
 
@@ -131,7 +137,9 @@ def fit_anchors(
 
 
 def _lit_vec(vals: list[float]) -> Column:
-    return F.array(*[F.lit(v) for v in vals])
+    # ONE expr call per vector, not one py4j round-trip per element
+    # (functions/litfast.py — bit-exact, ~60x cheaper to construct).
+    return lit_doubles(vals)
 
 
 def _nearest_anchor(anchors: list[tuple[int, list[float]]]) -> Column:
@@ -146,9 +154,9 @@ def _nearest_anchor(anchors: list[tuple[int, list[float]]]) -> Column:
     highest sim and, on ties, the SMALLEST anchor id (largest negated
     id) — matching the oracle's ``ORDER BY sim DESC, anchor``."""
     nrm = l2_norm("embedding")
-    mat = F.array(*[_lit_vec(vec) for _, vec in anchors])
-    ids = F.array(*[F.lit(aid) for aid, _ in anchors])
-    norms = F.array(*[F.lit(sum(x * x for x in vec) ** 0.5) for _, vec in anchors])
+    mat = lit_double_matrix(vec for _, vec in anchors)
+    ids = lit_ints(aid for aid, _ in anchors)
+    norms = lit_doubles(sum(x * x for x in vec) ** 0.5 for _, vec in anchors)
     entries = F.transform(
         mat,
         lambda avec, i: F.struct(
@@ -298,9 +306,35 @@ def _nearest_code(
     shape, still map-only."""
     lo = sub * (EMB_DIM // PQ_SUBSPACES) + 1  # F.slice is 1-based
     width = EMB_DIM // PQ_SUBSPACES
+    if isinstance(vec, str):
+        # Hot path: the WHOLE argmin as ONE F.expr call — the Column-
+        # DSL form below costs ~60 ms of py4j round-trips per call and
+        # the encoders construct it once per subspace per encode pass
+        # (8 x several passes per maintenance roundtrip; measured with
+        # cProfile on ivfapp, guide §7.3).  Identical expression tree:
+        # same slice bounds, casts, fold order, rounding and
+        # struct(dist, code) tie order; literals are repr round-trips,
+        # bit-exact.
+        mat_sql = ",".join(
+            sql_doubles(cv[lo - 1 : lo - 1 + width]) for _, cv in codebook
+        )
+        codes_sql = ",".join(str(int(code)) for code, _ in codebook)
+        entries_sql = (
+            f"transform(array({mat_sql}), (cvec, i) -> named_struct("
+            f"'dist', round(aggregate(zip_with(slice({vec}, {lo}, {width}),"
+            " cvec, (x, y) -> (CAST(x AS DOUBLE) - y)"
+            " * (CAST(x AS DOUBLE) - y)), 0.0D, (acc, v) -> acc + v), 6),"
+            f" 'code', element_at(array({codes_sql}), i + 1)))"
+        )
+        return F.expr(
+            f"named_struct('code', array_min({entries_sql}).code,"
+            f" 'sq_err', array_min({entries_sql}).dist)"
+        )
     sl = F.slice(vec, lo, width)
-    mat = F.array(*[_lit_vec(vec[lo - 1 : lo - 1 + width]) for _, vec in codebook])
-    codes = F.array(*[F.lit(code) for code, _ in codebook])
+    mat = lit_double_matrix(
+        vec[lo - 1 : lo - 1 + width] for _, vec in codebook
+    )
+    codes = lit_ints(code for code, _ in codebook)
     entries = F.transform(
         mat,
         lambda cvec, i: F.struct(

@@ -34,6 +34,11 @@ from newspapers_etl_spark.functions.lloyd_sql import (
     lloyd_centroid_ctes,
     probe_cells_cte,
 )
+from newspapers_etl_spark.functions.litfast import (
+    lit_doubles,
+    lit_id_vec_structs,
+    sql_doubles,
+)
 from newspapers_etl_spark.functions.vectors import dot, l2_norm
 from newspapers_etl_spark.registry import query
 
@@ -211,7 +216,11 @@ IVF_FIT_FRACTION = 0.25
 
 
 def _centroids(
-    e: DataFrame, k: int, iters: int, fit_fraction: float = IVF_FIT_FRACTION
+    e: DataFrame,
+    k: int,
+    iters: int,
+    fit_fraction: float = IVF_FIT_FRACTION,
+    seeds: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Coarse quantizer: k centroids refined by ``iters`` Lloyd steps,
     entirely in DataFrame ops — assignment is an argmax-dot against the
@@ -266,12 +275,23 @@ def _centroids(
     # the residual centering matrix (ivfadc._residual_of) indexes by,
     # and identical to the old ``vec_id < k`` pull on any corpus with
     # dense 0-based ids (the fixtures).
-    cents = [
-        (i, list(r.embedding))
-        for i, r in enumerate(
-            e.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
-        )
-    ]
+    # ``seeds`` lets a caller that already pulled the first-k rows (the
+    # maintenance fit shares one collect between seeds and codebook)
+    # skip this job; the list must be exactly the first k non-null
+    # vectors in vec_id order, renumbered 0..k-1 — the same contract.
+    cents = (
+        [(i, list(v)) for i, v in seeds]
+        if seeds is not None
+        else [
+            (i, list(r.embedding))
+            for i, r in enumerate(
+                e.select("vec_id", "embedding")
+                .orderBy("vec_id")
+                .limit(k)
+                .collect()
+            )
+        ]
+    )
     if not cents:
         fit.unpersist()
         return []
@@ -311,15 +331,34 @@ def _nearest_cell(vec: Column | str, cents: list[tuple[int, list[float]]]) -> Co
     aggregate evaluates each of the k dots exactly once; measured 6.6s
     -> ~3s on the sf0.1 IVF query, which runs this assignment over the
     corpus three times (2 Lloyd steps + final cell map)."""
-    v = F.col(vec) if isinstance(vec, str) else vec
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
-            )
+    if isinstance(vec, str):
+        # Hot path: the WHOLE argmax fold as ONE F.expr call.  The
+        # Column-DSL form below costs hundreds of py4j round-trips per
+        # construction (one per literal element plus ~40 ms per
+        # higher-order lambda), ~0.5-1 s of pure driver time at k=8,
+        # d=64 — and this expression is rebuilt per Lloyd iteration and
+        # per encode pass (measured with cProfile on ivfapp; guide §7.3
+        # driver-side work).  The SQL text is the exact same expression
+        # tree: same literals (repr round-trip, bit-exact), same casts,
+        # same fold order, same tie behavior.
+        mat_sql = ",".join(
+            f"named_struct('cell',{int(cid)},'cvec',{sql_doubles(c)})"
             for cid, c in cents
-        ]
+        )
+        return F.expr(
+            "aggregate("
+            f"transform(array({mat_sql}), s -> named_struct("
+            "'score', aggregate(zip_with(s.cvec, "
+            f"{vec}, (x, y) -> x * CAST(y AS DOUBLE)), 0.0D, "
+            "(acc, p) -> acc + p), 'cell', s.cell)), "
+            "named_struct('score', CAST('-Infinity' AS DOUBLE), "
+            "'cell', -1), "
+            "(acc, x) -> CASE WHEN x.score > acc.score THEN x ELSE acc END"
+            ").cell"
+        )
+    v = vec
+    entries = lit_id_vec_structs(
+        ((cid, c) for cid, c in cents), "cell", "cvec"
     )
     scored = F.transform(
         entries,
@@ -407,8 +446,7 @@ def sim_ann_ivf_topk(
     )
     # per probe: its NPROBE closest cells, as (probe, cell) pairs
     cell_scores = [
-        (cid, dot("embedding", F.array(*[F.lit(float(x)) for x in c])))
-        for cid, c in cents
+        (cid, dot("embedding", lit_doubles(c))) for cid, c in cents
     ]
     ranked_cells = F.slice(
         F.transform(

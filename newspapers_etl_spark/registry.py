@@ -455,7 +455,7 @@ _OPERATOR_MODULES = (
     # imports ivf_maintenance (both declared above, satisfied). ----
     "newspapers_etl_spark.operators.run_manifest",        # 1   manif (NEW r15)
     "newspapers_etl_spark.operators.filtered_ann",        # 1   fann  (NEW r15)
-    "newspapers_etl_spark.operators.index_merge",         # 1   imrg  (NEW r15)
+    "newspapers_etl_spark.operators.index_merge",         # 2   imrg, bmmrg (NEW r15)
     "newspapers_etl_spark.operators.chunking",            # 1   chnk  (NEW r15)
     "newspapers_etl_spark.operators.late_interaction",    # 1   mxsim (NEW r15)
 )

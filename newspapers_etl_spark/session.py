@@ -74,6 +74,15 @@ def get_spark(
         # silently wrong — the type changes), and must convert like
         # load_table does.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # PySpark 4 wraps EVERY DataFrame/Column API call in a
+        # call-site capture (errors/utils._with_origin): a conf.get py4j
+        # round-trip + a Python stack walk + a JVM thread-local set per
+        # call, ~1.5-4 ms each — measured 0.6 s of pure driver overhead
+        # on one maintenance roundtrip (~400 captures).  The capture
+        # only enriches error messages with user line numbers; the
+        # engine's own error surfacing never relied on it.  Off at any
+        # scale — this is driver-side overhead, not a local[32] quirk.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

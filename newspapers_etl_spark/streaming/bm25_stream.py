@@ -44,6 +44,7 @@ from newspapers_etl_spark.operators.retrieval import (
     retrieval_bm25_topk_from_postings,
     write_bm25_postings,
 )
+from newspapers_etl_spark.functions.jobs import par_jobs
 from newspapers_etl_spark.registry import query
 
 # The fixture split: the base slice seeds the index, the rest streams.
@@ -118,14 +119,17 @@ def stream_bm25_append_roundtrip(
     in_dir = scratch_index_dir("st-bm25-in", sf_dir)
     ckpt = scratch_index_dir("st-bm25-cp", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    write_bm25_postings(
-        spark, None, path, docs=docs.filter(F.expr(DOC_BASE_PREDICATE))
-    )
+    # Base build and stream-source landing are independent jobs (§2.6).
     # Two files -> two micro-batches at maxFilesPerTrigger=1: enough to
     # prove the multi-epoch ledger flow without doubling the append
     # cost per extra epoch (the stivf sizing).
-    docs.filter(~F.expr(DOC_BASE_PREDICATE)).repartition(2).write.parquet(
-        in_dir
+    par_jobs(
+        lambda: write_bm25_postings(
+            spark, None, path, docs=docs.filter(F.expr(DOC_BASE_PREDICATE))
+        ),
+        lambda: docs.filter(~F.expr(DOC_BASE_PREDICATE))
+        .repartition(2)
+        .write.parquet(in_dir),
     )
     # Explicit schema: an EMPTY streamed slice (degenerate fixtures)
     # writes a fileless dir, where inference raises but a known schema

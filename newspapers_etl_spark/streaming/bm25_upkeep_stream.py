@@ -65,6 +65,7 @@ from newspapers_etl_spark.operators.retrieval import (
     upsert_bm25_docs,
     write_bm25_postings,
 )
+from newspapers_etl_spark.functions.jobs import par_jobs
 from newspapers_etl_spark.registry import query
 
 
@@ -164,9 +165,12 @@ def stream_bm25_delete_roundtrip(
     in_dir = scratch_index_dir("st-bdl-in", sf_dir)
     ckpt = scratch_index_dir("st-bdl-cp", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    write_bm25_postings(spark, None, path, docs=docs)
     retired = docs.filter(F.expr(DOC_DEL_PRED)).select("doc_id")
-    retired.repartition(2).write.parquet(in_dir)
+    # Base build and stream-source landing are independent jobs (§2.6).
+    par_jobs(
+        lambda: write_bm25_postings(spark, None, path, docs=docs),
+        lambda: retired.repartition(2).write.parquet(in_dir),
+    )
     stream_delete_bm25(spark, in_dir, docs, path, ckpt,
                        schema=retired.schema)
     return retrieval_bm25_topk_from_postings(spark, path)
@@ -187,10 +191,13 @@ def stream_bm25_upsert_roundtrip(
     in_dir = scratch_index_dir("st-bup-in", sf_dir)
     ckpt = scratch_index_dir("st-bup-cp", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    write_bm25_postings(spark, None, path, docs=docs)
     new = docs.filter(F.expr(DOC_UP_PRED)).select(
         "doc_id", F.concat("text", F.lit(" "), "text").alias("text")
     )
-    new.repartition(2).write.parquet(in_dir)
+    # Base build and stream-source landing are independent jobs (§2.6).
+    par_jobs(
+        lambda: write_bm25_postings(spark, None, path, docs=docs),
+        lambda: new.repartition(2).write.parquet(in_dir),
+    )
     stream_upsert_bm25(spark, in_dir, docs, path, ckpt, schema=new.schema)
     return retrieval_bm25_topk_from_postings(spark, path)

@@ -54,6 +54,7 @@ from newspapers_etl_spark.operators.ivf_maintenance import (
     read_ivf_codes,
     scratch_index_dir,
 )
+from newspapers_etl_spark.functions.jobs import par_jobs
 from newspapers_etl_spark.registry import query
 
 
@@ -130,12 +131,15 @@ def stream_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_index_dir("st-del", sf_dir)
     in_dir = scratch_index_dir("st-del-in", sf_dir)
     ckpt = scratch_index_dir("st-del-cp", sf_dir)
-    build_ivf_index(spark, e, path, e_encode=e, models=models)
     retired = e.filter(F.expr(IVF_DEL_PRED)).select("vec_id")
+    # Base build and stream-source landing are independent jobs (§2.6).
     # Two files -> two micro-batches at maxFilesPerTrigger=1 (the
     # stivf sizing); explicit schema so an empty retirement wave
     # (degenerate fixtures) drains zero batches instead of failing
     # inference on a fileless dir.
-    retired.repartition(2).write.parquet(in_dir)
+    par_jobs(
+        lambda: build_ivf_index(spark, e, path, e_encode=e, models=models),
+        lambda: retired.repartition(2).write.parquet(in_dir),
+    )
     stream_delete_ivf(spark, in_dir, e, path, ckpt, schema=retired.schema)
     return codes_fingerprint(read_ivf_codes(spark, path))

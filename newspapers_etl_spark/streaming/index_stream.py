@@ -45,6 +45,7 @@ from newspapers_etl_spark.operators.ivf_maintenance import (
     read_ivf_codes,
     scratch_index_dir,
 )
+from newspapers_etl_spark.functions.jobs import par_jobs
 from newspapers_etl_spark.registry import query
 
 
@@ -99,12 +100,17 @@ def stream_ivf_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_index_dir("st-ivf", sf_dir)
     in_dir = scratch_index_dir("st-ivf-in", sf_dir)
     ckpt = scratch_index_dir("st-ivf-cp", sf_dir)
-    build_ivf_index(
-        spark, e.filter(F.expr(BASE_PREDICATE)), path, models=models
-    )
+    # Base build and stream-source landing are independent jobs (§2.6).
     # Two files -> two micro-batches at maxFilesPerTrigger=1: enough to
     # prove the multi-epoch ledger flow without doubling the append
     # cost per extra epoch.
-    e.filter(~F.expr(BASE_PREDICATE)).repartition(2).write.parquet(in_dir)
+    par_jobs(
+        lambda: build_ivf_index(
+            spark, e.filter(F.expr(BASE_PREDICATE)), path, models=models
+        ),
+        lambda: e.filter(~F.expr(BASE_PREDICATE))
+        .repartition(2)
+        .write.parquet(in_dir),
+    )
     stream_append_ivf(spark, in_dir, path, ckpt)
     return codes_fingerprint(read_ivf_codes(spark, path))

@@ -50,6 +50,7 @@ from newspapers_etl_spark.operators.ivf_maintenance import (
     scratch_index_dir,
     upsert_ivf_index,
 )
+from newspapers_etl_spark.functions.jobs import par_jobs
 from newspapers_etl_spark.registry import query
 
 
@@ -128,14 +129,17 @@ def stream_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_index_dir("st-up", sf_dir)
     in_dir = scratch_index_dir("st-up-in", sf_dir)
     ckpt = scratch_index_dir("st-up-cp", sf_dir)
-    build_ivf_index(spark, e, path, e_encode=e, models=models)
     new = e.filter(F.expr(IVF_UP_PRED)).select(
         "vec_id", F.reverse("embedding").alias("embedding")
     )
+    # Base build and stream-source landing are independent jobs (§2.6).
     # Two files -> two micro-batches at maxFilesPerTrigger=1 (the
     # stivf sizing); explicit schema so an empty update wave
     # (degenerate fixtures) drains zero batches instead of failing
     # inference on a fileless dir.
-    new.repartition(2).write.parquet(in_dir)
+    par_jobs(
+        lambda: build_ivf_index(spark, e, path, e_encode=e, models=models),
+        lambda: new.repartition(2).write.parquet(in_dir),
+    )
     stream_upsert_ivf(spark, in_dir, e, path, ckpt, schema=new.schema)
     return codes_fingerprint(read_ivf_codes(spark, path))
