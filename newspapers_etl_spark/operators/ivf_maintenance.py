@@ -230,17 +230,23 @@ def _merge_cell_stats(both: DataFrame) -> DataFrame:
     53-bit window, so subtraction cancels without residue; corpora
     outside that window cancel to an ulp, and the n==0 drop still
     applies because counts are integers)."""
+    # One aggregation tree, no join-back: every contribution carries
+    # all dim positions, so the per-(cell, pos) sum of n equals the
+    # cell's total n at EVERY pos and max() over positions recovers it
+    # exactly (integer sums) — the old shape re-aggregated ``both`` a
+    # second time and joined, one more exchange per publish for the
+    # same integers (guide §2.4: remove shuffles outright).
     return (
         both.select("cell", "n", F.posexplode("svec"))
         .groupBy("cell", "pos")
-        .agg(F.sum("col").alias("s"))
+        .agg(F.sum("col").alias("s"), F.sum("n").alias("np"))
         .groupBy("cell")
         .agg(
             F.array_sort(F.collect_list(F.struct("pos", "s")))
             .getField("s")
-            .alias("svec")
+            .alias("svec"),
+            F.max("np").alias("n"),
         )
-        .join(both.groupBy("cell").agg(F.sum("n").alias("n")), "cell")
         .filter(F.col("n") > 0)
         .select("cell", "n", "svec")
     )

@@ -229,10 +229,13 @@ def fit_codebook(
         fit = fit.select(
             "embedding", _nearest_cell("embedding", cents).alias("cell")
         ).select(_residual_of(cents, "cell").alias("rv"))
-        vcol = F.col("rv")
+        # Pass the column NAME: _nearest_code's single-expr fast path
+        # (one py4j call for the whole argmin) keys on a plain string
+        # column, and "rv" is materialized in its own projection.
+        vcol = "rv"
         codebook = _seed_residual_codebook(spark, sf_dir, cents)
     else:
-        vcol = F.col("embedding")
+        vcol = "embedding"
         codebook = _collect_anchors(spark, sf_dir, k=PQ_CODEBOOK)
     if not codebook:
         return []
@@ -504,9 +507,11 @@ def ivfadc_topk(
         staged = staged.select(
             "vec_id", "cell", _residual_of(cents, "cell").alias("rv")
         )
-        vcol = F.col("rv")
+        # Column NAME, not Column: engages _nearest_code's single-expr
+        # fast path (see fit_codebook above).
+        vcol = "rv"
     else:
-        vcol = F.col("embedding")
+        vcol = "embedding"
     codes = F.array(
         *[_nearest_code(m, codebook, vcol)["code"] for m in range(PQ_SUBSPACES)]
     )

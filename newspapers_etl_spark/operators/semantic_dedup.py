@@ -153,6 +153,14 @@ def _nearest_anchor(anchors: list[tuple[int, list[float]]]) -> Column:
     form ~1 s).  struct(sim, -anchor_id) under array_max picks the
     highest sim and, on ties, the SMALLEST anchor id (largest negated
     id) — matching the oracle's ``ORDER BY sim DESC, anchor``."""
+    # NOT converted to the single-F.expr form (_nearest_cell /
+    # _nearest_code): semdedup_prune SELF-JOINS the relation carrying
+    # this column, and SQL-parsed lambda variables (fixed names, shared
+    # ids on both join sides) trip Catalyst's relation dedup into an
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution — the DSL path's
+    # fresh per-construction lambda names are what keep the self-join
+    # bindable.  Construction cost here is ~100 ms, paid once per
+    # query; the litfast array literals below keep the bulk win.
     nrm = l2_norm("embedding")
     mat = lit_double_matrix(vec for _, vec in anchors)
     ids = lit_ints(aid for aid, _ in anchors)
