@@ -139,7 +139,6 @@ def bm25_policy_chain(
     from newspapers_etl_spark.sinks.verified import (
         current_pointer,
         has_parquet_data,
-        read_current,
         tombstoned_union,
     )
 
@@ -154,7 +153,10 @@ def bm25_policy_chain(
     if not has_parquet_data(stats_root):
         return spark.createDataFrame(nothing, schema)
     ptr = current_pointer(stats_root)
-    live_n = float(read_current(spark, stats_root).collect()[0]["n"])
+    # 1-row driver-local stats read (functions/tinyio.py, guide §1.2).
+    from newspapers_etl_spark.operators.retrieval import _read_bm25_stats
+
+    live_n = float(_read_bm25_stats(stats_root)["n"])
     tombs = list(ptr.get("live_tombstones", [])) if ptr else []
     if live_n <= 0 and not tombs:
         # Never-written or genuinely empty: nothing to monitor.

@@ -46,7 +46,6 @@ from newspapers_etl_spark.operators.ivf_maintenance import (
     _OC_CELLS,
     FIT_PREDICATE,
     IVF_FROZEN_CTES,
-    _merge_cell_stats,
     _read_model,
     build_ivf_index,
     fit_models,
@@ -76,8 +75,6 @@ def merge_ivf_indexes(
     (the ``scratch_index_dir`` convention ``build_ivf_index`` shares):
     parquet overwrite would NOT remove a previous life's generation
     pointer under ``dest/stats``, and readers resolve through it."""
-    from newspapers_etl_spark.sinks.verified import read_current
-
     if not shard_paths:
         raise ValueError("merge_ivf_indexes needs at least one shard")
     models = [_read_model(spark, p) for p in shard_paths]
@@ -88,44 +85,59 @@ def merge_ivf_indexes(
                 f"than {shard_paths[0]!r}; re-encode or rebuild before "
                 "merging"
             )
-    from newspapers_etl_spark.sinks.verified import has_parquet_data
+    from newspapers_etl_spark.sinks.verified import (
+        current_data_path,
+        has_parquet_data,
+    )
 
     cents, codebook = models[0]
     union = reduce(
         DataFrame.union, [read_ivf_codes(spark, p) for p in shard_paths]
     )
-    stats = reduce(
-        DataFrame.union,
-        [read_current(spark, f"{p}/stats") for p in shard_paths],
+
+    # Three of the four destination roots are MODEL-SIZED relations
+    # whose bytes already live on the driver: the shared frozen models
+    # (collected for the equality check above) and the shard stats
+    # (cells×dim pairs).  They land with driver-local parquet writes
+    # (functions/tinyio.py) and the stats fold runs driver-side in
+    # SHARD ORDER (``_fold_stats_rows`` — deterministic, vs the Spark
+    # fold's partition order; associative within the fixtures'
+    # 53-bit-exact window, the module docstring's standing argument).
+    # Only the codes union is a real distributed write (guide §1.2/§5;
+    # this removes 3 of the merge's 4 jobs).
+    from newspapers_etl_spark.functions.tinyio import (
+        read_tiny_rows,
+        write_model,
+    )
+    from newspapers_etl_spark.operators.ivf_maintenance import (
+        _fold_stats_rows,
+        _write_stats_local,
     )
 
-    def _write_codes() -> None:
-        union.repartition(_OC_CELLS, "cell").write.mode(
-            "overwrite"
-        ).partitionBy("cell").parquet(f"{dest}/codes")
-        if not has_parquet_data(f"{dest}/codes"):
-            # Every shard's live code relation empty (fully-deleted
-            # shards): a partitioned write of an empty relation leaves
-            # a fileless root (UNABLE_TO_INFER_SCHEMA for readers) —
-            # keep the merged index readable as zero rows, the same
-            # guard the BM25 twin carries (ADVICE r15 #1).
-            spark.createDataFrame(
-                [], "vec_id long, cell int, codes array<int>"
-            ).write.mode("overwrite").parquet(f"{dest}/codes")
-
-    # The four destination roots are independent writes (§2.6).
-    par_jobs(
-        lambda: spark.createDataFrame(
-            [(c, v) for c, v in cents], "cell int, cvec array<double>"
-        ).write.mode("overwrite").parquet(f"{dest}/model/centroids"),
-        lambda: spark.createDataFrame(
-            [(c, v) for c, v in codebook], "code int, kvec array<double>"
-        ).write.mode("overwrite").parquet(f"{dest}/model/codebook"),
-        _write_codes,
-        lambda: _merge_cell_stats(stats)
-        .write.mode("overwrite")
-        .parquet(f"{dest}/stats"),
+    write_model(f"{dest}/model/centroids", "cell", "cvec", cents)
+    write_model(f"{dest}/model/codebook", "code", "kvec", codebook)
+    _write_stats_local(
+        f"{dest}/stats",
+        _fold_stats_rows(
+            *[
+                read_tiny_rows(current_data_path(f"{p}/stats"))
+                for p in shard_paths
+            ]
+        ),
     )
+
+    union.repartition(_OC_CELLS, "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{dest}/codes")
+    if not has_parquet_data(f"{dest}/codes"):
+        # Every shard's live code relation empty (fully-deleted
+        # shards): a partitioned write of an empty relation leaves
+        # a fileless root (UNABLE_TO_INFER_SCHEMA for readers) —
+        # keep the merged index readable as zero rows, the same
+        # guard the BM25 twin carries (ADVICE r15 #1).
+        spark.createDataFrame(
+            [], "vec_id long, cell int, codes array<int>"
+        ).write.mode("overwrite").parquet(f"{dest}/codes")
 
 
 def merge_bm25_indexes(
@@ -163,7 +175,6 @@ def merge_bm25_indexes(
     from newspapers_etl_spark.sinks.verified import (
         current_pointer,
         has_parquet_data,
-        read_current,
         tombstoned_union,
     )
 
@@ -187,31 +198,43 @@ def merge_bm25_indexes(
             "term_shard"
         ),
     )
-    stats = reduce(
-        DataFrame.union,
-        [read_current(spark, f"{p}/stats") for p in shard_paths],
+
+    # The merged stats are the sum of per-shard 1-row (n, sum_dl)
+    # pairs — integer-valued doubles whose sums are exact (the module
+    # docstring's standing argument), already consumed driver-side by
+    # every reader.  Fold them on the driver and land the root with one
+    # driver-local parquet write (functions/tinyio.py) instead of a
+    # union+aggregate Spark job (guide §1.2/§5).  Shard order is the
+    # deterministic fold order; exactness makes any order identical.
+    from newspapers_etl_spark.functions.tinyio import (
+        bm25_stats_schema,
+        read_tiny_rows,
+        write_tiny_parquet,
+    )
+    from newspapers_etl_spark.sinks.verified import current_data_path
+
+    n_tot, dl_tot = 0.0, 0.0
+    for p in shard_paths:
+        for r in read_tiny_rows(current_data_path(f"{p}/stats")):
+            n_tot += float(r["n"])
+            dl_tot += float(r["sum_dl"] or 0.0)
+    write_tiny_parquet(
+        f"{dest}/stats",
+        {"n": [n_tot], "sum_dl": [dl_tot]},
+        bm25_stats_schema(),
     )
 
-    def _write_postings() -> None:
-        union.repartition(shards, "term_shard").write.mode(
-            "overwrite"
-        ).partitionBy("term_shard").parquet(f"{dest}/postings")
-        if not has_parquet_data(f"{dest}/postings"):
-            # All shards empty: keep the merged index readable as zero
-            # rows (the write_bm25_postings fileless-root guard).
-            spark.createDataFrame(
-                [],
-                "doc_id bigint, term string, tf double, dl double, "
-                "term_shard int",
-            ).write.mode("overwrite").parquet(f"{dest}/postings")
-
-    # Postings and stats roots are independent writes (§2.6).
-    par_jobs(
-        _write_postings,
-        lambda: stats.agg(
-            F.sum("n").alias("n"), F.sum("sum_dl").alias("sum_dl")
-        ).write.mode("overwrite").parquet(f"{dest}/stats"),
-    )
+    union.repartition(shards, "term_shard").write.mode(
+        "overwrite"
+    ).partitionBy("term_shard").parquet(f"{dest}/postings")
+    if not has_parquet_data(f"{dest}/postings"):
+        # All shards empty: keep the merged index readable as zero
+        # rows (the write_bm25_postings fileless-root guard).
+        spark.createDataFrame(
+            [],
+            "doc_id bigint, term string, tf double, dl double, "
+            "term_shard int",
+        ).write.mode("overwrite").parquet(f"{dest}/postings")
 
 
 def index_cell_digest(codes: DataFrame, stats: DataFrame) -> DataFrame:

@@ -219,6 +219,78 @@ def _cell_stats(coded_with_emb: DataFrame) -> DataFrame:
     )
 
 
+def _fold_stats_rows(*contribs) -> list[tuple[int, int, list[float]]]:
+    """Driver-side twin of ``_merge_cell_stats`` over ALREADY-COLLECTED
+    (cell, n, svec) row lists — the append/delete publish path's merge.
+    The stats relation is cells×dim (a model, not data) and both of its
+    inputs already live on the driver (the previous generation is read
+    back locally, the batch contribution is one aggregation collect),
+    so routing the two-row-per-cell fold through a Spark job paid the
+    whole per-job floor per publish for zero distributed work
+    (guide §1.2/§5; the r17 phase profile put 0.4-1.1 s per publish
+    exactly here).
+
+    Bit-exactness vs the Spark fold: per (cell, pos) the accumulator
+    applies the same IEEE-754 double additions in contribution order;
+    the append/delete publishes have at most TWO contributions per cell
+    (previous generation + batch) and two-operand addition is
+    commutative, so the result is bit-identical to ``F.sum`` over the
+    same pair regardless of either side's ordering.  Counts are
+    integer; the ``n > 0`` drop matches ``_merge_cell_stats`` exactly.
+    The shard merge (``merge_ivf_indexes``) folds k contributions in
+    shard order — associative within the fixtures' 53-bit-exact window,
+    the same argument its docstring already records for the Spark
+    fold's nondeterministic partition order."""
+    acc: dict[int, list] = {}
+    for rows in contribs:
+        for r in rows:
+            c = int(r["cell"])
+            slot = acc.get(c)
+            if slot is None:
+                acc[c] = [int(r["n"]), [float(x) for x in r["svec"]]]
+            else:
+                slot[0] += int(r["n"])
+                sv = slot[1]
+                for i, x in enumerate(r["svec"]):
+                    sv[i] = sv[i] + float(x)
+    return [(c, a[0], a[1]) for c, a in sorted(acc.items()) if a[0] > 0]
+
+
+def _neg_stats_rows(rows) -> list[dict]:
+    """The NEGATED (cell, n, svec) contribution a delete publishes —
+    the driver-side twin of the ``(-n, transform(svec, s -> -s))``
+    projection (same IEEE negation, -0.0 included)."""
+    return [
+        {
+            "cell": int(r["cell"]),
+            "n": -int(r["n"]),
+            "svec": [-float(x) for x in r["svec"]],
+        }
+        for r in rows
+    ]
+
+
+def _write_stats_local(path: str, rows: list[tuple[int, int, list[float]]]) -> None:
+    """Land a folded stats list as a parquet root (one driver-local
+    write — functions/tinyio.py).  An EMPTY list (everything deleted)
+    writes a typed empty file, replacing the old has_parquet_data
+    fileless-root fallback: the root stays readable as zero rows."""
+    from newspapers_etl_spark.functions.tinyio import (
+        ivf_stats_schema,
+        write_tiny_parquet,
+    )
+
+    write_tiny_parquet(
+        path,
+        {
+            "cell": [r[0] for r in rows],
+            "n": [r[1] for r in rows],
+            "svec": [r[2] for r in rows],
+        },
+        ivf_stats_schema(),
+    )
+
+
 def _merge_cell_stats(both: DataFrame) -> DataFrame:
     """Fold a union of per-cell (n, svec) contributions into one pair
     per cell — the combinable merge both the append (positive batch
@@ -297,27 +369,27 @@ def build_ivf_index(
     if not cents or not codebook:
         raise ValueError("cannot build an IVF index from an empty fit corpus")
 
-    # No coalesce(1) on these k-row local relations: squeezing a
-    # LocalTableScan through coalesce defeats its local-write fast path
-    # (measured 4.7s vs 0.5s per model write at sf0.1 — the whole
-    # query's worst cost, for zero benefit on k×d rows).
     src = e_fit if e_encode is None else e_encode
     coded = _encode(src, cents, codebook, with_embedding=True).persist()
     try:
-        # The four roots are independent writes — submit them
-        # concurrently so each job's tail back-fills the others (guide
-        # §2.6; the cached ``coded`` is computed once, the block manager
+        # The frozen models are DRIVER-RESIDENT k-row lists — land them
+        # with driver-local parquet writes (functions/tinyio.py, same
+        # on-disk layout) instead of two k-row Spark jobs: the r17
+        # phase profile measured ~1.9 s per model write under the
+        # 4-way-concurrent build, the whole per-job floor for zero
+        # distributed work (guide §1.2/§5).
+        from newspapers_etl_spark.functions.tinyio import write_model
+
+        write_model(f"{path}/model/centroids", "cell", "cvec", cents)
+        write_model(f"{path}/model/codebook", "code", "kvec", codebook)
+        # The two remaining roots are real distributed writes over the
+        # persisted ``coded`` — submit them concurrently so each job's
+        # tail back-fills the other (guide §2.6; the block manager
         # serializes the first materialization).  One file per cell
         # partition: the repartition ON the layout key keeps a probe's
         # ADC read to its probed cells' directories (the
         # write_bm25_postings shard discipline).
         par_jobs(
-            lambda: spark.createDataFrame(
-                [(c, v) for c, v in cents], "cell int, cvec array<double>"
-            ).write.mode("overwrite").parquet(f"{path}/model/centroids"),
-            lambda: spark.createDataFrame(
-                [(c, v) for c, v in codebook], "code int, kvec array<double>"
-            ).write.mode("overwrite").parquet(f"{path}/model/codebook"),
             lambda: coded.drop("embedding")
             .repartition(_OC_CELLS, "cell")
             .write.mode("overwrite")
@@ -336,27 +408,19 @@ def _read_model(
 ) -> tuple[list[tuple[int, list[float]]], list[tuple[int, list[float]]]]:
     """The frozen (centroids, codebook) pair from the LIVE model root —
     fixed ``model/`` until a rebuild flips the pointer's ``model_root``
-    to its staged replacement (rebuild_ivf_index)."""
+    to its staged replacement (rebuild_ivf_index).  Driver-local reads
+    (functions/tinyio.py): the models are k-row lists every caller
+    consumes on the driver, and every append/delete/upsert/decision
+    paid two Spark jobs per read for them (~0.15-0.26 s each in the r17
+    phase profile; guide §1.2/§5).  ``spark`` stays in the signature
+    for the callers' sake (the read no longer needs it)."""
+    from newspapers_etl_spark.functions.tinyio import read_model_rows
     from newspapers_etl_spark.sinks.verified import current_pointer
 
     ptr = current_pointer(f"{path}/stats")
     root = ptr.get("model_root", "model") if ptr else "model"
-    # Two independent k-row pulls — overlap them (guide §2.6); every
-    # append/delete/upsert pays this read.
-    cents_rows, code_rows = par_jobs(
-        lambda: spark.read.parquet(f"{path}/{root}/centroids")
-        .orderBy("cell")
-        .collect(),
-        lambda: spark.read.parquet(f"{path}/{root}/codebook")
-        .orderBy("code")
-        .collect(),
-    )
-    cents = [
-        (int(r["cell"]), [float(x) for x in r["cvec"]]) for r in cents_rows
-    ]
-    codebook = [
-        (int(r["code"]), [float(x) for x in r["kvec"]]) for r in code_rows
-    ]
+    cents = read_model_rows(f"{path}/{root}/centroids", "cell", "cvec")
+    codebook = read_model_rows(f"{path}/{root}/codebook", "code", "kvec")
     return cents, codebook
 
 
@@ -432,10 +496,10 @@ def append_ivf_index(
     # Lazy: sinks.verified registers sink_aud at import time.
     from newspapers_etl_spark.sinks.verified import (
         allocate_generation,
+        current_data_path,
         current_pointer,
         expose_staged_batch,
         publish_generation,
-        read_current,
     )
 
     stats_root = f"{path}/stats"
@@ -452,19 +516,18 @@ def append_ivf_index(
 
     cents, codebook = _read_model(spark, path)
     coded = _encode(e_batch, cents, codebook, with_embedding=True).persist()
-    both = None
     try:
         staging = f"{path}/_codes-batch-{batch_id}"
 
-        old = read_current(spark, stats_root)
-        batch_stats = _cell_stats(coded)
-        # Combinable merge at (cell, pos) grain — cells×dim rows, a
-        # model-sized relation (persist it: it is tiny and feeds two
-        # branches of one write).  Released in the same finally as
-        # coded — the success-path-only unpersist would leak the cache
-        # whenever the write or publish throws (cache.py discipline).
-        both = old.unionByName(batch_stats).persist()
-        merged = _merge_cell_stats(both)
+        # The previous generation's stats are a cells×dim relation —
+        # read them back driver-locally (functions/tinyio.py); the fold
+        # with the batch contribution and the new generation's write
+        # are driver-local too (``_fold_stats_rows`` — bit-exact twin
+        # of the Spark merge, see its docstring), leaving exactly ONE
+        # distributed stats job per publish: the batch aggregation.
+        from newspapers_etl_spark.functions.tinyio import read_tiny_rows
+
+        old_rows = read_tiny_rows(current_data_path(stats_root))
         gen_no, new_name = allocate_generation(stats_root)
 
         def _stage_codes() -> bool:
@@ -479,16 +542,18 @@ def append_ivf_index(
                 path, f"_codes-batch-{batch_id}", f"codes-batch-{batch_id}"
             )
 
-        # The codes staging write and the stats generation write are
+        # The codes staging write and the batch-stats aggregation are
         # independent jobs (nothing is visible until the single pointer
         # publish below) — run them concurrently (guide §2.6).  Crash
         # between them leaves the same torn-but-unpublished state the
         # serial order could: the retry heals it identically.
-        exposed, _ = par_jobs(
+        exposed, batch_rows = par_jobs(
             _stage_codes,
-            lambda: merged.write.mode("overwrite").parquet(
-                f"{stats_root}/{new_name}"
-            ),
+            lambda: _cell_stats(coded).collect(),
+        )
+        _write_stats_local(
+            f"{stats_root}/{new_name}",
+            _fold_stats_rows(old_rows, batch_rows),
         )
         live_after = live + [batch_id] if exposed else live
         publish_generation(
@@ -509,8 +574,6 @@ def append_ivf_index(
         )
     finally:
         coded.unpersist()
-        if both is not None:
-            both.unpersist()
 
 
 def delete_from_ivf_index(
@@ -552,10 +615,10 @@ def delete_from_ivf_index(
     every generation-pointer publisher."""
     from newspapers_etl_spark.sinks.verified import (
         allocate_generation,
+        current_data_path,
         current_pointer,
         expose_staged_batch,
         publish_generation,
-        read_current,
     )
 
     stats_root = f"{path}/stats"
@@ -570,7 +633,6 @@ def delete_from_ivf_index(
 
     cents, codebook = _read_model(spark, path)
     coded = _encode(e_deleted, cents, codebook, with_embedding=True).persist()
-    both = None
     try:
         if ptr is not None and not coded.head(1):
             # Empty batch (zero rows / all-null embeddings): nothing to
@@ -598,16 +660,18 @@ def delete_from_ivf_index(
             return
         staging = f"{path}/_tombs-batch-{batch_id}"
 
-        old = read_current(spark, stats_root)
-        neg = _cell_stats(coded).select(
-            "cell",
-            (-F.col("n")).alias("n"),
-            F.transform("svec", lambda s: -s).alias("svec"),
-        )
-        both = old.unionByName(neg).persist()
-        merged = _merge_cell_stats(both)
+        # Previous stats read back driver-locally; the batch stats are
+        # NEGATED on the driver and folded in (``_neg_stats_rows`` /
+        # ``_fold_stats_rows`` — bit-exact twins of the Spark
+        # projection+merge) and the new generation is one driver-local
+        # write.  Everything-deleted folds to an empty list, which
+        # ``_write_stats_local`` lands as a typed empty parquet — the
+        # same readable-as-zero-rows guarantee the old has_parquet_data
+        # fallback provided.
+        from newspapers_etl_spark.functions.tinyio import read_tiny_rows
+
+        old_rows = read_tiny_rows(current_data_path(stats_root))
         gen_no, new_name = allocate_generation(stats_root)
-        from newspapers_etl_spark.sinks.verified import has_parquet_data
 
         def _stage_tombs() -> bool:
             coded.select("vec_id").write.mode("overwrite").parquet(staging)
@@ -615,23 +679,16 @@ def delete_from_ivf_index(
                 path, f"_tombs-batch-{batch_id}", f"tombs-batch-{batch_id}"
             )
 
-        def _write_stats() -> None:
-            merged.write.mode("overwrite").parquet(
-                f"{stats_root}/{new_name}"
-            )
-            if not has_parquet_data(f"{stats_root}/{new_name}"):
-                # Everything deleted: the shuffled empty relation writes
-                # NO part files (AQE coalesces to zero partitions) and a
-                # fileless generation breaks read_current — replace with
-                # a typed empty local write, which does emit a schema
-                # file.
-                spark.createDataFrame(
-                    [], "cell int, n long, svec array<double>"
-                ).write.mode("overwrite").parquet(f"{stats_root}/{new_name}")
-
-        # Tombstone staging and the stats generation write are
+        # Tombstone staging and the batch-stats aggregation are
         # independent until the single pointer publish (guide §2.6).
-        exposed, _ = par_jobs(_stage_tombs, _write_stats)
+        exposed, batch_rows = par_jobs(
+            _stage_tombs,
+            lambda: _cell_stats(coded).collect(),
+        )
+        _write_stats_local(
+            f"{stats_root}/{new_name}",
+            _fold_stats_rows(old_rows, _neg_stats_rows(batch_rows)),
+        )
         if exposed:
             tombs_after = tombs + [batch_id]
             # ROOT-SCOPED: this tombstone suppresses only the roots that
@@ -657,8 +714,6 @@ def delete_from_ivf_index(
         )
     finally:
         coded.unpersist()
-        if both is not None:
-            both.unpersist()
 
 
 def upsert_ivf_index(

@@ -119,9 +119,16 @@ def refreshed_centroids(
     the combinable pair).  Driver-side division: the stats sums are
     exact doubles (see _merge_cell_stats), so the single IEEE division
     is bit-identical to any engine's sum/count."""
-    from newspapers_etl_spark.sinks.verified import read_current
+    from newspapers_etl_spark.functions.tinyio import read_tiny_rows
+    from newspapers_etl_spark.sinks.verified import current_data_path
 
-    rows = read_current(spark, f"{path}/stats").orderBy("cell").collect()
+    # Driver-local read (tinyio): the stats pair is a cells×dim
+    # relation consumed on the driver — a Spark job per read paid the
+    # whole per-job floor (guide §1.2/§5).  Same rows, same cell order.
+    rows = sorted(
+        read_tiny_rows(current_data_path(f"{path}/stats")),
+        key=lambda r: int(r["cell"]),
+    )
     return [
         (int(r["cell"]), [float(s) / int(r["n"]) for s in r["svec"]])
         for r in rows

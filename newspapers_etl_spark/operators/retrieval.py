@@ -256,6 +256,36 @@ def _corpus_stats(staged: DataFrame) -> DataFrame:
     )
 
 
+def _read_bm25_stats(stats_root: str) -> dict:
+    """The live (n, sum_dl) row, read driver-locally through the
+    generation pointer (functions/tinyio.py) — every maintenance
+    publish consumes it on the driver, and a 1-row Spark job per read
+    paid the whole per-job floor (guide §1.2/§5)."""
+    from newspapers_etl_spark.functions.tinyio import read_tiny_rows
+    from newspapers_etl_spark.sinks.verified import current_data_path
+
+    return read_tiny_rows(current_data_path(stats_root))[0]
+
+
+def _write_bm25_stats(path: str, n: float, sum_dl: float) -> None:
+    """Land a merged (n, sum_dl) pair as a stats generation with one
+    driver-local parquet write — same layout, atomic temp+rename;
+    visibility still gates on the caller's pointer publish."""
+    from newspapers_etl_spark.functions.tinyio import (
+        bm25_stats_schema,
+        write_tiny_parquet,
+    )
+
+    write_tiny_parquet(
+        path,
+        {
+            "n": [float(n)],
+            "sum_dl": [None if sum_dl is None else float(sum_dl)],
+        },
+        bm25_stats_schema(),
+    )
+
+
 def append_bm25_postings(
     spark: SparkSession,
     sf_dir: str | None,
@@ -329,7 +359,6 @@ def append_bm25_postings(
         current_pointer,
         expose_staged_batch,
         publish_generation,
-        read_current,
     )
 
     if batch_id is None:
@@ -386,29 +415,29 @@ def append_bm25_postings(
             path, f"_postings-batch-{batch_id}", f"postings-batch-{batch_id}"
         )
 
-    # Postings staging and the two 1-row stats pulls are independent
-    # until the single pointer publish below — overlap them (§2.6).
-    exposed, old, batch = par_jobs(
+    # The previous stats generation is ONE (n, sum_dl) row — read it
+    # back driver-locally (functions/tinyio.py) instead of a 1-row
+    # Spark job; the batch aggregation is the only distributed stats
+    # work and overlaps the postings staging (§2.6).
+    old = _read_bm25_stats(stats_root)
+    exposed, batch = par_jobs(
         _stage_postings,
-        lambda: read_current(spark, stats_root).collect()[0],
         lambda: _corpus_stats(staged).collect()[0],
     )
     live_after = live + [batch_id] if exposed else live
 
     new_n = float(old["n"]) + float(batch["n"])
     new_sum_dl = float(old["sum_dl"] or 0.0) + float(batch["sum_dl"] or 0.0)
-    merged = spark.createDataFrame(
-        [(new_n, new_sum_dl)], "n double, sum_dl double"
-    )
     # GENERATION-POINTER publish (sinks/verified.py — the same publish
     # its compaction uses): the merged stats land fully in a fresh
     # ``_gen-N`` dir (invisible to readers — Hadoop listing skips
-    # underscore paths), then the ``_CURRENT`` pointer is atomically
-    # replaced, carrying the applied-batch ledger that makes this whole
-    # function idempotent.  Readers through ``read_current`` see old
-    # stats or new stats at every instant (ADVICE r7 #1/VERDICT r7 #6).
+    # underscore paths) via one driver-local write, then the
+    # ``_CURRENT`` pointer is atomically replaced, carrying the
+    # applied-batch ledger that makes this whole function idempotent.
+    # Readers through ``read_current`` see old stats or new stats at
+    # every instant (ADVICE r7 #1/VERDICT r7 #6).
     gen_no, new_name = allocate_generation(stats_root)
-    merged.write.mode("overwrite").parquet(f"{stats_root}/{new_name}")
+    _write_bm25_stats(f"{stats_root}/{new_name}", new_n, new_sum_dl)
     publish_generation(
         stats_root,
         gen_no,
@@ -465,7 +494,6 @@ def delete_bm25_docs(
         current_pointer,
         expose_staged_batch,
         publish_generation,
-        read_current,
     )
 
     stats_root = f"{path}/stats"
@@ -511,11 +539,12 @@ def delete_bm25_docs(
             path, f"_tombs-batch-{batch_id}", f"tombs-batch-{batch_id}"
         )
 
-    # Tombstone staging and the two 1-row stats pulls are independent
-    # until the single pointer publish below — overlap them (§2.6).
-    exposed, old, gone = par_jobs(
+    # The previous stats are one locally-read row; the batch's
+    # re-tokenized stats aggregation overlaps the tombstone staging
+    # (§2.6) — the only two jobs left in the publish.
+    old = _read_bm25_stats(stats_root)
+    exposed, gone = par_jobs(
         _stage_tombs,
-        lambda: read_current(spark, stats_root).collect()[0],
         lambda: _corpus_stats(staged).collect()[0],
     )
     if exposed:
@@ -530,11 +559,8 @@ def delete_bm25_docs(
 
     new_n = float(old["n"]) - float(gone["n"])
     new_sum_dl = float(old["sum_dl"] or 0.0) - float(gone["sum_dl"] or 0.0)
-    merged = spark.createDataFrame(
-        [(new_n, new_sum_dl)], "n double, sum_dl double"
-    )
     gen_no, new_name = allocate_generation(stats_root)
-    merged.write.mode("overwrite").parquet(f"{stats_root}/{new_name}")
+    _write_bm25_stats(f"{stats_root}/{new_name}", new_n, new_sum_dl)
     publish_generation(
         stats_root,
         gen_no,
@@ -639,7 +665,6 @@ def compact_bm25_postings(
         flip_compacted_roots,
         local_fs_path,
         publish_generation,
-        read_current,
         reap_pending_roots,
     )
 
@@ -649,9 +674,10 @@ def compact_bm25_postings(
         # No append has ever published a pointer: republish the current
         # stats through a generation first so there is a pointer to
         # carry the root metadata (also upgrades a legacy root layout).
-        stats = read_current(spark, stats_root)
+        # One row in, one row out — driver-local I/O (tinyio), no jobs.
+        row = _read_bm25_stats(stats_root)
         gen_no, new_name = allocate_generation(stats_root)
-        stats.write.mode("overwrite").parquet(f"{stats_root}/{new_name}")
+        _write_bm25_stats(f"{stats_root}/{new_name}", row["n"], row["sum_dl"])
         publish_generation(stats_root, gen_no, new_name)
         ptr = current_pointer(stats_root)
     reap_pending_roots(stats_root, path)  # heal a crashed prior reap
