@@ -128,7 +128,16 @@ def stream_maintained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, glob="events.parquet", ts_encoding="auto"
     )
     ckpt = tempfile.mkdtemp(prefix="ckpt_rollup_")
+    # state_partitions=0: keep the SESSION partitioning for this one
+    # stream.  The minute partials sum unrounded doubles that ``round(
+    # sum_v, 2)`` then truncates; at sf0.1 one hour-bucket sits exactly
+    # on a 4-dp boundary and the partition-dependent accumulation order
+    # picks the side (measured: the default stream override flips
+    # 47.2538 → 47.2537 against the oracle).  The committed result —
+    # and its oracle hash — were produced under the session
+    # partitioning, so this stream pins it (see run_available_now).
     materialized = run_available_now(
-        minute_partials(stream), "stream_rollup_partials", ckpt, "complete"
+        minute_partials(stream), "stream_rollup_partials", ckpt, "complete",
+        state_partitions=0,
     )
     return _present(merge_to_grain(materialized, "1 hour"))

@@ -202,22 +202,68 @@ def deduped_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+# State-store partition count for the STATEFUL streaming queries.
+# Streaming plans never AQE-coalesce: the shuffle-partition count at
+# query start is frozen into the checkpoint and each partition carries
+# its own state store(s), each paying fixed init + per-epoch
+# commit/maintenance I/O regardless of how little state it holds — at
+# the session default (cores) a stream-stream join runs cores×4 stores
+# for kilobytes of state (measured: stjn 4.7 s → 1.9 s at 8 partitions
+# on the sf0.1 replay; guide §2.2's size-partitions-to-data, which AQE
+# cannot do for streams).  The knob is the state-VOLUME sizing control:
+# a production deployment with large keyed state raises it (env or
+# conf) exactly as it would size any shuffle; the bounded fixture
+# replays hold model-sized state.
+import os as _os
+
+STREAM_SHUFFLE_PARTITIONS = int(
+    _os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+)
+
+
 def run_available_now(
-    df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str
+    df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming plan to completion over all currently
     available input (Trigger.AvailableNow — the reference's 'catch up,
     then stop' month run), land it in a memory sink, and return the
-    result as a DataFrame.  The checkpoint makes re-runs incremental."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    result as a DataFrame.  The checkpoint makes re-runs incremental.
+
+    The shuffle-partition override scopes to the stream's planning
+    (the engine freezes the count into the checkpoint at ``start()``)
+    and is restored right after the drain — batch queries in the same
+    session keep the session setting.  foreachBatch-based streams
+    (index_stream etc.) don't need it: their stream side is stateless
+    and their inner batch jobs coalesce through AQE.
+
+    ``state_partitions`` overrides the default (0 → keep the session
+    setting): a caller whose aggregate sums unrounded doubles that a
+    downstream round() then truncates can sit ON a rounding boundary,
+    where the accumulation order — which depends on the partitioning —
+    picks the side (the bm25 s9 lesson); such a caller pins the
+    partitioning its committed results were produced under
+    (operators/rollup.py is the one case)."""
+    spark = df.sparkSession
+    n = STREAM_SHUFFLE_PARTITIONS if state_partitions is None else state_partitions
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if n > 0:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(query_name)
 
 
