@@ -224,9 +224,13 @@ def merge_bm25_indexes(
         bm25_stats_schema(),
     )
 
-    union.repartition(shards, "term_shard").write.mode(
-        "overwrite"
-    ).partitionBy("term_shard").parquet(f"{dest}/postings")
+    from newspapers_etl_spark.operators.retrieval import _shard_write_width
+
+    union.repartition(
+        _shard_write_width(union, shards), "term_shard"
+    ).write.mode("overwrite").partitionBy("term_shard").parquet(
+        f"{dest}/postings"
+    )
     if not has_parquet_data(f"{dest}/postings"):
         # All shards empty: keep the merged index readable as zero
         # rows (the write_bm25_postings fileless-root guard).

@@ -149,6 +149,22 @@ def bm25_topk_over(
 BM25_POSTING_SHARDS = 256
 
 
+def _shard_write_width(df: DataFrame, shards: int) -> int:
+    """Partition count for the repartition feeding a shard-partitioned
+    posting write: ``min(shards, executor parallelism)``.  Hash
+    partitioning on ``term_shard`` keeps every shard wholly inside ONE
+    task either way, so the on-disk layout — one file per shard
+    directory, the pytest-pinned invariant — is unchanged; only the
+    number of write tasks changes.  The full ``shards`` width was a
+    cluster-sized constant (guide §2.2: size partitions to the work,
+    which AQE cannot do for an explicit repartition): on a 256+-core
+    cluster this still fans out to one task per shard, while a smaller
+    executor pool stops paying task-launch + commit for hundreds of
+    near-empty writers."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return max(1, min(int(shards), int(par)))
+
+
 def write_bm25_postings(
     spark: SparkSession,
     sf_dir: str | None,
@@ -188,9 +204,11 @@ def write_bm25_postings(
         # scale.  After it each shard's rows land in one task → one
         # file per shard directory, and term lookups read exactly one
         # file.
-        postings.repartition(shards, "term_shard").write.mode(
-            "overwrite"
-        ).partitionBy("term_shard").parquet(f"{path}/postings")
+        postings.repartition(
+            _shard_write_width(postings, shards), "term_shard"
+        ).write.mode("overwrite").partitionBy("term_shard").parquet(
+            f"{path}/postings"
+        )
         if not has_parquet_data(f"{path}/postings"):
             # Empty corpus: a partitioned write of an empty relation
             # leaves a fileless root (UNABLE_TO_INFER_SCHEMA for
@@ -399,8 +417,9 @@ def append_bm25_postings(
     staging = f"{path}/_postings-batch-{batch_id}"
 
     def _stage_postings() -> bool:
-        _postings_of(staged, shards).repartition(
-            shards, "term_shard"
+        batch_postings = _postings_of(staged, shards)
+        batch_postings.repartition(
+            _shard_write_width(batch_postings, shards), "term_shard"
         ).write.mode("overwrite").partitionBy("term_shard").parquet(staging)
         # Atomic exposure + empty-batch guard via the shared helper
         # (sinks/verified.expose_staged_batch): readers derive roots
@@ -706,9 +725,11 @@ def compact_bm25_postings(
         spark, path, ptr,
         [base] + [f"postings-batch-{b}" for b in live], "doc_id",
     )
-    union.repartition(shards, "term_shard").write.mode(
-        "overwrite"
-    ).partitionBy("term_shard").parquet(f"{path}/_{new_root}")
+    union.repartition(
+        _shard_write_width(union, shards), "term_shard"
+    ).write.mode("overwrite").partitionBy("term_shard").parquet(
+        f"{path}/_{new_root}"
+    )
     from newspapers_etl_spark.sinks.verified import has_parquet_data
 
     if not has_parquet_data(f"{path}/_{new_root}"):
