@@ -36,12 +36,26 @@ def _d(x: float) -> str:
     return f"{x!r}D"
 
 
+def _non_empty(parts: list, what: str) -> list:
+    """Empty literal arrays are always a caller bug here (an empty
+    model): a bare ``array()`` parses as array<void> and fails — or
+    silently mistypes — only DOWNSTREAM, unlike the F.array forms these
+    helpers replaced which failed at analysis.  Fail at construction
+    with a clear message instead (ADVICE r16)."""
+    if not parts:
+        raise ValueError(
+            f"{what} literal is empty — callers must guard empty models "
+            "before building literal-array expressions"
+        )
+    return parts
+
+
 def sql_doubles(vals) -> str:
     """The ``array(...)`` SQL text of a double-array literal — for
     callers that splice literal models into a larger single-``F.expr``
     expression (one py4j call for the WHOLE scoring expression instead
     of one per lambda/element)."""
-    return "array(" + ",".join(_d(x) for x in vals) + ")"
+    return "array(" + ",".join(_non_empty([_d(x) for x in vals], "double-array")) + ")"
 
 
 def lit_doubles(vals) -> Column:
@@ -50,10 +64,11 @@ def lit_doubles(vals) -> Column:
 
 
 def lit_double_matrix(rows) -> Column:
-    """``array<array<double>>`` literal from an iterable of float rows."""
+    """``array<array<double>>`` literal from an iterable of float rows
+    (each row non-empty too — ``sql_doubles`` raises on one)."""
     return F.expr(
         "array("
-        + ",".join("array(" + ",".join(_d(x) for x in r) + ")" for r in rows)
+        + ",".join(_non_empty([sql_doubles(r) for r in rows], "double-matrix"))
         + ")"
     )
 
@@ -68,12 +83,16 @@ def lit_ints(vals) -> Column:
         if not (_INT32_MIN <= v <= _INT32_MAX):
             raise ValueError(f"lit_ints value {v} does not fit int32")
         out.append(str(v))
-    return F.expr("array(" + ",".join(out) + ")")
+    return F.expr("array(" + ",".join(_non_empty(out, "int-array")) + ")")
 
 
 def lit_longs(vals) -> Column:
     """``array<bigint>`` literal."""
-    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+    return F.expr(
+        "array("
+        + ",".join(_non_empty([f"{int(v)}L" for v in vals], "long-array"))
+        + ")"
+    )
 
 
 def lit_id_vec_structs(pairs, id_field: str, vec_field: str) -> Column:

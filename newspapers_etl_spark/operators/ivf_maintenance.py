@@ -1093,11 +1093,25 @@ def scratch_index_dir(prefix: str, sf_dir: str) -> str:
     slug = re.sub(r"[^A-Za-z0-9._-]+", "-", sf_dir.strip("/")) or "sf"
     tmp = tempfile.gettempdir()
     base = f"{prefix}-{slug}"
+
+    def _alive(pid: int) -> bool:
+        # os.kill(pid, 0), not /proc: portable (macOS has no procfs,
+        # where every sibling would look dead and its scratch index
+        # could be reaped mid-read — ADVICE r16).  PermissionError
+        # means the pid exists under another user: alive.
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+        return True
+
     for name in os.listdir(tmp):
         if not name.startswith(f"{base}-p"):
             continue
         pid_part = name[len(base) + 2 :]
-        if pid_part.isdigit() and not os.path.exists(f"/proc/{pid_part}"):
+        if pid_part.isdigit() and not _alive(int(pid_part)):
             shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
     path = os.path.join(tmp, f"{base}-p{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)

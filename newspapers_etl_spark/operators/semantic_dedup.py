@@ -315,6 +315,25 @@ def _nearest_code(
     lo = sub * (EMB_DIM // PQ_SUBSPACES) + 1  # F.slice is 1-based
     width = EMB_DIM // PQ_SUBSPACES
     if isinstance(vec, str):
+        # The name is spliced into SQL text: restrict it to a simple
+        # identifier and backtick it, so a quoted/odd column name can
+        # neither misparse nor smuggle expression text in (ADVICE r16);
+        # anything fancier must come in as a Column (the fallback arm).
+        # CAVEAT (the _nearest_anchor lesson, documented below at its
+        # reverted conversion): SQL-parsed lambda variables here have
+        # FIXED names — a relation carrying this column on BOTH sides
+        # of a self-join trips Catalyst's relation dedup
+        # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND).  No current consumer
+        # self-joins encoded relations; a future one must use the
+        # Column path.
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", vec):
+            raise ValueError(
+                f"_nearest_code fast path needs a simple column name, "
+                f"got {vec!r}; pass a Column instead"
+            )
+        vec = f"`{vec}`"
         # Hot path: the WHOLE argmin as ONE F.expr call — the Column-
         # DSL form below costs ~60 ms of py4j round-trips per call and
         # the encoders construct it once per subspace per encode pass

@@ -332,6 +332,21 @@ def _nearest_cell(vec: Column | str, cents: list[tuple[int, list[float]]]) -> Co
     -> ~3s on the sf0.1 IVF query, which runs this assignment over the
     corpus three times (2 Lloyd steps + final cell map)."""
     if isinstance(vec, str):
+        # Simple-identifier guard + backticks before splicing into SQL
+        # (ADVICE r16) — and the _nearest_anchor caveat applies here
+        # too: the SQL-parsed lambdas carry FIXED variable names, so a
+        # relation exposing this column on both sides of a SELF-JOIN
+        # would trip Catalyst's relation dedup
+        # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, semantic_dedup.py);
+        # such a caller must pass a Column to take the DSL arm below.
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", vec):
+            raise ValueError(
+                f"_nearest_cell fast path needs a simple column name, "
+                f"got {vec!r}; pass a Column instead"
+            )
+        vec = f"`{vec}`"
         # Hot path: the WHOLE argmax fold as ONE F.expr call.  The
         # Column-DSL form below costs hundreds of py4j round-trips per
         # construction (one per literal element plus ~40 ms per

@@ -90,6 +90,16 @@ def get_spark(
         # and a much bigger win when a 100 TB write commits thousands of
         # files.  Our index publishes stay atomic regardless: visibility
         # is gated on the generation-pointer flip, not on _SUCCESS.
+        # CONTRACT for the v2 trade-off (ADVICE r16): with v2, a mid-job
+        # crash can leave PARTIAL task outputs in an overwrite
+        # destination whose old content the overwrite already cleared —
+        # so every overwrite destination in this engine must be either
+        # pointer-gated (readers resolve through _CURRENT, never the
+        # torn dir) or a scratch/staging path healed by wholesale retry
+        # (underscore-staged batch roots, scratch_index_dir trees,
+        # merge dest roots wiped by their caller).  A new write path
+        # that lets readers list an overwrite destination directly must
+        # not rely on its emptiness/partial state to mean anything.
         .config(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
             "2",
