@@ -91,12 +91,21 @@ def read_tiny_rows(path: str) -> list[dict]:
     import pyarrow.parquet as pq
 
     fs = _fs_path(path)
-    files = sorted(
-        os.path.join(dirpath, f)
-        for dirpath, dirs, fnames in os.walk(fs)
-        for f in fnames
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
+    files: list[str] = []
+    for dirpath, dirs, fnames in os.walk(fs):
+        # Prune hidden DIRECTORIES from the walk, not just hidden
+        # files: Hadoop listing ignores underscore/dot paths at every
+        # level, so a crashed publish's ``_gen-N`` staging dir inside a
+        # legacy root must stay invisible here too — descending into it
+        # returned the crashed attempt's already-merged stats row ahead
+        # of the live one (caught by the append-crash-retry pytest).
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        files.extend(
+            os.path.join(dirpath, f)
+            for f in fnames
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    files.sort()
     if not files:
         raise FileNotFoundError(f"no parquet data under {path!r}")
     rows: list[dict] = []

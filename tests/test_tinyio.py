@@ -118,3 +118,21 @@ def test_remote_uri_refused(tmp_path):
         write_tiny_parquet(
             "s3://bucket/x", {"n": [1.0], "sum_dl": [1.0]}, bm25_stats_schema()
         )
+
+
+def test_read_skips_hidden_directories(tmp_path):
+    """Hadoop listing ignores underscore/dot paths at EVERY level; the
+    driver-local reader must too, or a crashed publish's ``_gen-N``
+    staging dir inside a legacy stats root leaks its already-merged row
+    into the live read (the bm25 append-crash-retry scenario — the
+    hidden dir's part file even sorts FIRST, shadowing the live row)."""
+    p = str(tmp_path / "root")
+    write_tiny_parquet(p, {"n": [5.0], "sum_dl": [50.0]}, bm25_stats_schema())
+    # a crashed, never-published generation inside the root
+    write_tiny_parquet(
+        f"{p}/_gen-00000001", {"n": [9.0], "sum_dl": [90.0]}, bm25_stats_schema()
+    )
+    write_tiny_parquet(
+        f"{p}/.tmp-stage", {"n": [7.0], "sum_dl": [70.0]}, bm25_stats_schema()
+    )
+    assert read_tiny_rows(p) == [{"n": 5.0, "sum_dl": 50.0}]
