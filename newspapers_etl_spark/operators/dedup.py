@@ -606,7 +606,23 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding knobs (see dedup_minhash_lsh_stats for the feedback query);
     the verify joins shuffle 16-byte ids plus one token array per
     matched doc — the token re-read is semi-join-pruned to candidate
-    ids, never a second full-corpus pass of pair work."""
+    ids, never a second full-corpus pass of pair work.
+
+    The banded-signature relation is persisted: candidate_pairs
+    references it FOUR times (bucket sizes, size-filter join-back, both
+    self-join sides) and each reference otherwise re-inlines the whole
+    scan → tokenize → shingle → minhash pipeline (6 corpus scans in the
+    un-persisted plan, r17 plan dump).  The cache holds (doc_id,
+    band_id, band_hash) — ~20 bytes × N_BANDS per doc, NOT the corpus —
+    so one tokenize+hash pass feeds all four references at any scale
+    (guide §1.2 / §5: reuse beats recompute when the cached relation is
+    a small projection).  The token-array relation (two verify-side
+    references) is deliberately NOT persisted: token arrays are
+    corpus-sized, and caching the corpus trades one tokenize pass for a
+    same-magnitude cache write + eviction pressure (guide §5) — the two
+    scans stay.  Results are unchanged: the pipeline is
+    hash-deterministic and the cache only changes WHERE the rows come
+    from, not what they are."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.array_distinct(words("text")).alias("ts")
@@ -616,7 +632,8 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", shingles("toks").alias("sh"))
         .select("doc_id", minhash_signature("sh").alias("sig"))
     )
-    cands = candidate_pairs(lsh_bands(sigs, "doc_id"), "doc_id")
+    banded = lsh_bands(sigs, "doc_id").persist()
+    cands = candidate_pairs(banded, "doc_id")
     pa = toks.select(
         F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"), F.col("n").alias("n_a")
     )
