@@ -763,7 +763,17 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Norms are computed ONCE per row before the verify join; candidates
     carry only ids, and the embedding re-read is semi-join-pruned to
-    candidate ids — the token-array analog of dedup_lsh_verified_pairs."""
+    candidate ids — the token-array analog of dedup_lsh_verified_pairs.
+
+    The bucket relation is persisted (the lshver lesson, r17): it is
+    referenced 2×EMB_LSH_TABLES times (both sides of each table's
+    self-join) and each reference otherwise re-inlines the full
+    embeddings scan plus all tables×bits hyperplane dot products (six
+    scans in the un-persisted plan).  The cache holds (vec_id,
+    bucket_0..bucket_T) — a few ints per vector, not the embeddings —
+    so one scan+hash pass feeds every reference at any scale.  The
+    norm relation (two verify-side references) stays un-persisted:
+    it carries the embedding vectors themselves (guide §5)."""
     e = load_table(spark, sf_dir, "embeddings")
     withb = e.select(
         "vec_id",
@@ -771,7 +781,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb_lsh_bucket("embedding", _EMB_PLANES[t]).alias(f"bucket_{t}")
             for t in range(EMB_LSH_TABLES)
         ],
-    )
+    ).persist()
     cands = None
     for t in range(EMB_LSH_TABLES):
         a = withb.alias("a")
